@@ -1,0 +1,42 @@
+"""prefhetch_tpu — TPU-native privacy-preserving ANN search framework.
+
+A from-scratch rebuild of the capabilities of PES-Innovation-Lab/PreFHEtch
+(reference mounted read-only at /root/reference): a client/server
+approximate-nearest-neighbor triage protocol in which the server hosts an
+IVF(-PQ) index and the client drives a multi-round pipeline — centroid
+download, client-side centroid ranking, server-side all-candidate coarse
+scoring over client-chosen inverted lists, client-side candidate selection,
+server-side exact re-rank, client-side top-K, and vector retrieval — such
+that ALL ranking happens on the client and the server never learns which
+candidates survive (reference: src/client/client.cpp:7-80,
+src/server/server_lib.cpp:111-196).
+
+The compute path is JAX/XLA/Pallas on TPU: distances are batched matmuls on
+the MXU, the inverted-list candidate scan is a padded/masked gather kernel,
+and the homomorphic-encryption layer (the reference's linked-but-unused SEAL
+slot, CMakeLists.txt:33-38) is implemented for real as RNS-BFV/CKKS
+polynomial arithmetic over integer limb tensors.
+
+Subpackages
+-----------
+- ``data``     — fvecs/ivecs dataset IO, synthetic dataset generation
+- ``models``   — index model families (Flat, IVF-Flat, IVF-PQ)
+- ``ops``      — TPU kernels: distance matmuls, ADC scan, masked top-k, k-means
+- ``index``    — index training/building (k-means, PQ codebooks) and storage
+- ``crypto``   — RNS-BFV/CKKS homomorphic encryption (NTT, modular limb ops)
+- ``engine``   — server-side query engine (index lifecycle + jitted services)
+- ``serve``    — HTTP frontend exposing the reference's 4 routes
+- ``client``   — client pipeline library (stages 1-9) and CLI driver
+- ``parallel`` — device mesh / shard_map sharding of the index
+- ``utils``    — config presets, timer, logging
+"""
+
+__version__ = "0.1.0"
+
+from prefhetch_tpu.utils.config import (  # noqa: F401
+    IndexParams,
+    ProtocolParams,
+    PipelineConfig,
+    REFERENCE_PRESET,
+    SIFT1M_PRESET,
+)

@@ -1,0 +1,97 @@
+"""Synthetic SIFT-style dataset generation.
+
+The reference downloads SIFT-small from irisa.fr (reference: dataset.sh:4-10).
+This environment has no network egress, so the framework ships a generator
+that produces datasets with the same statistical shape as SIFT descriptors —
+clustered, non-negative, integer-valued float32 vectors in [0, 255] — plus
+exact brute-force ground truth in the same fvecs/ivecs layout, so every
+downstream stage (including the recall/MRR oracle, §3.5 of SURVEY.md) is
+exercised against real nearest-neighbor structure.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Tuple
+
+import numpy as np
+
+from prefhetch_tpu.data.io import write_fvecs, write_ivecs
+
+
+def make_clustered_dataset(
+    nbase: int = 10_000,
+    ntrain: int = 25_000,
+    nquery: int = 100,
+    d: int = 128,
+    n_clusters: int = 200,
+    gt_k: int = 100,
+    seed: int = 42,
+) -> Dict[str, np.ndarray]:
+    """Generate {train, base, query, groundtruth} arrays.
+
+    Mixture-of-Gaussians in [0, 255]^d, rounded to integers like SIFT
+    descriptors. Queries are perturbed base-distribution samples so IVF
+    probing has realistic cluster locality. Ground truth is exact squared-L2
+    top-``gt_k`` over the base set (the metric used everywhere in the
+    reference, e.g. src/server/server_lib.cpp:155-162).
+    """
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(30.0, 225.0, size=(n_clusters, d))
+    scales = rng.uniform(8.0, 30.0, size=(n_clusters, 1))
+
+    def sample(n: int) -> np.ndarray:
+        which = rng.integers(0, n_clusters, size=n)
+        x = centers[which] + rng.normal(size=(n, d)) * scales[which]
+        return np.clip(np.round(x), 0, 255).astype(np.float32)
+
+    base = sample(nbase)
+    train = sample(ntrain)
+    query = sample(nquery)
+
+    gt = brute_force_ground_truth(base, query, gt_k)
+    return {"train": train, "base": base, "query": query, "groundtruth": gt}
+
+
+def brute_force_ground_truth(
+    base: np.ndarray, query: np.ndarray, k: int, block: int = 1024
+) -> np.ndarray:
+    """Exact top-k nearest neighbors (squared L2), ties broken by lower id.
+
+    Blocked to bound memory at SIFT1M scale.
+    """
+    nq = query.shape[0]
+    base_sq = (base.astype(np.float64) ** 2).sum(axis=1)
+    out = np.empty((nq, k), dtype=np.int32)
+    for s in range(0, nq, block):
+        q = query[s : s + block].astype(np.float64)
+        d2 = base_sq[None, :] - 2.0 * q @ base.T + (q**2).sum(axis=1, keepdims=True)
+        # stable argsort => ties broken by lower index, matching a scan order
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
+        out[s : s + block] = idx.astype(np.int32)
+    return out
+
+
+def write_sift_style_dataset(
+    out_dir: str, prefix: str = "synthetic", **kwargs
+) -> Dict[str, str]:
+    """Generate and persist a dataset in the reference's file layout.
+
+    Produces ``{prefix}_learn.fvecs``, ``{prefix}_base.fvecs``,
+    ``{prefix}_query.fvecs``, ``{prefix}_groundtruth.ivecs`` — the exact
+    four files the reference consumes (src/server/server_lib.cpp:22-27,
+    src/client/client_lib.cpp:12-14).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    data = make_clustered_dataset(**kwargs)
+    paths = {
+        "train": os.path.join(out_dir, f"{prefix}_learn.fvecs"),
+        "base": os.path.join(out_dir, f"{prefix}_base.fvecs"),
+        "query": os.path.join(out_dir, f"{prefix}_query.fvecs"),
+        "groundtruth": os.path.join(out_dir, f"{prefix}_groundtruth.ivecs"),
+    }
+    write_fvecs(paths["train"], data["train"])
+    write_fvecs(paths["base"], data["base"])
+    write_fvecs(paths["query"], data["query"])
+    write_ivecs(paths["groundtruth"], data["groundtruth"])
+    return paths

@@ -1,0 +1,138 @@
+"""Runtime configuration for the search pipeline.
+
+The reference hardcodes every parameter as compile-time ``constexpr`` globals
+(reference: include/common/client_server_utils.h:10-20) so that changing any
+of them requires recompiling both binaries, and several are baked into the
+wire format via fixed-size std::array JSON shapes. Here configuration is a
+runtime dataclass; the reference operating point ships as the default preset
+so behavior is comparable 1:1.
+
+Reference operating point (include/common/client_server_utils.h:8-20):
+    PRECISE_VECTOR_DIMENSIONS=128, NPROBE=20, COARSE_PROBE=200, K=100,
+    NBASE=10000, NQUERY=5, NLIST=256, SUB_QUANTIZERS=32, SUB_QUANTIZER_SIZE=8
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class IndexParams:
+    """Geometry of the server-side IVF(-PQ) index.
+
+    Mirrors the constructor arguments of the reference's
+    faiss::IndexIVFPQ(quantizer, d, nlist, M, nbits)
+    (reference: src/server/server_lib.cpp:33-36).
+    """
+
+    d: int = 128                # PRECISE_VECTOR_DIMENSIONS
+    nlist: int = 256            # NLIST — number of coarse centroids / inverted lists
+    pq_m: int = 32              # SUB_QUANTIZERS — PQ sub-quantizer count (0 => IVF-Flat)
+    pq_nbits: int = 8           # SUB_QUANTIZER_SIZE — bits per PQ code
+    by_residual: bool = True    # FAISS IndexIVFPQ default: PQ encodes x - centroid
+    metric: str = "l2"          # squared-L2 everywhere, like the reference
+
+    # Training knobs (FAISS Clustering defaults: 25 iterations, seed 1234).
+    kmeans_iters: int = 25
+    pq_kmeans_iters: int = 25
+    seed: int = 1234
+
+    @property
+    def ksub(self) -> int:
+        """Codewords per sub-quantizer."""
+        return 1 << self.pq_nbits
+
+    @property
+    def dsub(self) -> int:
+        """Dimensions per PQ subspace."""
+        if self.pq_m == 0:
+            return self.d
+        assert self.d % self.pq_m == 0, "d must divide evenly into pq_m subspaces"
+        return self.d // self.pq_m
+
+    @property
+    def uses_pq(self) -> bool:
+        return self.pq_m > 0
+
+    def artifact_name(self) -> str:
+        """Parameter-encoding artifact filename.
+
+        Parity with the reference's index cache naming
+        ``NBASE…_IVF…_PQ…_SUB_QUANTIZER_SIZE….faiss``
+        (reference: src/server/server_lib.cpp:38-42).
+        """
+        kind = f"PQ{self.pq_m}_NBITS{self.pq_nbits}" if self.uses_pq else "FLAT"
+        return f"D{self.d}_IVF{self.nlist}_{kind}.npz"
+
+
+@dataclasses.dataclass(frozen=True)
+class ProtocolParams:
+    """Fan-outs of the multi-round triage protocol.
+
+    nprobe:       inverted lists probed per query (client-chosen; the server
+                  never runs quantizer assignment — reference §2.3 contract,
+                  src/server/server_lib.cpp:121,126-130).
+    coarse_probe: candidates the client keeps after the coarse round
+                  (reference: COARSE_PROBE=200).
+    k:            final top-K results (reference: K=100).
+    nquery:       batch size of the client driver (reference: NQUERY=5).
+    """
+
+    nprobe: int = 20
+    coarse_probe: int = 200
+    k: int = 100
+    nquery: int = 5
+
+    def validate(self) -> None:
+        if self.k > self.coarse_probe:
+            # reference: src/client/client_lib.cpp guard "K greater than COARSE_PROBE"
+            raise ValueError("K greater than COARSE_PROBE")
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Full configuration: index geometry + protocol fan-outs + dataset paths."""
+
+    index: IndexParams = dataclasses.field(default_factory=IndexParams)
+    protocol: ProtocolParams = dataclasses.field(default_factory=ProtocolParams)
+
+    nbase: int = 10000          # NBASE
+    # Dataset file paths (reference hardcodes these relative to build/:
+    # src/server/server_lib.cpp:22-27, src/client/client_lib.cpp:12-14).
+    train_path: Optional[str] = None
+    base_path: Optional[str] = None
+    query_path: Optional[str] = None
+    groundtruth_path: Optional[str] = None
+
+    # Server address (reference: include/client/client_lib.h:7 hardcodes
+    # http://localhost:8080/).
+    host: str = "0.0.0.0"
+    port: int = 8080
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "PipelineConfig":
+        raw = json.loads(s)
+        return PipelineConfig(
+            index=IndexParams(**raw.pop("index")),
+            protocol=ProtocolParams(**raw.pop("protocol")),
+            **raw,
+        )
+
+
+# The reference operating point: SIFT-small / SIFT10K
+# (include/common/client_server_utils.h:8-20, dataset.sh:4-10).
+REFERENCE_PRESET = PipelineConfig()
+
+# The driver north-star operating point: SIFT1M IVF triage
+# (BASELINE.json configs[0]: nlist=1024, nprobe=16).
+SIFT1M_PRESET = PipelineConfig(
+    index=IndexParams(d=128, nlist=1024, pq_m=32, pq_nbits=8),
+    protocol=ProtocolParams(nprobe=16, coarse_probe=256, k=100, nquery=64),
+    nbase=1_000_000,
+)

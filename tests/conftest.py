@@ -1,0 +1,33 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
+exercised without TPU hardware (the driver separately dry-runs the multichip
+path). Must run before the first jax import in any test module.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def small_dataset():
+    """Small clustered dataset shared across integration tests."""
+    from prefhetch_tpu.data.synthetic import make_clustered_dataset
+
+    return make_clustered_dataset(
+        nbase=2000, ntrain=4000, nquery=20, d=32, n_clusters=40, gt_k=100, seed=7
+    )
