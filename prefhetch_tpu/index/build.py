@@ -1,0 +1,221 @@
+"""IVF(-PQ) index training + building.
+
+Replaces the reference's FAISS-fork ``train`` + ``add`` calls
+(reference: src/server/server_lib.cpp:71,80) and its index (de)serialization
+(``faiss::write_index``/``read_index``, src/server/server_lib.cpp:82,91):
+
+- coarse quantizer: k-means on TPU (ops/kmeans.py),
+- PQ codebooks: per-subspace k-means on residuals (FAISS IndexIVFPQ default
+  ``by_residual=true``), vmapped over the M subspaces,
+- ``add``: batched assignment matmul + host-side bucketing into the dense
+  padded inverted-list layout (index/types.py),
+- save/load: npz with a parameter-encoding filename
+  (parity with src/server/server_lib.cpp:38-42).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prefhetch_tpu.index.types import IVFIndex, pad_to_lane
+from prefhetch_tpu.ops.kmeans import train_kmeans, train_kmeans_batched
+from prefhetch_tpu.utils.config import IndexParams
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _assign_chunk(x: jax.Array, centroids: jax.Array) -> jax.Array:
+    """argmin_c ‖x−c‖² for a chunk of vectors — one MXU matmul."""
+    csq = jnp.sum(centroids * centroids, axis=-1)
+    cross = jax.lax.dot_general(
+        x, centroids,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.argmin(csq[None, :] - 2.0 * cross, axis=-1)
+
+
+def assign_to_lists(
+    x: np.ndarray, centroids: np.ndarray, chunk: int = 65536
+) -> np.ndarray:
+    """Coarse-quantizer assignment of all base vectors → list id [n]."""
+    out = np.empty(x.shape[0], np.int32)
+    cj = jnp.asarray(centroids, jnp.float32)
+    for s in range(0, x.shape[0], chunk):
+        out[s : s + chunk] = np.asarray(
+            _assign_chunk(jnp.asarray(x[s : s + chunk], jnp.float32), cj)
+        )
+    return out
+
+
+def train_pq_codebooks(
+    train: np.ndarray,            # [nt, d] training vectors
+    centroids: np.ndarray,        # [nlist, d] trained coarse quantizer
+    params: IndexParams,
+) -> np.ndarray:
+    """Train PQ codebooks [M, ksub, dsub].
+
+    FAISS IndexIVFPQ trains the PQ on *residuals* r = x − centroid(x)
+    (by_residual default). Each of the M subspaces is an independent k-means
+    problem, run vmapped on device.
+    """
+    M, dsub, ksub = params.pq_m, params.dsub, params.ksub
+    xt = np.asarray(train, np.float32)
+    if params.by_residual:
+        assign = assign_to_lists(xt, centroids)
+        xt = xt - centroids[assign]
+    sub = xt.reshape(xt.shape[0], M, dsub).transpose(1, 0, 2)  # [M, nt, dsub]
+    return train_kmeans_batched(
+        sub, k=ksub, iters=params.pq_kmeans_iters, seed=params.seed
+    ).astype(np.float32)
+
+
+@jax.jit
+def _encode_chunk(res: jax.Array, codebooks: jax.Array) -> jax.Array:
+    """PQ-encode residual chunk [c, M, dsub] against codebooks [M, ksub, dsub]
+    → codes [c, M] int32 (argmin codeword per subspace)."""
+    # d2[c, M, ksub] = ‖r − cb‖² ; xsq term argmin-invariant
+    cbsq = jnp.sum(codebooks * codebooks, axis=-1)          # [M, ksub]
+    cross = jnp.einsum(
+        "cmd,mkd->cmk", res, codebooks, preferred_element_type=jnp.float32
+    )
+    return jnp.argmin(cbsq[None] - 2.0 * cross, axis=-1).astype(jnp.int32)
+
+
+def encode_pq(
+    x: np.ndarray,
+    assign: np.ndarray,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    params: IndexParams,
+    chunk: int = 65536,
+) -> np.ndarray:
+    """PQ-encode all vectors → codes [n, M] uint8."""
+    n = x.shape[0]
+    M = params.pq_m
+    codes = np.empty((n, M), np.uint8)
+    cb = jnp.asarray(codebooks)
+    for s in range(0, n, chunk):
+        xs = np.asarray(x[s : s + chunk], np.float32)
+        if params.by_residual:
+            xs = xs - centroids[assign[s : s + chunk]]
+        res = jnp.asarray(xs.reshape(xs.shape[0], M, params.dsub))
+        codes[s : s + chunk] = np.asarray(_encode_chunk(res, cb)).astype(np.uint8)
+    return codes
+
+
+def build_ivf_index(
+    train: np.ndarray,
+    base: np.ndarray,
+    params: IndexParams,
+) -> IVFIndex:
+    """Full index build: train coarse quantizer (+PQ), add all base vectors.
+
+    The reference equivalent is Server::init_index's cold path
+    (src/server/server_lib.cpp:55-84).
+    """
+    base = np.asarray(base, np.float32)
+    if base.shape[1] != params.d:
+        raise ValueError(
+            "dataset does not have same dimension as configured d"
+        )
+    centroids = train_kmeans(
+        np.asarray(train, np.float32),
+        k=params.nlist,
+        iters=params.kmeans_iters,
+        seed=params.seed,
+    )
+    assign = assign_to_lists(base, centroids)
+
+    codebooks = codes = None
+    if params.uses_pq:
+        codebooks = train_pq_codebooks(train, centroids, params)
+        codes = encode_pq(base, assign, centroids, codebooks, params)
+
+    # Bucket into dense padded lists (host side, one pass).
+    nlist = params.nlist
+    order = np.argsort(assign, kind="stable")     # stable: preserves add order
+    sorted_assign = assign[order]
+    sizes = np.bincount(assign, minlength=nlist).astype(np.int32)
+    lmax = pad_to_lane(int(sizes.max()) if sizes.size else 1)
+    offsets = np.zeros(nlist + 1, np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+
+    list_ids = np.full((nlist, lmax), -1, np.int32)
+    rank_in_list = np.arange(base.shape[0]) - offsets[sorted_assign]
+    list_ids[sorted_assign, rank_in_list] = order.astype(np.int32)
+
+    kwargs = {}
+    if params.uses_pq:
+        list_codes = np.zeros((nlist, lmax, params.pq_m), np.uint8)
+        list_codes[sorted_assign, rank_in_list] = codes[order]
+        kwargs["list_codes"] = jnp.asarray(list_codes.astype(np.int32))
+        kwargs["codebooks"] = jnp.asarray(codebooks)
+    else:
+        list_vectors = np.zeros((nlist, lmax, params.d), np.float32)
+        list_vectors[sorted_assign, rank_in_list] = base[order]
+        kwargs["list_vectors"] = jnp.asarray(list_vectors)
+
+    return IVFIndex(
+        centroids=jnp.asarray(centroids, jnp.float32),
+        list_ids=jnp.asarray(list_ids),
+        list_sizes=jnp.asarray(sizes),
+        params=params,
+        **kwargs,
+    )
+
+
+def save_index(index: IVFIndex, directory: str) -> str:
+    """Serialize to npz under a parameter-encoding filename.
+
+    Checkpoint parity with faiss::write_index to ``NBASE…_IVF…_PQ….faiss``
+    (reference: src/server/server_lib.cpp:38-42,82). PQ codes are stored
+    uint8 on disk (index-memory parity with FAISS's 8-bit codes).
+    """
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, index.params.artifact_name())
+    arrays = {
+        "centroids": np.asarray(index.centroids),
+        "list_ids": np.asarray(index.list_ids),
+        "list_sizes": np.asarray(index.list_sizes),
+    }
+    if index.uses_pq:
+        arrays["list_codes"] = np.asarray(index.list_codes).astype(np.uint8)
+        arrays["codebooks"] = np.asarray(index.codebooks)
+    else:
+        arrays["list_vectors"] = np.asarray(index.list_vectors)
+    import dataclasses
+    import json
+
+    arrays["params_json"] = np.frombuffer(
+        json.dumps(dataclasses.asdict(index.params)).encode(), dtype=np.uint8
+    )
+    np.savez(path, **arrays)
+    return path
+
+
+def load_index(path: str) -> IVFIndex:
+    """Deserialize an index saved by save_index (warm-start path parity with
+    faiss::read_index + downcast, reference: src/server/server_lib.cpp:85-98)."""
+    import json
+
+    with np.load(path) as z:
+        params = IndexParams(**json.loads(bytes(z["params_json"]).decode()))
+        kwargs = {}
+        if "list_codes" in z:
+            kwargs["list_codes"] = jnp.asarray(z["list_codes"].astype(np.int32))
+            kwargs["codebooks"] = jnp.asarray(z["codebooks"])
+        else:
+            kwargs["list_vectors"] = jnp.asarray(z["list_vectors"])
+        return IVFIndex(
+            centroids=jnp.asarray(z["centroids"]),
+            list_ids=jnp.asarray(z["list_ids"]),
+            list_sizes=jnp.asarray(z["list_sizes"]),
+            params=params,
+            **kwargs,
+        )

@@ -1,0 +1,80 @@
+"""IVF(-PQ) index storage layout — TPU-native.
+
+The reference's FAISS fork stores inverted lists as ragged CPU arrays inside
+faiss::IndexIVFPQ (built by ``add``, reference: src/server/server_lib.cpp:80).
+XLA needs static shapes, so here inverted lists live as dense, padded device
+arrays:
+
+- ``list_ids   [nlist, lmax] int32``  — global vector ids, -1 padding
+- ``list_sizes [nlist] int32``        — true (unpadded) list lengths
+- one of:
+  - ``list_vectors [nlist, lmax, d] float32``       (IVF-Flat)
+  - ``list_codes   [nlist, lmax, M] int32``         (IVF-PQ, uint8 codes
+    widened to int32 — TPU gathers/compares prefer 32-bit lanes; HBM-resident
+    serialized form stays uint8 for index-memory parity)
+
+``lmax`` is the max list length padded up to a multiple of 128 so the
+candidate-scan kernels tile cleanly onto 8×128 VPU lanes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prefhetch_tpu.utils.config import IndexParams
+
+LANE = 128
+
+
+def pad_to_lane(n: int) -> int:
+    return max(LANE, -(-n // LANE) * LANE)
+
+
+@flax.struct.dataclass
+class IVFIndex:
+    """Dense padded IVF(-PQ) index; a JAX pytree, shardable with pjit."""
+
+    centroids: jax.Array            # [nlist, d] f32 — coarse quantizer
+    list_ids: jax.Array             # [nlist, lmax] i32, -1 pad
+    list_sizes: jax.Array           # [nlist] i32
+    # IVF-Flat payload (None when PQ is used)
+    list_vectors: Optional[jax.Array] = None   # [nlist, lmax, d] f32
+    # IVF-PQ payload
+    list_codes: Optional[jax.Array] = None     # [nlist, lmax, M] i32
+    codebooks: Optional[jax.Array] = None      # [M, ksub, dsub] f32
+    params: IndexParams = flax.struct.field(
+        pytree_node=False, default_factory=IndexParams
+    )
+
+    @property
+    def nlist(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def lmax(self) -> int:
+        return self.list_ids.shape[1]
+
+    @property
+    def d(self) -> int:
+        return self.centroids.shape[1]
+
+    @property
+    def uses_pq(self) -> bool:
+        return self.list_codes is not None
+
+    @property
+    def ntotal(self) -> int:
+        return int(np.asarray(jnp.sum(self.list_sizes)))
+
+    def reconstruct_centroids(self) -> np.ndarray:
+        """Centroid export for the client (privacy step 1).
+
+        Equivalent of the reference's per-centroid ``quantizer->reconstruct``
+        loop (src/server/server_lib.cpp:101-109).
+        """
+        return np.asarray(self.centroids)
