@@ -1,0 +1,231 @@
+"""Client pipeline library — all nine stages of the triage protocol.
+
+Rebuild of the reference client library (reference:
+include/client/client_lib.h:15-72, src/client/client_lib.cpp), preserving
+the privacy decomposition: ranking/top-k selection always happens HERE, on
+the client; the server only ever computes distances for candidate sets the
+client names.
+
+Stages (reference call order, src/client/client.cpp:7-80):
+ 1. get_query                      — load query vectors from fvecs
+ 2. get_centroids                  — GET /query
+ 3. sort_nearest_centroids         — local centroid ranking
+ 4. get_coarse_scores              — POST /coarsesearch
+ 5. compute_nearest_coarse_vectors — local ragged unpack + sort
+ 6. get_precise_scores             — POST /precisesearch
+ 7. compute_nearest_precise_vectors— local re-pair + sort
+ 8. get_precise_vectors_pir        — POST /precise-vector-pir
+ 9. benchmark_results              — recall/MRR scoring (prefhetch_tpu.metrics)
+
+Local stages are vectorized numpy (the client is the thin, non-TPU party);
+transport is stdlib urllib (the reference used cpr/libcurl blocking calls,
+src/client/client_lib.cpp:43,109,179,231).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import urllib.request
+from typing import List, Tuple
+
+import numpy as np
+
+from prefhetch_tpu.data.io import read_fvecs, read_ivecs
+from prefhetch_tpu.metrics import BenchmarkReport, benchmark_results
+from prefhetch_tpu.utils.config import PipelineConfig
+
+logger = logging.getLogger("prefhetch.client")
+
+
+@dataclasses.dataclass
+class DistanceIndexData:
+    """Parity with the reference's pair struct
+    (include/client/client_lib.h:9-12)."""
+
+    distance: float
+    idx: int
+
+
+class ClientPipeline:
+    """Drives the multi-round protocol against a server address."""
+
+    def __init__(self, config: PipelineConfig, server_addr: str | None = None):
+        self.config = config
+        # reference hardcodes http://localhost:8080/ (client_lib.h:7)
+        self.server_addr = (server_addr or f"http://localhost:{config.port}/").rstrip("/") + "/"
+
+    # -- transport ------------------------------------------------------
+    def _get(self, route: str):
+        with urllib.request.urlopen(self.server_addr + route, timeout=300) as r:
+            return json.loads(r.read())
+
+    def _post(self, route: str, payload: dict):
+        data = json.dumps(payload).encode()
+        req = urllib.request.Request(
+            self.server_addr + route,
+            data=data,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return json.loads(r.read())
+
+    # -- stage 1 ----------------------------------------------------------
+    def get_query(self) -> np.ndarray:
+        """Load the first nquery query vectors
+        (reference: client_lib.cpp:16-39)."""
+        xq = read_fvecs(self.config.query_path)
+        d = self.config.index.d
+        nq = self.config.protocol.nquery
+        if xq.shape[1] != d:
+            raise ValueError("query does not have same dimension as train set")
+        if xq.shape[0] < nq:
+            raise ValueError("NQUERY exceeds number of queries in dataset")
+        return xq[:nq].copy()
+
+    # -- stage 2 ----------------------------------------------------------
+    def get_centroids(self) -> np.ndarray:
+        """GET /query → [nlist, d] centroids (reference: client_lib.cpp:41-48)."""
+        return np.asarray(self._get("query"), np.float32)
+
+    # -- stage 3 ----------------------------------------------------------
+    def sort_nearest_centroids(
+        self, query: np.ndarray, centroids: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Rank ALL centroids per query by squared L2, ascending.
+
+        Returns (distances [nq, nlist], ids [nq, nlist]) fully sorted —
+        the reference sorts the full list (client_lib.cpp:50-81) and stage 4
+        takes the nprobe prefix.
+        """
+        d2 = (
+            (query[:, None, :].astype(np.float64) - centroids[None, :, :]) ** 2
+        ).sum(-1)
+        order = np.argsort(d2, axis=1, kind="stable")
+        return np.take_along_axis(d2, order, axis=1), order.astype(np.int64)
+
+    # -- stage 4 ----------------------------------------------------------
+    def get_coarse_scores(
+        self, sorted_centroid_ids: np.ndarray, query: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """POST /coarsesearch with the nprobe nearest centroid ids.
+
+        (reference: client_lib.cpp:83-120. The query still travels in
+        plaintext at this protocol revision — "Sending precise query
+        temporarily", client_lib.h:34-36; the encrypted path is the
+        crypto/ subsystem's /encryptedsearch extension.)
+        """
+        nprobe = self.config.protocol.nprobe
+        if sorted_centroid_ids.shape[1] < nprobe:
+            raise RuntimeError("Centroids count is not equal to NPROBE")
+        probes = sorted_centroid_ids[:, :nprobe]
+        resp = self._post(
+            "coarsesearch",
+            {
+                "preciseQuery": query.tolist(),
+                "nearestCentroidIndexes": probes.tolist(),
+            },
+        )
+        return (
+            np.asarray(resp["coarseDistanceScores"], np.float32),
+            np.asarray(resp["coarseVectorIndexes"], np.int64),
+            np.asarray(resp["listSizesPerQuery"], np.int64),
+        )
+
+    # -- stage 5 ----------------------------------------------------------
+    def compute_nearest_coarse_vectors(
+        self,
+        coarse_scores: np.ndarray,
+        coarse_idx: np.ndarray,
+        list_sizes: np.ndarray,
+    ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Unpack the ragged candidate stream and sort each query's
+        candidates ascending (reference: client_lib.cpp:122-156).
+
+        Returns per-query (sorted distances, sorted ids)."""
+        cp = self.config.protocol.coarse_probe
+        out = []
+        off = 0
+        for size in list_sizes:
+            size = int(size)
+            if size < cp:
+                raise RuntimeError(
+                    "Number of computed coarse scores is lesser than COARSE_PROBE"
+                )
+            d = coarse_scores[off : off + size]
+            i = coarse_idx[off : off + size]
+            order = np.argsort(d, kind="stable")
+            out.append((d[order], i[order]))
+            off += size
+        return out
+
+    # -- stage 6 ----------------------------------------------------------
+    def get_precise_scores(
+        self,
+        sorted_coarse: List[Tuple[np.ndarray, np.ndarray]],
+        query: np.ndarray,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """POST /precisesearch for the top-COARSE_PROBE candidate ids.
+
+        Returns (precise_scores [nq, cp], candidate ids [nq, cp])
+        (reference: client_lib.cpp:158-187)."""
+        cp = self.config.protocol.coarse_probe
+        cand = np.stack([ids[:cp] for _, ids in sorted_coarse])
+        resp = self._post(
+            "precisesearch",
+            {
+                "preciseQuery": query.tolist(),
+                "nearestCoarseVectorIndexes": cand.tolist(),
+            },
+        )
+        return np.asarray(resp["preciseDistanceScores"], np.float32), cand
+
+    # -- stage 7 ----------------------------------------------------------
+    def compute_nearest_precise_vectors(
+        self, precise_scores: np.ndarray, cand_ids: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Re-pair exact distances with ids and sort ascending
+        (reference: client_lib.cpp:189-208)."""
+        order = np.argsort(precise_scores, axis=1, kind="stable")
+        return (
+            np.take_along_axis(precise_scores, order, axis=1),
+            np.take_along_axis(cand_ids, order, axis=1),
+        )
+
+    # -- stage 8 ----------------------------------------------------------
+    def get_precise_vectors_pir(
+        self, sorted_precise_ids: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """POST /precise-vector-pir for the final top-K ids; returns
+        (vectors [nq, K, d], ids [nq, K])
+        (reference: client_lib.cpp:210-241)."""
+        k = self.config.protocol.k
+        if k > self.config.protocol.coarse_probe:
+            raise RuntimeError("K greater than COARSE_PROBE")
+        top_ids = sorted_precise_ids[:, :k]
+        resp = self._post(
+            "precise-vector-pir",
+            {"nearestPreciseVectorIndexes": top_ids.tolist()},
+        )
+        return np.asarray(resp["queryResults"], np.float32), top_ids
+
+    # -- stage 9 ----------------------------------------------------------
+    def benchmark_results(self, observed_idx: np.ndarray) -> BenchmarkReport:
+        """Score against ground truth (reference: client_lib.cpp:243-337)."""
+        gt = read_ivecs(self.config.groundtruth_path)
+        return benchmark_results(
+            observed_idx, gt, k=self.config.protocol.k
+        )
+
+    # -- full pipeline ------------------------------------------------------
+    def run(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Stages 1-8; returns (top-K vectors, top-K ids)."""
+        query = self.get_query()
+        centroids = self.get_centroids()
+        _, sorted_cent = self.sort_nearest_centroids(query, centroids)
+        cs, ci, sizes = self.get_coarse_scores(sorted_cent, query)
+        sorted_coarse = self.compute_nearest_coarse_vectors(cs, ci, sizes)
+        ps, cand = self.get_precise_scores(sorted_coarse, query)
+        _, sorted_ids = self.compute_nearest_precise_vectors(ps, cand)
+        return self.get_precise_vectors_pir(sorted_ids)

@@ -1,0 +1,166 @@
+"""Server-side query engine — the reference's ``Server`` class rebuilt.
+
+(reference: include/server/server_lib.h:12-50, src/server/server_lib.cpp)
+
+Responsibilities, 1:1 with the reference:
+
+- index lifecycle: cold build (train + add + save) vs warm load, keyed on a
+  parameter-encoding artifact file (init_index, server_lib.cpp:55-99),
+- raw base vectors kept resident for exact re-rank and retrieval
+  (m_DatasetBase, server_lib.cpp:76,89),
+- four compute services: retrieve_centroids / coarse_search /
+  precise_search / precise_vector_pir (server_lib.cpp:101-196).
+
+TPU-native differences: services are jitted JAX functions over a dense
+padded index (ops/scan.py), the engine is explicitly thread-safe for
+concurrent HTTP handlers (the reference shares a mutable singleton across
+Drogon threads with no locking — SURVEY.md §5.2), and the index can be
+sharded over a device mesh (parallel/).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import threading
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from prefhetch_tpu.data.io import read_fvecs
+from prefhetch_tpu.index.build import build_ivf_index, load_index, save_index
+from prefhetch_tpu.index.types import IVFIndex
+from prefhetch_tpu.ops.rerank import exact_rerank, fetch_vectors
+from prefhetch_tpu.ops.scan import coarse_scan_flat, coarse_scan_pq
+from prefhetch_tpu.utils.config import PipelineConfig
+
+logger = logging.getLogger("prefhetch.engine")
+
+
+class QueryEngine:
+    """Holds the trained index + raw base matrix; serves the 4 query services."""
+
+    _instance: Optional["QueryEngine"] = None
+    _instance_lock = threading.Lock()
+
+    def __init__(self, config: PipelineConfig, index_dir: str = "."):
+        self.config = config
+        self.index_dir = index_dir
+        self.index: Optional[IVFIndex] = None
+        self.base: Optional[jnp.ndarray] = None
+        self._lock = threading.Lock()
+
+    # Reference singleton accessor (include/server/server_lib.h:20-23).
+    @classmethod
+    def get_instance(
+        cls, config: Optional[PipelineConfig] = None, index_dir: str = "."
+    ) -> "QueryEngine":
+        with cls._instance_lock:
+            if cls._instance is None:
+                assert config is not None, "first get_instance needs a config"
+                cls._instance = cls(config, index_dir)
+            return cls._instance
+
+    # ------------------------------------------------------------------
+    def init_index(self) -> None:
+        """Cold build or warm load (reference: server_lib.cpp:55-99)."""
+        cfg = self.config
+        artifact = os.path.join(self.index_dir, cfg.index.artifact_name())
+
+        base = read_fvecs(cfg.base_path)
+        if base.shape[1] != cfg.index.d:
+            raise ValueError(
+                "dataset does not have same dimension as configured d"
+            )
+        self.base = jnp.asarray(base, jnp.float32)
+
+        if not os.path.exists(artifact):
+            logger.info("Loading train set")
+            train = read_fvecs(cfg.train_path)
+            if train.shape[1] != cfg.index.d:
+                # reference: "Incorrect dimensions for train set ..."
+                raise ValueError(
+                    "Incorrect dimensions for train set, not the same as "
+                    "PRECISE_VECTOR_DIMENSIONS"
+                )
+            logger.info("Training on %d vectors", train.shape[0])
+            self.index = build_ivf_index(train, base, cfg.index)
+            path = save_index(self.index, self.index_dir)
+            logger.info("Cached dataset to index file - %s", path)
+        else:
+            logger.info("Reading cached data from index file - %s", artifact)
+            self.index = load_index(artifact)
+            if self.index.params != cfg.index:
+                raise ValueError("Loaded index params do not match config")
+
+    def set_index(self, index: IVFIndex, base: np.ndarray) -> None:
+        """In-process injection (for tests / embedded use)."""
+        self.index = index
+        self.base = jnp.asarray(base, jnp.float32)
+
+    # -- service 1: GET /query -----------------------------------------
+    def retrieve_centroids(self) -> np.ndarray:
+        """Export all nlist centroids (reference: server_lib.cpp:101-109)."""
+        return self.index.reconstruct_centroids()
+
+    # -- service 2: POST /coarsesearch ----------------------------------
+    def coarse_search(
+        self,
+        precise_query: np.ndarray,        # [nq, d]
+        nearest_centroid_idx: np.ndarray,  # [nq, nprobe]
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """All-candidate coarse scan of the client-chosen inverted lists.
+
+        Returns the reference's ragged wire layout
+        (server_lib.cpp:111-138): candidates concatenated query-after-query
+        (probe order, storage order within a list), as
+        (coarse_distance_scores [Σsizes] f32,
+         coarse_vector_indexes [Σsizes] i64,
+         list_sizes_per_query [nq] i64).
+        """
+        idx = self.index
+        q = jnp.asarray(precise_query, jnp.float32)
+        p = jnp.asarray(nearest_centroid_idx, jnp.int32)
+        if idx.uses_pq:
+            res = coarse_scan_pq(
+                idx.centroids, idx.list_codes, idx.list_ids, idx.list_sizes,
+                idx.codebooks, q, p, by_residual=idx.params.by_residual,
+            )
+        else:
+            res = coarse_scan_flat(
+                idx.list_vectors, idx.list_ids, idx.list_sizes, q, p
+            )
+        # padded → ragged at the host/wire boundary
+        dist = np.asarray(res.distances)
+        ids = np.asarray(res.ids)
+        mask = np.asarray(res.mask)
+        counts = np.asarray(res.counts).astype(np.int64)
+        flat_mask = mask.reshape(-1)
+        scores = dist.reshape(-1)[flat_mask].astype(np.float32)
+        indexes = ids.reshape(-1)[flat_mask].astype(np.int64)
+        return scores, indexes, counts
+
+    # -- service 3: POST /precisesearch ----------------------------------
+    def precise_search(
+        self,
+        precise_query: np.ndarray,             # [nq, d]
+        nearest_coarse_vector_idx: np.ndarray,  # [nq, coarse_probe]
+    ) -> np.ndarray:
+        """Exact L2 of the named candidates (reference: server_lib.cpp:140-167)."""
+        return np.asarray(
+            exact_rerank(
+                self.base,
+                jnp.asarray(precise_query, jnp.float32),
+                jnp.asarray(nearest_coarse_vector_idx, jnp.int32),
+            )
+        )
+
+    # -- service 4: POST /precise-vector-pir ------------------------------
+    def precise_vector_pir(self, ids: np.ndarray) -> np.ndarray:
+        """Gather the K named vectors per query
+        (reference: server_lib.cpp:169-196 — a PIR placeholder: ids arrive
+        in cleartext at this protocol revision)."""
+        return np.asarray(
+            fetch_vectors(self.base, jnp.asarray(ids, jnp.int32))
+        )

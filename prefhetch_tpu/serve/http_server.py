@@ -1,0 +1,148 @@
+"""HTTP frontend — the reference's Drogon controller layer rebuilt.
+
+Exposes the exact four routes and JSON field names of the reference wire
+protocol (reference: src/server/controllers/Query.h:14-31, Query.cc:10-127;
+SURVEY.md §2.2):
+
+| route                 | method | request fields                                  | response fields |
+|-----------------------|--------|------------------------------------------------|-----------------|
+| /query                | GET    | —                                              | bare [nlist][d] float array |
+| /coarsesearch         | POST   | preciseQuery, nearestCentroidIndexes            | coarseDistanceScores, coarseVectorIndexes, listSizesPerQuery |
+| /precisesearch        | POST   | preciseQuery, nearestCoarseVectorIndexes        | preciseDistanceScores |
+| /precise-vector-pir   | POST   | nearestPreciseVectorIndexes                     | queryResults |
+
+Implementation: stdlib ThreadingHTTPServer (the TPU compute underneath is
+serialized per-service by jit anyway; a C++ epoll frontend is the planned
+native fast path). Unlike the reference — which parses request bodies
+unconditionally and never returns HTTP errors — malformed requests get 400s.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from prefhetch_tpu.engine.server import QueryEngine
+
+logger = logging.getLogger("prefhetch.serve")
+
+
+class _Handler(BaseHTTPRequestHandler):
+    engine: QueryEngine = None  # injected by make_server
+    protocol_version = "HTTP/1.1"
+
+    # quiet default request logging
+    def log_message(self, fmt, *args):  # noqa: N802
+        logger.debug(fmt, *args)
+
+    def _send_json(self, obj, status: int = 200) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _read_json(self):
+        length = int(self.headers.get("Content-Length", 0))
+        return json.loads(self.rfile.read(length))
+
+    def do_GET(self):  # noqa: N802
+        if self.path.rstrip("/") in ("", "/query".rstrip("/")) or self.path == "/query":
+            # GET /query → bare centroid array (reference: Query.cc:17-23)
+            centroids = self.engine.retrieve_centroids()
+            self._send_json(centroids.tolist())
+        elif self.path == "/healthz":
+            self._send_json({"status": "ok", "ntotal": self.engine.index.ntotal})
+        else:
+            self._send_json({"error": "not found"}, 404)
+
+    def do_POST(self):  # noqa: N802
+        try:
+            body = self._read_json()
+        except (ValueError, KeyError) as e:
+            self._send_json({"error": f"bad json: {e}"}, 400)
+            return
+        try:
+            if self.path == "/coarsesearch":
+                self._coarse_search(body)
+            elif self.path == "/precisesearch":
+                self._precise_search(body)
+            elif self.path == "/precise-vector-pir":
+                self._precise_vector_pir(body)
+            else:
+                self._send_json({"error": "not found"}, 404)
+        except (KeyError, TypeError, ValueError, IndexError) as e:
+            self._send_json({"error": str(e)}, 400)
+
+    # reference: Query.cc:29-63
+    def _coarse_search(self, body):
+        q = np.asarray(body["preciseQuery"], np.float32)
+        probes = np.asarray(body["nearestCentroidIndexes"], np.int64)
+        if q.ndim != 2 or probes.ndim != 2 or q.shape[0] != probes.shape[0]:
+            raise ValueError("preciseQuery/nearestCentroidIndexes shape mismatch")
+        nlist = self.engine.index.nlist
+        if probes.min() < 0 or probes.max() >= nlist:
+            raise ValueError("centroid index out of range")
+        scores, indexes, sizes = self.engine.coarse_search(q, probes)
+        self._send_json(
+            {
+                "coarseDistanceScores": scores.tolist(),
+                "coarseVectorIndexes": indexes.tolist(),
+                "listSizesPerQuery": sizes.tolist(),
+            }
+        )
+
+    # reference: Query.cc:65-97
+    def _precise_search(self, body):
+        q = np.asarray(body["preciseQuery"], np.float32)
+        cand = np.asarray(body["nearestCoarseVectorIndexes"], np.int64)
+        if q.ndim != 2 or cand.ndim != 2 or q.shape[0] != cand.shape[0]:
+            raise ValueError("preciseQuery/nearestCoarseVectorIndexes shape mismatch")
+        ntotal = self.engine.base.shape[0]
+        if cand.min() < 0 or cand.max() >= ntotal:
+            raise ValueError("vector index out of range")
+        scores = self.engine.precise_search(q, cand)
+        self._send_json({"preciseDistanceScores": scores.tolist()})
+
+    # reference: Query.cc:99-127
+    def _precise_vector_pir(self, body):
+        ids = np.asarray(body["nearestPreciseVectorIndexes"], np.int64)
+        if ids.ndim != 2:
+            raise ValueError("nearestPreciseVectorIndexes must be 2-D")
+        ntotal = self.engine.base.shape[0]
+        if ids.min() < 0 or ids.max() >= ntotal:
+            raise ValueError("vector index out of range")
+        vecs = self.engine.precise_vector_pir(ids)
+        self._send_json({"queryResults": vecs.tolist()})
+
+
+def make_server(
+    engine: QueryEngine, host: str = "0.0.0.0", port: int = 8080
+) -> ThreadingHTTPServer:
+    handler = type("BoundHandler", (_Handler,), {"engine": engine})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve_forever(
+    engine: QueryEngine,
+    host: str = "0.0.0.0",
+    port: int = 8080,
+    background: bool = False,
+) -> Optional[ThreadingHTTPServer]:
+    """Run the web server (reference: Server::run_webserver,
+    src/server/server_lib.cpp:48-53). background=True returns the server
+    with a daemon thread (for tests)."""
+    srv = make_server(engine, host, port)
+    logger.info("Server listening on %s:%d", host, port)
+    if background:
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        return srv
+    srv.serve_forever()
+    return None

@@ -1,0 +1,63 @@
+"""Server entrypoint — the reference's ``PreFHEtch_server`` main
+(reference: src/server/server.cpp:6-13): init logger → build engine →
+train/load index → run web server. Configuration is runtime (JSON file /
+flags) instead of compile-time constants.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from prefhetch_tpu.engine.server import QueryEngine
+from prefhetch_tpu.serve.http_server import serve_forever
+from prefhetch_tpu.utils.config import PipelineConfig, REFERENCE_PRESET
+from prefhetch_tpu.utils.logging import init_logger
+
+
+def build_config(args) -> PipelineConfig:
+    if args.config:
+        with open(args.config) as f:
+            cfg = PipelineConfig.from_json(f.read())
+    else:
+        cfg = REFERENCE_PRESET
+    if args.dataset_dir:
+        prefix = args.dataset_prefix
+        cfg = PipelineConfig(
+            index=cfg.index,
+            protocol=cfg.protocol,
+            nbase=cfg.nbase,
+            train_path=os.path.join(args.dataset_dir, f"{prefix}_learn.fvecs"),
+            base_path=os.path.join(args.dataset_dir, f"{prefix}_base.fvecs"),
+            query_path=os.path.join(args.dataset_dir, f"{prefix}_query.fvecs"),
+            groundtruth_path=os.path.join(
+                args.dataset_dir, f"{prefix}_groundtruth.ivecs"
+            ),
+            host=cfg.host,
+            port=args.port or cfg.port,
+        )
+    return cfg
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="prefhetch_tpu server")
+    parser.add_argument("--config", help="PipelineConfig JSON file")
+    parser.add_argument("--dataset-dir", help="directory with fvecs/ivecs files")
+    parser.add_argument("--dataset-prefix", default="siftsmall")
+    parser.add_argument("--index-dir", default=".", help="index artifact cache dir")
+    parser.add_argument("--port", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    init_logger("prefhetch")  # parent logger: engine/serve children propagate
+    logger = init_logger("prefhetch.server")
+    cfg = build_config(args)
+    logger.info(
+        "Preparing index with precise dimension d=%d", cfg.index.d
+    )
+    engine = QueryEngine.get_instance(cfg, index_dir=args.index_dir)
+    engine.init_index()
+    serve_forever(engine, cfg.host, args.port or cfg.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -14,10 +14,11 @@ _FORMAT = "[%(asctime)s] [%(levelname)s] [%(name)s] %(message)s"
 
 
 def init_logger(name: str = "prefhetch", level: int = logging.INFO) -> logging.Logger:
-    logger = logging.getLogger(name)
-    if not logger.handlers:
+    """Configure the shared 'prefhetch' root once; children propagate to it."""
+    root = logging.getLogger("prefhetch")
+    if not root.handlers:
         handler = logging.StreamHandler(sys.stderr)
         handler.setFormatter(logging.Formatter(_FORMAT, datefmt="%Y-%m-%d %H:%M:%S"))
-        logger.addHandler(handler)
-    logger.setLevel(level)
-    return logger
+        root.addHandler(handler)
+    root.setLevel(level)
+    return logging.getLogger(name)
