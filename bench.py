@@ -1,0 +1,203 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end query-pipeline throughput on the TPU engine.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: the full triage query step (client centroid ranking → all-candidate
+ADC coarse scan over nprobe lists → top-COARSE_PROBE select → exact re-rank →
+top-K) on a synthetic SIFT-style dataset, batched queries, measured on
+whatever jax backend is active (the driver runs this on one real TPU chip).
+
+Baseline: the same pipeline in single-threaded numpy — a faithful stand-in
+for the reference's CPU compute (the reference publishes no numbers and its
+scalar std::pow loops are *slower* than numpy's vectorized BLAS path, so this
+baseline is conservative). vs_baseline = tpu_qps / numpy_qps.
+
+The index build is cached in ./bench_cache between runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# operating point (SIFT-mid scale; keeps cold bench < ~3 min)
+NBASE = 100_000
+NTRAIN = 50_000
+D = 128
+NLIST = 512
+PQ_M = 32
+NPROBE = 16
+COARSE_PROBE = 256
+K = 100
+BATCH = 64
+N_BATCHES = 20
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_cache")
+
+
+def get_dataset():
+    os.makedirs(CACHE, exist_ok=True)
+    npz = os.path.join(CACHE, f"ds_{NBASE}_{D}.npz")
+    if os.path.exists(npz):
+        with np.load(npz) as z:
+            return {k: z[k] for k in z.files}
+    from prefhetch_tpu.data.synthetic import make_clustered_dataset
+
+    data = make_clustered_dataset(
+        nbase=NBASE, ntrain=NTRAIN, nquery=BATCH, d=D,
+        n_clusters=600, gt_k=100, seed=20,
+    )
+    np.savez(npz, **data)
+    return data
+
+
+def get_index(data):
+    from prefhetch_tpu.index.build import build_ivf_index, load_index, save_index
+    from prefhetch_tpu.utils.config import IndexParams
+
+    params = IndexParams(d=D, nlist=NLIST, pq_m=PQ_M, pq_nbits=8)
+    path = os.path.join(CACHE, params.artifact_name())
+    if os.path.exists(path):
+        return load_index(path)
+    idx = build_ivf_index(data["train"], data["base"], params)
+    save_index(idx, CACHE)
+    return idx
+
+
+def tpu_pipeline(index, base_j, queries_j):
+    """Multi-dispatch full query step; returns (top-K distances, ids).
+
+    Three device programs (scan | top-k | gather+rerank): XLA's fast TPU
+    top-k only pattern-matches a bare top_k program — fusing the scan, a
+    select, or a gather into it falls back to a ~100× slower sort (see
+    ops/topk.py). Dispatch overhead is negligible next to that.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from prefhetch_tpu.ops.distances import rank_centroids
+    from prefhetch_tpu.ops.rerank import exact_rerank
+    from prefhetch_tpu.ops.scan import coarse_scan_flat
+    from prefhetch_tpu.ops.topk import topk_select
+
+    @jax.jit
+    def prog_scan(centroids, list_recon, list_ids, list_sizes, q):
+        _, probe = rank_centroids(q, centroids, NPROBE)
+        # dense MXU ADC: ‖q − z‖² over bf16 PQ reconstructions (see
+        # IVFIndex.list_recon) — no per-code LUT gathers
+        res = coarse_scan_flat(list_recon, list_ids, list_sizes, q, probe)
+        return res.distances, res.ids
+
+    @jax.jit
+    def prog_tail(ids, pos, base, q):
+        cand = jnp.take_along_axis(ids, pos, axis=1)
+        pd = exact_rerank(base, q, cand)
+        neg, order = jax.lax.top_k(-pd, K)
+        return -neg, jnp.take_along_axis(cand, order, axis=1)
+
+    def step(centroids, list_recon, list_ids, list_sizes, base, q):
+        dist, ids = prog_scan(centroids, list_recon, list_ids, list_sizes, q)
+        _, pos = topk_select(dist, COARSE_PROBE)
+        return prog_tail(ids, pos, base, q)
+
+    args = (index.centroids, index.list_recon, index.list_ids,
+            index.list_sizes, base_j, queries_j)
+    return step, args
+
+
+def numpy_pipeline(index, base, queries):
+    """Single-thread numpy baseline of the identical pipeline."""
+    centroids = np.asarray(index.centroids)
+    list_codes = np.asarray(index.list_codes)
+    list_ids = np.asarray(index.list_ids)
+    list_sizes = np.asarray(index.list_sizes)
+    codebooks = np.asarray(index.codebooks)
+    M, ksub, dsub = codebooks.shape
+    lmax = list_ids.shape[1]
+
+    def run(q_batch):
+        out_ids = []
+        for q in q_batch:
+            d2c = ((centroids - q) ** 2).sum(-1)
+            probes = np.argsort(d2c)[:NPROBE]
+            dists, ids = [], []
+            for p in probes:
+                r = q - centroids[p]
+                rs = r.reshape(M, dsub)
+                lut = ((rs[:, None, :] - codebooks) ** 2).sum(-1)  # [M, ksub]
+                n = list_sizes[p]
+                codes = list_codes[p, :n]                          # [n, M]
+                d = lut[np.arange(M)[None, :], codes].sum(-1)
+                dists.append(d)
+                ids.append(list_ids[p, :n])
+            dists = np.concatenate(dists)
+            ids = np.concatenate(ids)
+            top = np.argsort(dists)[:COARSE_PROBE]
+            cand = ids[top]
+            pd = ((base[cand] - q) ** 2).sum(-1)
+            out_ids.append(cand[np.argsort(pd)[:K]])
+        return np.stack(out_ids)
+
+    return run
+
+
+def main():
+    data = get_dataset()
+    index = get_index(data)
+
+    import jax
+    import jax.numpy as jnp
+
+    base_j = jnp.asarray(data["base"], jnp.float32)
+    queries = data["query"][:BATCH].astype(np.float32)
+    q_j = jnp.asarray(queries)
+
+    step, args = tpu_pipeline(index, base_j, q_j)
+    # warmup / compile
+    d, ids = step(*args)
+    ids.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(N_BATCHES):
+        d, ids = step(*args)
+    ids.block_until_ready()
+    dt = time.perf_counter() - t0
+    tpu_qps = BATCH * N_BATCHES / dt
+
+    # recall sanity on the bench workload
+    from prefhetch_tpu.metrics import benchmark_results
+
+    rep = benchmark_results(np.asarray(ids), data["groundtruth"][:BATCH], k=K)
+
+    # numpy baseline on a smaller slice, extrapolated per-query
+    run_np = numpy_pipeline(index, data["base"], queries)
+    nq_base = 8
+    t0 = time.perf_counter()
+    base_ids = run_np(queries[:nq_base])
+    dt_np = time.perf_counter() - t0
+    np_qps = nq_base / dt_np
+
+    result = {
+        "metric": "ivfpq_query_pipeline_qps",
+        "value": round(tpu_qps, 2),
+        "unit": "queries/sec",
+        "vs_baseline": round(tpu_qps / np_qps, 2),
+        "extra": {
+            "numpy_baseline_qps": round(np_qps, 2),
+            "recall_at_10": round(rep.recall_10, 4),
+            "recall_at_100": round(rep.recall_100, 4),
+            "nbase": NBASE,
+            "batch": BATCH,
+            "backend": jax.devices()[0].platform,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

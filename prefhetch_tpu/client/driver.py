@@ -43,8 +43,12 @@ def main(argv=None) -> None:
         cs, ci, sizes = client.get_coarse_scores(sorted_cent, query)
     with stages.stage("5:compute_nearest_coarse_vectors"):
         sorted_coarse = client.compute_nearest_coarse_vectors(cs, ci, sizes)
-    with stages.stage("6:get_precise_scores"):
-        ps, cand = client.get_precise_scores(sorted_coarse, query)
+    if cfg.protocol.encrypted_rerank:
+        with stages.stage("6:get_encrypted_precise_scores"):
+            ps, cand = client.get_encrypted_precise_scores(sorted_coarse, query)
+    else:
+        with stages.stage("6:get_precise_scores"):
+            ps, cand = client.get_precise_scores(sorted_coarse, query)
     with stages.stage("7:compute_nearest_precise_vectors"):
         _, sorted_ids = client.compute_nearest_precise_vectors(ps, cand)
 

@@ -181,6 +181,54 @@ class ClientPipeline:
         )
         return np.asarray(resp["preciseDistanceScores"], np.float32), cand
 
+    # -- stage 6 (encrypted variant) ---------------------------------------
+    def get_encrypted_precise_scores(
+        self,
+        sorted_coarse: List[Tuple[np.ndarray, np.ndarray]],
+        query: np.ndarray,
+        he_client=None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """POST /encryptedsearch: the query travels ONLY as a BFV ciphertext;
+        the server returns Enc(⟨q,x⟩) MACs + plaintext candidate norms, and
+        the exact distances are assembled locally after decryption.
+
+        This is the realized form of the reference's reserved
+        compute_encrypted_precise_query (include/client/client_lib.h:28-30).
+        """
+        from prefhetch_tpu.client.he import HEClient
+
+        if he_client is None:
+            he_client = self._he_client()
+        cp = self.config.protocol.coarse_probe
+        cand = np.stack([ids[:cp] for _, ids in sorted_coarse])
+        resp = self._post(
+            "encryptedsearch",
+            {
+                "encryptedPreciseQuery": [
+                    he_client.encrypt_query(q) for q in query
+                ],
+                "nearestCoarseVectorIndexes": cand.tolist(),
+            },
+        )
+        scores = np.stack(
+            [
+                he_client.decrypt_scores(
+                    resp["encryptedScores"][i],
+                    np.asarray(resp["candidateNorms"][i], np.int64),
+                    query[i],
+                )
+                for i in range(query.shape[0])
+            ]
+        )
+        return scores, cand
+
+    def _he_client(self):
+        from prefhetch_tpu.client.he import HEClient
+
+        if not hasattr(self, "_he"):
+            self._he = HEClient(self.config.he)
+        return self._he
+
     # -- stage 7 ----------------------------------------------------------
     def compute_nearest_precise_vectors(
         self, precise_scores: np.ndarray, cand_ids: np.ndarray
@@ -226,6 +274,9 @@ class ClientPipeline:
         _, sorted_cent = self.sort_nearest_centroids(query, centroids)
         cs, ci, sizes = self.get_coarse_scores(sorted_cent, query)
         sorted_coarse = self.compute_nearest_coarse_vectors(cs, ci, sizes)
-        ps, cand = self.get_precise_scores(sorted_coarse, query)
+        if self.config.protocol.encrypted_rerank:
+            ps, cand = self.get_encrypted_precise_scores(sorted_coarse, query)
+        else:
+            ps, cand = self.get_precise_scores(sorted_coarse, query)
         _, sorted_ids = self.compute_nearest_precise_vectors(ps, cand)
         return self.get_precise_vectors_pir(sorted_ids)

@@ -122,7 +122,12 @@ class QueryEngine:
         idx = self.index
         q = jnp.asarray(precise_query, jnp.float32)
         p = jnp.asarray(nearest_centroid_idx, jnp.int32)
-        if idx.uses_pq:
+        if idx.uses_pq and idx.list_recon is not None:
+            # MXU fast path: dense scan over PQ reconstructions (ADC-equal)
+            res = coarse_scan_flat(
+                idx.list_recon, idx.list_ids, idx.list_sizes, q, p
+            )
+        elif idx.uses_pq:
             res = coarse_scan_pq(
                 idx.centroids, idx.list_codes, idx.list_ids, idx.list_sizes,
                 idx.codebooks, q, p, by_residual=idx.params.by_residual,
@@ -155,6 +160,44 @@ class QueryEngine:
                 jnp.asarray(nearest_coarse_vector_idx, jnp.int32),
             )
         )
+
+    # -- service 3b: POST /encryptedsearch --------------------------------
+    @property
+    def he_service(self):
+        """Lazily-built homomorphic compute service (no keys held)."""
+        if not hasattr(self, "_he_service"):
+            from prefhetch_tpu.crypto.params import bfv_params_for
+            from prefhetch_tpu.engine.hecompute import HEComputeService
+
+            he = self.config.he
+            self._he_service = HEComputeService(
+                bfv_params_for(he.n, he.t_bits, he.n_limbs)
+            )
+        return self._he_service
+
+    def encrypted_precise_search(
+        self,
+        encrypted_queries: list,                 # [nq] ct wire dicts
+        nearest_coarse_vector_idx: np.ndarray,   # [nq, P]
+    ):
+        """Encrypted re-rank: Enc(⟨q,x⟩) MACs for the named candidates.
+
+        The plaintext-query precise_search counterpart
+        (reference: src/server/server_lib.cpp:140-167), upgraded to the
+        encrypted path the reference reserved
+        (include/client/client_lib.h:28-36). Returns per query
+        (result ct wires per block, candidate norms)."""
+        from prefhetch_tpu.crypto.bfv import Ciphertext
+
+        base = np.asarray(self.base)
+        out_cts, out_norms = [], []
+        for i, ct_wire in enumerate(encrypted_queries):
+            ct = Ciphertext.from_wire(ct_wire)
+            cands = base[np.asarray(nearest_coarse_vector_idx[i], np.int64)]
+            cts, norms = self.he_service.encrypted_scores(ct, cands)
+            out_cts.append([c.to_wire() for c in cts])
+            out_norms.append(norms.tolist())
+        return out_cts, out_norms
 
     # -- service 4: POST /precise-vector-pir ------------------------------
     def precise_vector_pir(self, ids: np.ndarray) -> np.ndarray:

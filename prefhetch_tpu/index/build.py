@@ -156,6 +156,15 @@ def build_ivf_index(
         list_codes[sorted_assign, rank_in_list] = codes[order]
         kwargs["list_codes"] = jnp.asarray(list_codes.astype(np.int32))
         kwargs["codebooks"] = jnp.asarray(codebooks)
+        # MXU fast path: precompute z = centroid + decode(code) per stored
+        # vector so the ADC scan is a dense matmul (see IVFIndex.list_recon).
+        decoded = codebooks[
+            np.arange(params.pq_m)[None, :], codes
+        ].reshape(base.shape[0], params.d)                  # [n, d]
+        recon = decoded + (centroids[assign] if params.by_residual else 0.0)
+        list_recon = np.zeros((nlist, lmax, params.d), np.float32)
+        list_recon[sorted_assign, rank_in_list] = recon[order]
+        kwargs["list_recon"] = jnp.asarray(list_recon, jnp.bfloat16)
     else:
         list_vectors = np.zeros((nlist, lmax, params.d), np.float32)
         list_vectors[sorted_assign, rank_in_list] = base[order]
@@ -187,6 +196,11 @@ def save_index(index: IVFIndex, directory: str) -> str:
     if index.uses_pq:
         arrays["list_codes"] = np.asarray(index.list_codes).astype(np.uint8)
         arrays["codebooks"] = np.asarray(index.codebooks)
+        if index.list_recon is not None:
+            # bf16 stored as raw uint16 bit pattern (npz has no bf16 dtype)
+            arrays["list_recon_bf16"] = np.asarray(
+                index.list_recon
+            ).view(np.uint16)
     else:
         arrays["list_vectors"] = np.asarray(index.list_vectors)
     import dataclasses
@@ -210,6 +224,12 @@ def load_index(path: str) -> IVFIndex:
         if "list_codes" in z:
             kwargs["list_codes"] = jnp.asarray(z["list_codes"].astype(np.int32))
             kwargs["codebooks"] = jnp.asarray(z["codebooks"])
+            if "list_recon_bf16" in z:
+                import ml_dtypes
+
+                kwargs["list_recon"] = jnp.asarray(
+                    z["list_recon_bf16"].view(ml_dtypes.bfloat16)
+                )
         else:
             kwargs["list_vectors"] = jnp.asarray(z["list_vectors"])
         return IVFIndex(

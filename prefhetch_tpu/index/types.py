@@ -47,6 +47,13 @@ class IVFIndex:
     # IVF-PQ payload
     list_codes: Optional[jax.Array] = None     # [nlist, lmax, M] i32
     codebooks: Optional[jax.Array] = None      # [M, ksub, dsub] f32
+    # MXU fast path: PQ-reconstructed vectors z = centroid + decode(code),
+    # bf16. The ADC distance ‖r − decode(code)‖² equals ‖q − z‖² exactly, so
+    # the candidate scan becomes a dense matmul over z instead of 2·M·lmax
+    # element-gathers per query — gathers are the slowest primitive on TPU,
+    # matmuls the fastest. Costs 2·d bytes/vector of extra HBM (documented
+    # trade; the LUT path remains for memory-tight deployments).
+    list_recon: Optional[jax.Array] = None     # [nlist, lmax, d] bf16
     params: IndexParams = flax.struct.field(
         pytree_node=False, default_factory=IndexParams
     )

@@ -21,7 +21,7 @@ from prefhetch_tpu.index.types import IVFIndex
 from prefhetch_tpu.ops.distances import rank_centroids
 from prefhetch_tpu.ops.rerank import exact_rerank
 from prefhetch_tpu.ops.scan import ScanResult, coarse_scan_flat, coarse_scan_pq
-from prefhetch_tpu.ops.topk import masked_topk_smallest
+from prefhetch_tpu.ops.topk import topk_select
 from prefhetch_tpu.utils.config import IndexParams
 
 
@@ -82,7 +82,9 @@ class _IVFBase:
         _, probe = rank_centroids(q, idx.centroids, self.nprobe)
         res = self.coarse_scan(q, probe)
         kk = k if coarse_probe is None else coarse_probe
-        d, pos = masked_topk_smallest(res.distances, res.mask, kk)
+        # separate dispatch: scan distances are pre-padded, so topk_select
+        # stays on XLA's fast top-k path (see ops/topk.py contract)
+        d, pos = topk_select(res.distances, kk)
         ids = np.take_along_axis(
             np.asarray(res.ids), np.asarray(pos), axis=1
         )
@@ -124,6 +126,15 @@ class IVFPQ(_IVFBase):
 
     def coarse_scan(self, queries, probe_ids) -> ScanResult:
         idx = self.index
+        if idx.list_recon is not None:
+            # MXU fast path: ADC distance computed as ‖q − z‖² over the
+            # precomputed reconstructions (equal values up to bf16 rounding;
+            # a dense matmul instead of per-code LUT gathers)
+            return coarse_scan_flat(
+                idx.list_recon, idx.list_ids, idx.list_sizes,
+                jnp.asarray(queries, jnp.float32),
+                jnp.asarray(probe_ids, jnp.int32),
+            )
         return coarse_scan_pq(
             idx.centroids,
             idx.list_codes,

@@ -30,23 +30,31 @@ import jax.numpy as jnp
 
 
 class ScanResult(NamedTuple):
-    distances: jax.Array   # [nq, nprobe*lmax] f32 — padded coarse distances
+    distances: jax.Array   # [nq, nprobe*lmax] f32 — coarse distances;
+    #                        invalid (padding) lanes hold PAD_DISTANCE so a
+    #                        downstream top-k needs NO masking. (XLA's fast
+    #                        PartialReduce top-k only pattern-matches a bare
+    #                        top_k program — fusing a select into it falls
+    #                        back to a ~100× slower sort, so the padding is
+    #                        folded into the scan output here.)
     ids: jax.Array         # [nq, nprobe*lmax] i32 — global vector ids, -1 pad
     mask: jax.Array        # [nq, nprobe*lmax] bool — True = real candidate
     counts: jax.Array      # [nq] i32 — Σ probed list sizes (listSizesPerQuery)
 
 
+from prefhetch_tpu.ops.topk import PAD_DISTANCE
+
+
 def _finalize(per_probe_d, per_probe_i, per_probe_m):
-    """Stack per-probe results [nprobe][nq, lmax] → [nq, nprobe*lmax]."""
+    """Stack per-probe results [nprobe][nq, lmax] → [nq, nprobe*lmax].
+    Padding with PAD_DISTANCE happens inside the probe step (see callers) —
+    applying a where() on the stacked output here measured ~1000× slower on
+    TPU (pathological fusion with the scan/transpose)."""
     d = jnp.transpose(per_probe_d, (1, 0, 2))
     i = jnp.transpose(per_probe_i, (1, 0, 2))
     m = jnp.transpose(per_probe_m, (1, 0, 2))
     nq = d.shape[0]
-    return (
-        d.reshape(nq, -1),
-        i.reshape(nq, -1),
-        m.reshape(nq, -1),
-    )
+    return d.reshape(nq, -1), i.reshape(nq, -1), m.reshape(nq, -1)
 
 
 @jax.jit
@@ -65,7 +73,9 @@ def coarse_scan_flat(
 
     def probe_step(_, p):
         lids = probe_ids[:, p]                                # [nq]
-        vecs = list_vectors[lids]                             # [nq, lmax, d]
+        # payload may be bf16 (PQ-reconstructed fast path): gather at half
+        # HBM traffic, then widen — norms/cross must accumulate in f32
+        vecs = list_vectors[lids].astype(jnp.float32)         # [nq, lmax, d]
         ids = list_ids[lids]                                  # [nq, lmax]
         sizes = list_sizes[lids]                              # [nq]
         vsq = jnp.sum(vecs * vecs, axis=-1)                   # [nq, lmax]
@@ -74,6 +84,7 @@ def coarse_scan_flat(
         )
         d2 = jnp.maximum(qsq[:, None] + vsq - 2.0 * cross, 0.0)
         valid = lane < sizes[:, None]
+        d2 = jnp.where(valid, d2, PAD_DISTANCE)   # pad here, not post-stack
         return None, (d2, ids, valid)
 
     nprobe = probe_ids.shape[1]
@@ -137,6 +148,7 @@ def coarse_scan_pq(
 
         ids = list_ids[lids]
         valid = lane < list_sizes[lids][:, None]
+        d2 = jnp.where(valid, d2, PAD_DISTANCE)   # pad here, not post-stack
         return None, (d2, ids, valid)
 
     nprobe = probe_ids.shape[1]

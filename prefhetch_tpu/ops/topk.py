@@ -19,6 +19,24 @@ PAD_DISTANCE = jnp.float32(3.4e38)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
+def topk_select(
+    distances: jax.Array,   # [..., n] — invalid lanes must hold PAD_DISTANCE
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """(k smallest distances ascending, their positions).
+
+    PERFORMANCE CONTRACT: this program contains ONLY the top_k — XLA's fast
+    TPU top-k (PartialReduce) pattern-matches a bare top_k; fusing a select
+    or a downstream gather into the same program demotes it to a full sort
+    (measured ~100-1000× slower at [64, 16K]). Pad inputs upstream (the scan
+    does — ScanResult.distances) and gather downstream in a separate
+    dispatch.
+    """
+    neg, idx = jax.lax.top_k(-distances, k)
+    return -neg, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
 def masked_topk_smallest(
     distances: jax.Array,   # [..., n]
     mask: jax.Array,        # [..., n] bool — True = valid
@@ -26,9 +44,9 @@ def masked_topk_smallest(
 ) -> tuple[jax.Array, jax.Array]:
     """Return (k smallest valid distances ascending, their positions).
 
-    Ties and padding: invalid lanes get +PAD_DISTANCE; among equal distances
-    lax.top_k favors lower index, matching the reference's stable scan-order
-    tie behavior closely enough for recall parity.
+    Convenience form for SMALL widths (≤ a few hundred): the fused
+    select+top_k takes XLA's slow sort path, which is fine at small n.
+    On the hot path use topk_select on pre-padded distances instead.
     """
     masked = jnp.where(mask, distances, PAD_DISTANCE)
     neg, idx = jax.lax.top_k(-masked, k)

@@ -73,6 +73,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._coarse_search(body)
             elif self.path == "/precisesearch":
                 self._precise_search(body)
+            elif self.path == "/encryptedsearch":
+                self._encrypted_search(body)
             elif self.path == "/precise-vector-pir":
                 self._precise_vector_pir(body)
             else:
@@ -109,6 +111,24 @@ class _Handler(BaseHTTPRequestHandler):
             raise ValueError("vector index out of range")
         scores = self.engine.precise_search(q, cand)
         self._send_json({"preciseDistanceScores": scores.tolist()})
+
+    # net-new route: the encrypted re-rank the reference reserved for SEAL
+    # (include/client/client_lib.h:28-36). The query never leaves the client
+    # in plaintext on this path.
+    def _encrypted_search(self, body):
+        enc_queries = body["encryptedPreciseQuery"]       # [nq] ct wires
+        cand = np.asarray(body["nearestCoarseVectorIndexes"], np.int64)
+        if cand.ndim != 2 or len(enc_queries) != cand.shape[0]:
+            raise ValueError(
+                "encryptedPreciseQuery/nearestCoarseVectorIndexes shape mismatch"
+            )
+        ntotal = self.engine.base.shape[0]
+        if cand.min() < 0 or cand.max() >= ntotal:
+            raise ValueError("vector index out of range")
+        cts, norms = self.engine.encrypted_precise_search(enc_queries, cand)
+        self._send_json(
+            {"encryptedScores": cts, "candidateNorms": norms}
+        )
 
     # reference: Query.cc:99-127
     def _precise_vector_pir(self, body):

@@ -69,6 +69,22 @@ class IndexParams:
 
 
 @dataclasses.dataclass(frozen=True)
+class HEParams:
+    """Homomorphic-encryption layer parameters (the reference's SEAL slot,
+    CMakeLists.txt:33-38, realized — see prefhetch_tpu.crypto).
+
+    scheme: "bfv" (exact integer) or "ckks" (approximate, slot-packed).
+    n / t_bits / n_limbs follow BASELINE.json config 2 defaults
+    (N=4096, 2 RNS limbs; t=2^24 holds SIFT inner products exactly).
+    """
+
+    scheme: str = "bfv"
+    n: int = 4096
+    t_bits: int = 24
+    n_limbs: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
 class ProtocolParams:
     """Fan-outs of the multi-round triage protocol.
 
@@ -85,6 +101,9 @@ class ProtocolParams:
     coarse_probe: int = 200
     k: int = 100
     nquery: int = 5
+    # When True, the precise re-rank round runs over an encrypted query
+    # (client sends Enc(q); server returns Enc(⟨q,x⟩) + plaintext norms).
+    encrypted_rerank: bool = False
 
     def validate(self) -> None:
         if self.k > self.coarse_probe:
@@ -98,6 +117,7 @@ class PipelineConfig:
 
     index: IndexParams = dataclasses.field(default_factory=IndexParams)
     protocol: ProtocolParams = dataclasses.field(default_factory=ProtocolParams)
+    he: HEParams = dataclasses.field(default_factory=HEParams)
 
     nbase: int = 10000          # NBASE
     # Dataset file paths (reference hardcodes these relative to build/:
@@ -121,6 +141,7 @@ class PipelineConfig:
         return PipelineConfig(
             index=IndexParams(**raw.pop("index")),
             protocol=ProtocolParams(**raw.pop("protocol")),
+            he=HEParams(**raw.pop("he", {})),
             **raw,
         )
 

@@ -7,12 +7,19 @@ path). Must run before the first jax import in any test module.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The sandbox pre-sets JAX_PLATFORMS=axon (the real TPU) and its
+# sitecustomize force-updates jax.config to "axon,cpu" at interpreter start,
+# so the env var alone is not enough — override the config post-import.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

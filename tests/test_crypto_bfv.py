@@ -1,0 +1,142 @@
+"""BFV + NTT + packing correctness tests (python-int / schoolbook oracles)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from prefhetch_tpu.crypto import BFVContext, default_bfv_params
+from prefhetch_tpu.crypto.ntt import (
+    build_tables,
+    intt,
+    naive_negacyclic_polymul,
+    negacyclic_polymul,
+    ntt,
+)
+from prefhetch_tpu.crypto.packing import (
+    distances_from_inner_products,
+    encode_query_poly,
+    extract_inner_products,
+    pack_candidates,
+)
+from prefhetch_tpu.crypto.params import BFVParams, find_ntt_primes
+
+
+@pytest.fixture(scope="module")
+def small_params():
+    """N=256 keeps keygen/decrypt fast in tests; same prime sizes."""
+    qs = tuple(find_ntt_primes(256, 30, 2))
+    return BFVParams(n=256, t=1 << 24, qs=qs)
+
+
+@pytest.fixture(scope="module")
+def ctx(small_params):
+    return BFVContext(small_params)
+
+
+@pytest.fixture(scope="module")
+def keys(ctx):
+    return ctx.keygen(np.random.default_rng(42))
+
+
+def test_ntt_primes_are_ntt_friendly():
+    for n in (256, 4096):
+        for q in find_ntt_primes(n, 30, 2):
+            assert q % (2 * n) == 1
+            assert q.bit_length() == 30
+
+
+def test_ntt_roundtrip(small_params, rng):
+    tb = build_tables(small_params.qs[0], small_params.n)
+    x = rng.integers(0, tb.q, (4, small_params.n)).astype(np.int64)
+    rt = np.asarray(intt(ntt(jnp.asarray(x), tb), tb))
+    np.testing.assert_array_equal(rt, x)
+
+
+def test_polymul_vs_schoolbook(small_params, rng):
+    tb = build_tables(small_params.qs[0], small_params.n)
+    a = rng.integers(0, tb.q, small_params.n).astype(np.int64)
+    b = rng.integers(0, tb.q, small_params.n).astype(np.int64)
+    got = np.asarray(negacyclic_polymul(jnp.asarray(a), jnp.asarray(b), tb))
+    ref = naive_negacyclic_polymul(a, b, tb.q)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_encrypt_decrypt_roundtrip(ctx, keys, rng):
+    sk, pk = keys
+    m = rng.integers(0, ctx.params.t, ctx.params.n).astype(np.int64)
+    ct = ctx.encrypt(pk, m, rng)
+    out = ctx.decrypt(sk, ct)
+    np.testing.assert_array_equal(out, m)
+
+
+def test_fresh_noise_budget_positive(ctx, keys, rng):
+    sk, pk = keys
+    m = rng.integers(0, ctx.params.t, ctx.params.n).astype(np.int64)
+    ct = ctx.encrypt(pk, m, rng)
+    assert ctx.noise_budget_bits(sk, ct, m) > 15
+
+
+def test_homomorphic_add(ctx, keys, rng):
+    sk, pk = keys
+    t = ctx.params.t
+    m1 = rng.integers(0, t, ctx.params.n).astype(np.int64)
+    m2 = rng.integers(0, t, ctx.params.n).astype(np.int64)
+    ct = ctx.add(ctx.encrypt(pk, m1, rng), ctx.encrypt(pk, m2, rng))
+    np.testing.assert_array_equal(ctx.decrypt(sk, ct), (m1 + m2) % t)
+
+
+def test_mul_plain_ntt(ctx, keys, rng):
+    """ct×pt in NTT domain decrypts to m·p mod (X^N+1, t)."""
+    sk, pk = keys
+    n, t = ctx.params.n, ctx.params.t
+    m = rng.integers(0, 256, n).astype(np.int64)      # small values
+    p = np.zeros(n, np.int64)
+    p[: 16] = rng.integers(0, 256, 16)                # sparse small plaintext
+    ct = ctx.to_ntt(ctx.encrypt(pk, m, rng))
+    out_ct = ctx.mul_plain_ntt(ct, ctx.plain_to_ntt(p))
+    got = ctx.decrypt(sk, out_ct)
+    ref = naive_negacyclic_polymul(m, p, t)           # mod t (q≫ values)
+    np.testing.assert_array_equal(got, ref % t)
+
+
+def test_ciphertext_wire_roundtrip(ctx, keys, rng):
+    sk, pk = keys
+    from prefhetch_tpu.crypto.bfv import Ciphertext
+
+    m = rng.integers(0, ctx.params.t, ctx.params.n).astype(np.int64)
+    ct = ctx.encrypt(pk, m, rng)
+    ct2 = Ciphertext.from_wire(ct.to_wire())
+    np.testing.assert_array_equal(ctx.decrypt(sk, ct2), m)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end encrypted inner products at the real operating point shape
+def test_encrypted_inner_products_end_to_end(small_params, rng):
+    """Client encrypts query; 'server' multiplies packed candidate blocks;
+    client decrypts exact SIFT-scale inner products."""
+    d = 32  # N=256 → 8 candidates per block
+    ctx = BFVContext(small_params)
+    sk, pk = ctx.keygen(rng)
+
+    q = rng.integers(0, 256, d).astype(np.float32)
+    X = rng.integers(0, 256, size=(20, d)).astype(np.float32)
+
+    # client: encrypt query poly
+    ct = ctx.to_ntt(ctx.encrypt(pk, encode_query_poly(q, small_params), rng))
+
+    # server: pack candidates, one ct×pt per block
+    polys, B = pack_candidates(X, small_params)
+    out_cts = [ctx.mul_plain_ntt(ct, ctx.plain_to_ntt(p)) for p in polys]
+
+    # client: decrypt + extract
+    prods = np.stack([ctx.decrypt(sk, c) for c in out_cts])
+    ips = extract_inner_products(prods, d, 20)
+    ref = (np.round(q).astype(np.int64) * np.round(X).astype(np.int64)).sum(-1)
+    np.testing.assert_array_equal(ips, ref)
+
+    # distances assembly matches plain L2
+    norms = (np.round(X).astype(np.int64) ** 2).sum(-1)
+    dist = distances_from_inner_products(q, ips, norms)
+    refd = ((np.round(q) - np.round(X)) ** 2).sum(-1)
+    np.testing.assert_allclose(dist, refd)

@@ -1,0 +1,107 @@
+"""Encrypted re-rank end-to-end: client encrypts the query, server computes
+Enc(⟨q,x⟩) MACs over HTTP, client decrypts exact distances. The plaintext
+query never appears in the /encryptedsearch request."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from prefhetch_tpu.client.pipeline import ClientPipeline
+from prefhetch_tpu.data.synthetic import write_sift_style_dataset
+from prefhetch_tpu.engine.server import QueryEngine
+from prefhetch_tpu.serve.http_server import make_server
+from prefhetch_tpu.utils.config import (
+    HEParams,
+    IndexParams,
+    PipelineConfig,
+    ProtocolParams,
+)
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    ds = tmp_path_factory.mktemp("ds")
+    write_sift_style_dataset(
+        str(ds), prefix="syn", nbase=2000, ntrain=4000, nquery=10, d=32,
+        n_clusters=40, gt_k=100, seed=7,
+    )
+    import os
+
+    cfg = PipelineConfig(
+        index=IndexParams(d=32, nlist=16, pq_m=8, pq_nbits=8,
+                          kmeans_iters=8, pq_kmeans_iters=8),
+        protocol=ProtocolParams(nprobe=8, coarse_probe=60, k=20, nquery=4,
+                                encrypted_rerank=True),
+        # N=256 keeps test decryption fast; 8 candidates per block at d=32
+        he=HEParams(scheme="bfv", n=256, t_bits=24, n_limbs=2),
+        nbase=2000,
+        train_path=os.path.join(str(ds), "syn_learn.fvecs"),
+        base_path=os.path.join(str(ds), "syn_base.fvecs"),
+        query_path=os.path.join(str(ds), "syn_query.fvecs"),
+        groundtruth_path=os.path.join(str(ds), "syn_groundtruth.ivecs"),
+        port=0,
+    )
+    engine = QueryEngine(cfg, index_dir=str(tmp_path_factory.mktemp("idx")))
+    engine.init_index()
+    srv = make_server(engine, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield cfg, engine, f"http://127.0.0.1:{port}/"
+    srv.shutdown()
+
+
+def test_encrypted_scores_match_plaintext(served):
+    """Distances recovered from the encrypted path must equal the plaintext
+    /precisesearch distances exactly (BFV is exact on integer data)."""
+    cfg, engine, addr = served
+    client = ClientPipeline(cfg, server_addr=addr)
+    q = client.get_query()
+    cent = client.get_centroids()
+    _, sorted_cent = client.sort_nearest_centroids(q, cent)
+    cs, ci, sizes = client.get_coarse_scores(sorted_cent, q)
+    sorted_coarse = client.compute_nearest_coarse_vectors(cs, ci, sizes)
+
+    enc_scores, cand = client.get_encrypted_precise_scores(sorted_coarse, q)
+    plain_scores, cand2 = client.get_precise_scores(sorted_coarse, q)
+    np.testing.assert_array_equal(cand, cand2)
+    np.testing.assert_allclose(enc_scores, plain_scores, rtol=1e-6, atol=0.5)
+
+
+def test_encrypted_request_has_no_plaintext_query(served):
+    """Privacy contract: the /encryptedsearch body must not contain the
+    plaintext query values."""
+    cfg, engine, addr = served
+    client = ClientPipeline(cfg, server_addr=addr)
+    q = client.get_query()
+
+    captured = {}
+    orig_post = client._post
+
+    def spy(route, payload):
+        captured[route] = payload
+        return orig_post(route, payload)
+
+    client._post = spy
+    cent = client.get_centroids()
+    _, sorted_cent = client.sort_nearest_centroids(q, cent)
+    cs, ci, sizes = client.get_coarse_scores(sorted_cent, q)
+    sorted_coarse = client.compute_nearest_coarse_vectors(cs, ci, sizes)
+    client.get_encrypted_precise_scores(sorted_coarse, q)
+
+    body = json.dumps(captured["encryptedsearch"])
+    assert "preciseQuery" not in body
+    # ciphertext limbs present instead
+    assert "encryptedPreciseQuery" in body and "c0" in body
+
+
+def test_full_encrypted_pipeline_recall(served):
+    """Full run() with encrypted_rerank=True reaches the same recall as the
+    plaintext pipeline (stage 6 distances identical)."""
+    cfg, engine, addr = served
+    client = ClientPipeline(cfg, server_addr=addr)
+    _, top_ids = client.run()
+    rep = client.benchmark_results(top_ids)
+    assert rep.recall_1 >= 0.5

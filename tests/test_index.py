@@ -145,6 +145,33 @@ def test_pq_adc_distance_correlates_with_exact(small_dataset_mod):
     assert rho > 0.95
 
 
+def test_pq_dense_recon_matches_lut_adc(small_dataset_mod):
+    """The bf16 reconstructed-vector scan (MXU fast path) must agree with
+    the exact LUT ADC distances within bf16 rounding."""
+    d = small_dataset_mod
+    m = IVFPQ(IndexParams(d=32, nlist=16, pq_m=8, pq_nbits=8,
+                          kmeans_iters=10, pq_kmeans_iters=10))
+    m.train_add(d["train"], d["base"])
+    q = d["query"][:4]
+    _, probe = rank_centroids(jnp.asarray(q, jnp.float32), m.index.centroids, 6)
+    from prefhetch_tpu.ops.scan import coarse_scan_flat, coarse_scan_pq
+
+    idx = m.index
+    dense = coarse_scan_flat(idx.list_recon, idx.list_ids, idx.list_sizes,
+                             jnp.asarray(q, jnp.float32), probe)
+    lut = coarse_scan_pq(idx.centroids, idx.list_codes, idx.list_ids,
+                         idx.list_sizes, idx.codebooks,
+                         jnp.asarray(q, jnp.float32), probe, by_residual=True)
+    mask = np.asarray(lut.mask)
+    a = np.asarray(dense.distances)[mask]
+    b = np.asarray(lut.distances)[mask]
+    # bf16 has 8 mantissa bits → ~0.4% relative on SIFT-scale distances
+    np.testing.assert_allclose(a, b, rtol=2e-2, atol=60.0)
+    # ordering must be essentially preserved (rank correlation)
+    rho = np.corrcoef(a, b)[0, 1]
+    assert rho > 0.9999
+
+
 def test_rerank_exact_matches_numpy(small_dataset_mod, rng):
     d = small_dataset_mod
     q = d["query"][:3]
