@@ -4,12 +4,21 @@ decryption.
 Fills the reference's empty client_utils slot (reference:
 src/client/client_utils.cpp is an empty placeholder "reserved for future
 client helpers", SURVEY.md C3) — these are exactly the encryption helpers it
-was reserved for. All key material lives here; the server never sees it.
+was reserved for. All key material lives here; the server never sees any
+secret (for CKKS the client registers *public* Galois rotation keys once).
+
+Schemes:
+- "bfv"  — exact integer inner products via negacyclic coefficient packing
+           (crypto/packing.py); no evaluation keys needed at all.
+- "ckks" — approximate slot-packed scoring (BASELINE config 3): the query is
+           replicated across slots, the server rotate-accumulates with the
+           registered Galois keys.
 """
 
 from __future__ import annotations
 
-from typing import List, Tuple
+import uuid
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -19,46 +28,101 @@ from prefhetch_tpu.crypto.packing import (
     encode_query_poly,
     extract_inner_products,
 )
-from prefhetch_tpu.crypto.params import BFVParams, bfv_params_for
+from prefhetch_tpu.crypto.params import bfv_params_for, ckks_params_for
 from prefhetch_tpu.utils.config import HEParams
 
 
 class HEClient:
-    """Holds the client's BFV keys and drives encrypt/decrypt."""
+    """Holds the client's HE keys and drives encrypt/decrypt."""
 
     def __init__(self, he: HEParams, seed: int = 0):
-        if he.scheme != "bfv":
-            raise NotImplementedError(f"scheme {he.scheme}")
-        self.params: BFVParams = bfv_params_for(he.n, he.t_bits, he.n_limbs)
-        self.ctx = BFVContext(self.params)
+        self.he = he
+        self.scheme = he.scheme
         self._rng = np.random.default_rng(seed)
-        self.sk, self.pk = self.ctx.keygen(self._rng)
+        self.key_id = uuid.uuid4().hex
+        self._keys_sent = False
+        if he.scheme == "bfv":
+            self.params = bfv_params_for(he.n, he.t_bits, he.n_limbs)
+            self.ctx = BFVContext(self.params)
+            self.sk, self.pk = self.ctx.keygen(self._rng)
+        elif he.scheme == "ckks":
+            from prefhetch_tpu.crypto.ckks import CKKSContext
 
+            self.params = ckks_params_for(he.n, he.scale_bits, he.n_limbs)
+            self.ctx = CKKSContext(self.params)
+            self.sk, self.pk = self.ctx.keygen(self._rng)
+            self._galois: Dict[int, object] = {}
+        else:
+            raise NotImplementedError(f"scheme {he.scheme}")
+
+    # -- galois keys (ckks) ----------------------------------------------
+    def _rotation_steps(self, d: int) -> List[int]:
+        steps = []
+        r = d // 2
+        while r >= 1:
+            steps.append(r)
+            r //= 2
+        return steps
+
+    def galois_keys_wire(self, d: int) -> Optional[dict]:
+        """Public rotation keys for block size d (generated once)."""
+        if self.scheme != "ckks" or self._keys_sent:
+            return None
+        steps = self._rotation_steps(d)
+        missing = [s for s in steps if s not in self._galois]
+        if missing:
+            self._galois.update(
+                self.ctx.galois_keygen(self.sk, missing, self._rng)
+            )
+        self._keys_sent = True
+        return {str(s): self._galois[s].to_wire() for s in steps}
+
+    # -- encrypt ----------------------------------------------------------
     def encrypt_query(self, q: np.ndarray) -> dict:
-        """Query vector [d] → NTT-domain ciphertext wire dict.
+        """Query vector [d] → ciphertext wire dict (scheme-tagged)."""
+        if self.scheme == "bfv":
+            poly = encode_query_poly(q, self.params)
+            ct = self.ctx.to_ntt(self.ctx.encrypt(self.pk, poly, self._rng))
+            w = ct.to_wire()
+        else:
+            d = q.shape[0]
+            slots = self.params.n // 2
+            tiled = np.tile(np.round(q).astype(np.float64), slots // d)
+            ct = self.ctx.encrypt(self.pk, self.ctx.encode(tiled), self._rng)
+            w = ct.to_wire()
+        w["scheme"] = self.scheme
+        return w
 
-        (The ct ships in NTT form so the server does zero transforms on the
-        critical path for the ciphertext itself.)"""
-        poly = encode_query_poly(q, self.params)
-        ct = self.ctx.to_ntt(self.ctx.encrypt(self.pk, poly, self._rng))
-        return ct.to_wire()
-
+    # -- decrypt ----------------------------------------------------------
     def decrypt_scores(
         self,
         score_ct_wires: List[dict],     # per-block result ciphertexts
         norms: np.ndarray,              # [P] candidate squared norms
         q: np.ndarray,                  # [d] the plaintext query (local)
     ) -> np.ndarray:
-        """Decrypt Enc(⟨q,x⟩) blocks → exact squared-L2 distances [P]."""
+        """Decrypt Enc(⟨q,x⟩) blocks → squared-L2 distances [P]
+        (exact for BFV; approximate to CKKS precision)."""
         d = q.shape[0]
         P = norms.shape[0]
-        prods = np.stack(
-            [
-                self.ctx.decrypt(self.sk, Ciphertext.from_wire(w))
-                for w in score_ct_wires
-            ]
-        )
-        ips = extract_inner_products(prods, d, P)
+        if self.scheme == "bfv":
+            prods = np.stack(
+                [
+                    self.ctx.decrypt(self.sk, Ciphertext.from_wire(w))
+                    for w in score_ct_wires
+                ]
+            )
+            ips = extract_inner_products(prods, d, P)
+        else:
+            from prefhetch_tpu.crypto.ckks import CKKSCiphertext
+
+            slots = self.params.n // 2
+            per_ct = slots // d
+            vals = []
+            for w in score_ct_wires:
+                ct = CKKSCiphertext.from_wire(w)
+                out = np.real(self.ctx.decrypt(self.sk, ct))
+                vals.append(out[np.arange(per_ct) * d])
+            ips = np.concatenate(vals)[:P]
         return distances_from_inner_products(
             q, ips, np.asarray(norms)
         ).astype(np.float32)

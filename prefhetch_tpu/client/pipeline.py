@@ -201,15 +201,18 @@ class ClientPipeline:
             he_client = self._he_client()
         cp = self.config.protocol.coarse_probe
         cand = np.stack([ids[:cp] for _, ids in sorted_coarse])
-        resp = self._post(
-            "encryptedsearch",
-            {
-                "encryptedPreciseQuery": [
-                    he_client.encrypt_query(q) for q in query
-                ],
-                "nearestCoarseVectorIndexes": cand.tolist(),
-            },
-        )
+        payload = {
+            "scheme": he_client.scheme,
+            "keyId": he_client.key_id,
+            "encryptedPreciseQuery": [
+                he_client.encrypt_query(q) for q in query
+            ],
+            "nearestCoarseVectorIndexes": cand.tolist(),
+        }
+        gks = he_client.galois_keys_wire(query.shape[1])
+        if gks is not None:
+            payload["galoisKeys"] = gks
+        resp = self._post("encryptedsearch", payload)
         scores = np.stack(
             [
                 he_client.decrypt_scores(

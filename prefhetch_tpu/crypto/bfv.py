@@ -164,18 +164,27 @@ class BFVContext:
         return Ciphertext(c0=c0, c1=c1)
 
     def decrypt(self, sk: SecretKey, ct: Ciphertext) -> np.ndarray:
-        """Returns plaintext [N] ints in [0, t)."""
+        """Returns plaintext [N] ints in [0, t).
+
+        Rounding m = round(t·v/q) is done via the CRT fraction identity
+        v/q ≡ Σ_i (v_i·[q̂_i⁻¹]_{q_i} mod q_i)/q_i (mod 1) — fully
+        vectorized float64, no big-int loop. float64 carries 53 bits ≫
+        log2(t)+margin, so the rounding is exact whenever the noise is not
+        within ~2^-28·q of a boundary (far beyond decryption failure)."""
         ct = self.from_ntt(ct) if ct.is_ntt else ct
         p = self.params
         qs = np.array(p.qs, np.int64)[:, None]
         v = np.mod(ct.c0 + self._polymul(ct.c1, sk.s_rns), qs)  # [L, N]
-        big = self._crt_compose(v)                              # python ints
         q = p.q
         t = p.t
-        out = np.array(
-            [((x * t + q // 2) // q) % t for x in big], dtype=np.int64
-        )
-        return out
+        frac = np.zeros(p.n, np.float64)
+        for i, qi in enumerate(p.qs):
+            qhat = q // qi
+            inv = pow(qhat % qi, -1, qi)
+            r = (v[i] * inv) % qi            # int64 product < 2^60, safe
+            frac += r.astype(np.float64) / qi
+        frac -= np.floor(frac)               # mod 1
+        return np.round(t * frac).astype(np.int64) % t
 
     def _crt_compose(self, v: np.ndarray) -> List[int]:
         """[L, N] residues → list of N big ints in [0, q)."""

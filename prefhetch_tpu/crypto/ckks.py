@@ -1,0 +1,426 @@
+"""RNS-CKKS approximate homomorphic encryption.
+
+Fills the second half of the reference's SEAL slot (CMakeLists.txt:33-38):
+approximate fixed-point arithmetic over packed SIMD slots, used for the
+slot-packed encrypted candidate scoring config (BASELINE.json config 3:
+N=8192, slot packing).
+
+Implemented from the standard construction (CKKS'17 + RNS variants):
+
+- canonical-embedding encode/decode in O(N log N) via numpy FFT: slot
+  values are the evaluations m(ζ^{5^j}) at odd powers of the 2N-th root —
+  evaluations at ALL odd powers equal DFT_N(coeffs ⊙ ζ^k), so encode is one
+  twisted FFT plus the <5>/<−1> index mapping.
+- RLWE keygen/encrypt/decrypt identical in shape to BFV (ternary secret,
+  centered-binomial error), message added at scale Δ (no BFV delta-embed).
+- ct×pt with exact RNS rescale by the dropped prime.
+- slot rotations = Galois automorphism X → X^{5^r}, with key-switching in
+  the special-modulus + 15-bit digit-decomposition form (keys live mod q·p;
+  the switch result is exactly divided by p, keeping key-switch noise ≪ Δ).
+
+Client-party code is pure numpy; the server-side hot MACs reuse the same
+NTT tables under jit (engine/hecompute.py pattern).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from prefhetch_tpu.crypto.ntt import NTTTables, build_tables, intt, ntt
+from prefhetch_tpu.crypto.params import CKKSParams, find_ntt_primes
+
+DIGIT_BITS = 15
+
+
+@dataclasses.dataclass
+class CKKSSecretKey:
+    s_rns: np.ndarray            # [L+1, N] — s mod each prime in qs + [p]
+    s_small: np.ndarray          # [N] ternary (for key generation)
+
+
+@dataclasses.dataclass
+class CKKSPublicKey:
+    b_rns: np.ndarray            # [L, N]
+    a_rns: np.ndarray            # [L, N]
+
+
+@dataclasses.dataclass
+class GaloisKey:
+    """Key-switching key for one automorphism, special-modulus form.
+
+    Component (i, d) switches digit d of limb i: arrays indexed
+    [n_limbs·n_digits][L+1, N] over the extended basis qs + [p]."""
+
+    step: int
+    b: np.ndarray                # [n_comp, L+1, N]
+    a: np.ndarray                # [n_comp, L+1, N]
+
+    def to_wire(self) -> dict:
+        import base64
+
+        def enc(x):
+            return base64.b64encode(
+                np.ascontiguousarray(x.astype("<u4")).tobytes()
+            ).decode()
+
+        return {
+            "step": self.step, "shape": list(self.b.shape),
+            "b": enc(self.b), "a": enc(self.a),
+        }
+
+    @staticmethod
+    def from_wire(obj: dict) -> "GaloisKey":
+        import base64
+
+        shape = tuple(obj["shape"])
+
+        def dec(s):
+            return np.frombuffer(base64.b64decode(s), dtype="<u4").astype(
+                np.int64
+            ).reshape(shape)
+
+        return GaloisKey(step=int(obj["step"]), b=dec(obj["b"]), a=dec(obj["a"]))
+
+
+@dataclasses.dataclass
+class CKKSCiphertext:
+    c0: np.ndarray               # [L_cur, N]
+    c1: np.ndarray               # [L_cur, N]
+    level: int                   # number of active limbs
+    scale: float
+
+    def to_wire(self) -> dict:
+        import base64
+
+        def enc(x):
+            return base64.b64encode(
+                np.ascontiguousarray(x.astype("<u4")).tobytes()
+            ).decode()
+
+        return {
+            "c0": enc(self.c0), "c1": enc(self.c1),
+            "shape": list(self.c0.shape),
+            "level": self.level, "scale": self.scale,
+        }
+
+    @staticmethod
+    def from_wire(obj: dict) -> "CKKSCiphertext":
+        import base64
+
+        shape = tuple(obj["shape"])
+
+        def dec(s):
+            return np.frombuffer(base64.b64decode(s), dtype="<u4").astype(
+                np.int64
+            ).reshape(shape)
+
+        return CKKSCiphertext(
+            c0=dec(obj["c0"]), c1=dec(obj["c1"]),
+            level=int(obj["level"]), scale=float(obj["scale"]),
+        )
+
+
+def _sample_ternary(rng, n):
+    return rng.integers(-1, 2, size=n).astype(np.int64)
+
+
+def _sample_error(rng, n, k=21):
+    bits = rng.integers(0, 2, size=(n, 2, k))
+    return (bits[:, 0].sum(-1) - bits[:, 1].sum(-1)).astype(np.int64)
+
+
+class CKKSContext:
+    def __init__(self, params: CKKSParams):
+        self.params = params
+        n = params.n
+        # special modulus p: one extra NTT prime below the chain
+        all_primes = find_ntt_primes(n, 30, len(params.qs) + 1)
+        assert tuple(all_primes[: len(params.qs)]) == tuple(params.qs), (
+            "params.qs must be the default descending prime chain"
+        )
+        self.p = all_primes[-1]
+        self.qs: Tuple[int, ...] = tuple(params.qs)
+        self.ext: Tuple[int, ...] = self.qs + (self.p,)
+        self.tables: List[NTTTables] = [build_tables(q, n) for q in self.ext]
+        self.scale = float(1 << params.scale_bits)
+
+        # canonical embedding index mapping: exponent 5^j mod 2N ↔ slot j
+        M = 2 * n
+        self.rot_group = np.empty(n // 2, np.int64)
+        g = 1
+        for j in range(n // 2):
+            self.rot_group[j] = g
+            g = (g * 5) % M
+        # ζ^k twist for the odd-power evaluation trick
+        self.zeta_pow = np.exp(2j * np.pi * np.arange(n) / M)
+
+        # automorphism permutations cache: step -> (perm, sign)
+        self._auto_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+    # ------------------------------------------------------------------
+    # encoding: slots [N/2] complex ↔ real coefficient poly
+    def encode(self, values: np.ndarray, scale: float | None = None) -> np.ndarray:
+        """values: [≤N/2] real/complex slot values → int coeffs [N] (scaled)."""
+        n = self.params.n
+        nh = n // 2
+        scale = scale or self.scale
+        z = np.zeros(nh, np.complex128)
+        v = np.asarray(values)
+        z[: v.shape[0]] = v
+        # full odd-power spectrum V[i], exponent e_i = 2i+1
+        V = np.zeros(n, np.complex128)
+        idx = (self.rot_group - 1) // 2          # position of exponent 5^j
+        conj_idx = (2 * n - self.rot_group - 1) // 2
+        V[idx] = z
+        V[conj_idx] = np.conj(z)
+        t = np.fft.fft(V) / n                    # t_k = c_k ζ^k
+        coeffs = np.real(t * np.conj(self.zeta_pow))
+        return np.round(coeffs * scale).astype(np.int64)
+
+    def decode(self, coeffs: np.ndarray, scale: float) -> np.ndarray:
+        """Signed int coeffs [N] → slot values [N/2] complex."""
+        n = self.params.n
+        t = coeffs.astype(np.float64) * self.zeta_pow
+        V = np.fft.ifft(t) * n
+        idx = (self.rot_group - 1) // 2
+        return V[idx] / scale
+
+    # ------------------------------------------------------------------
+    def _to_rns(self, small: np.ndarray, n_limbs: int | None = None) -> np.ndarray:
+        primes = self.ext if n_limbs is None else self.ext[:n_limbs]
+        qs = np.array(primes, np.int64)[:, None]
+        return np.mod(small[None, :].astype(np.int64), qs)
+
+    def _polymul(self, a: np.ndarray, b: np.ndarray, primes: Sequence[int]) -> np.ndarray:
+        out = np.empty_like(a)
+        for i, q in enumerate(primes):
+            tb = self.tables[self.ext.index(q)]
+            out[i] = intt(ntt(a[i], tb) * ntt(b[i], tb) % q, tb)
+        return out
+
+    # ------------------------------------------------------------------
+    def keygen(self, rng) -> Tuple[CKKSSecretKey, CKKSPublicKey]:
+        n = self.params.n
+        s = _sample_ternary(rng, n)
+        s_rns = self._to_rns(s)
+        e = self._to_rns(_sample_error(rng, n))
+        L = len(self.qs)
+        a_big = [int(x) for x in rng.integers(0, 1 << 62, size=n)]
+        a_rns = np.stack(
+            [np.array([c % q for c in a_big], np.int64) for q in self.qs]
+        )
+        qs = np.array(self.qs, np.int64)[:, None]
+        b_rns = np.mod(
+            -(self._polymul(a_rns, s_rns[:L], self.qs) + e[:L]), qs
+        )
+        return CKKSSecretKey(s_rns=s_rns, s_small=s), CKKSPublicKey(
+            b_rns=b_rns, a_rns=a_rns
+        )
+
+    def encrypt(self, pk: CKKSPublicKey, pt_coeffs: np.ndarray, rng) -> CKKSCiphertext:
+        """pt_coeffs: signed int64 [N] (already scaled by Δ)."""
+        L = len(self.qs)
+        u = self._to_rns(_sample_ternary(rng, self.params.n), L)
+        e1 = self._to_rns(_sample_error(rng, self.params.n), L)
+        e2 = self._to_rns(_sample_error(rng, self.params.n), L)
+        m = self._to_rns(pt_coeffs, L)
+        qs = np.array(self.qs, np.int64)[:, None]
+        c0 = np.mod(self._polymul(pk.b_rns, u, self.qs) + e1 + m, qs)
+        c1 = np.mod(self._polymul(pk.a_rns, u, self.qs) + e2, qs)
+        return CKKSCiphertext(c0=c0, c1=c1, level=L, scale=self.scale)
+
+    def decrypt_coeffs(self, sk: CKKSSecretKey, ct: CKKSCiphertext) -> np.ndarray:
+        """→ signed big-int coefficient vector [N] (CRT-composed, centered)."""
+        primes = self.qs[: ct.level]
+        qs = np.array(primes, np.int64)[:, None]
+        v = np.mod(
+            ct.c0 + self._polymul(ct.c1, sk.s_rns[: ct.level], primes), qs
+        )
+        return self._crt_center(v, primes)
+
+    def decrypt(self, sk: CKKSSecretKey, ct: CKKSCiphertext) -> np.ndarray:
+        """→ slot values [N/2]."""
+        coeffs = self.decrypt_coeffs(sk, ct)
+        return self.decode(coeffs.astype(np.float64), ct.scale)
+
+    def _crt_center(self, v: np.ndarray, primes: Sequence[int]) -> np.ndarray:
+        q = 1
+        for qi in primes:
+            q *= qi
+        acc = np.zeros(self.params.n, object)
+        for i, qi in enumerate(primes):
+            qhat = q // qi
+            inv = pow(qhat % qi, -1, qi)
+            acc += qhat * ((v[i].astype(object) * inv) % qi)
+        acc %= q
+        return np.where(acc > q // 2, acc - q, acc)
+
+    # ------------------------------------------------------------------
+    def add(self, x: CKKSCiphertext, y: CKKSCiphertext) -> CKKSCiphertext:
+        assert x.level == y.level and abs(x.scale - y.scale) < 1e-6
+        qs = np.array(self.qs[: x.level], np.int64)[:, None]
+        return CKKSCiphertext(
+            c0=np.mod(x.c0 + y.c0, qs), c1=np.mod(x.c1 + y.c1, qs),
+            level=x.level, scale=x.scale,
+        )
+
+    def mul_plain(
+        self, ct: CKKSCiphertext, pt_coeffs: np.ndarray, pt_scale: float
+    ) -> CKKSCiphertext:
+        """ct × plaintext poly (signed ints, scaled by pt_scale); rescales."""
+        primes = self.qs[: ct.level]
+        p_rns = self._to_rns(pt_coeffs, ct.level)
+        c0 = self._polymul(ct.c0, p_rns, primes)
+        c1 = self._polymul(ct.c1, p_rns, primes)
+        out = CKKSCiphertext(
+            c0=c0, c1=c1, level=ct.level, scale=ct.scale * pt_scale
+        )
+        return self.rescale(out)
+
+    def rescale(self, ct: CKKSCiphertext) -> CKKSCiphertext:
+        """Exact RNS rescale: drop the last active prime q_l, dividing."""
+        l = ct.level - 1
+        ql = self.qs[l]
+        out0 = np.empty((l, self.params.n), np.int64)
+        out1 = np.empty_like(out0)
+        for i in range(l):
+            qi = self.qs[i]
+            inv_ql = pow(ql, -1, qi)
+            out0[i] = (ct.c0[i] - ct.c0[l]) % qi * inv_ql % qi
+            out1[i] = (ct.c1[i] - ct.c1[l]) % qi * inv_ql % qi
+        return CKKSCiphertext(
+            c0=out0, c1=out1, level=l, scale=ct.scale / ql
+        )
+
+    # ------------------------------------------------------------------
+    # rotations
+    def _automorphism_map(self, step: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Permutation/sign arrays for X → X^{5^step} on coefficient vectors:
+        out[(k·g) mod N] = ± in[k]."""
+        if step in self._auto_cache:
+            return self._auto_cache[step]
+        n = self.params.n
+        M = 2 * n
+        g = pow(5, step % (n // 2), M)
+        k = np.arange(n)
+        kg = (k * g) % M
+        dest = kg % n
+        sign = np.where(kg < n, 1, -1).astype(np.int64)
+        perm = np.empty(n, np.int64)
+        sgn = np.empty(n, np.int64)
+        perm[dest] = k
+        sgn[dest] = sign
+        self._auto_cache[step] = (perm, sgn)
+        return perm, sgn
+
+    def _apply_auto(self, poly: np.ndarray, step: int, primes) -> np.ndarray:
+        perm, sgn = self._automorphism_map(step)
+        qs = np.array(primes, np.int64)[:, None]
+        return np.mod(poly[:, perm] * sgn[None, :], qs)
+
+    def galois_keygen(self, sk: CKKSSecretKey, steps: Sequence[int], rng) -> Dict[int, GaloisKey]:
+        """Key-switching keys for slot rotations by each step."""
+        n = self.params.n
+        L = len(self.qs)
+        n_digits = -(-30 // DIGIT_BITS)          # digits per 30-bit limb
+        ext = self.ext
+        qs_ext = np.array(ext, np.int64)[:, None]
+        big_q = 1
+        for q in self.qs:
+            big_q *= q
+        out = {}
+        for step in steps:
+            perm, sgn = self._automorphism_map(step)
+            s_rot = sk.s_small[perm] * sgn       # s(X^g), small ints
+            s_rot_rns = self._to_rns(s_rot)
+            comps_b, comps_a = [], []
+            for i in range(L):
+                qi = self.qs[i]
+                # CRT basis element ≡ 1 mod q_i, 0 mod q_j (over q, lifted to q·p)
+                qhat = big_q // qi
+                Pi = qhat * pow(qhat % qi, -1, qi) % big_q
+                for d in range(n_digits):
+                    W = 1 << (d * DIGIT_BITS)
+                    factor = Pi * W * self.p % (big_q * self.p)
+                    fac_rns = np.array(
+                        [factor % q for q in ext], np.int64
+                    )[:, None]
+                    a_big = [int(x) for x in rng.integers(0, 1 << 62, size=n)]
+                    a_rns = np.stack(
+                        [np.array([c % q for c in a_big], np.int64) for q in ext]
+                    )
+                    e_rns = self._to_rns(_sample_error(rng, n))
+                    # NB: key embeds p·s_rot so the final division by p
+                    # leaves s_rot intact and shrinks the error
+                    b_rns = np.mod(
+                        -(self._polymul(a_rns, sk.s_rns, ext) + e_rns)
+                        + fac_rns * s_rot_rns % qs_ext,
+                        qs_ext,
+                    )
+                    comps_b.append(b_rns)
+                    comps_a.append(a_rns)
+            out[step] = GaloisKey(
+                step=step, b=np.stack(comps_b), a=np.stack(comps_a)
+            )
+        return out
+
+    def rotate(self, ct: CKKSCiphertext, step: int, gk: GaloisKey) -> CKKSCiphertext:
+        """Rotate slots left by `step` positions."""
+        level = ct.level
+        primes = self.qs[:level]
+        n = self.params.n
+        n_digits = -(-30 // DIGIT_BITS)
+        mask = (1 << DIGIT_BITS) - 1
+
+        # 1) apply automorphism to both components
+        c0r = self._apply_auto(ct.c0, step, primes)
+        c1r = self._apply_auto(ct.c1, step, primes)
+
+        # 2) key-switch c1r·s(X^g) → s: digit-decompose each limb of c1r,
+        #    multiply the matching key component over the extended basis
+        ext_primes = primes + (self.p,)
+        n_ext = len(ext_primes)
+        acc0 = np.zeros((n_ext, n), np.int64)
+        acc1 = np.zeros((n_ext, n), np.int64)
+        for i in range(level):
+            limb = c1r[i]
+            for d in range(n_digits):
+                digit = (limb >> (d * DIGIT_BITS)) & mask     # [N] < 2^15
+                comp = i * n_digits + d
+                # key components live over the FULL ext basis (qs + p);
+                # select rows matching our active primes
+                rows = [self.ext.index(q) for q in ext_primes]
+                kb = gk.b[comp][rows]
+                ka = gk.a[comp][rows]
+                digit_rns = self._to_rns(digit, None)[rows]
+                acc0 = (acc0 + self._polymul(digit_rns, kb, ext_primes))
+                acc1 = (acc1 + self._polymul(digit_rns, ka, ext_primes))
+                qe = np.array(ext_primes, np.int64)[:, None]
+                acc0 %= qe
+                acc1 %= qe
+
+        # 3) exact division by p (the special modulus): per remaining prime,
+        #    (x - [x]_p) · p^{-1}
+        out0 = np.empty((level, n), np.int64)
+        out1 = np.empty((level, n), np.int64)
+        xp0 = acc0[-1]                                         # mod p
+        xp1 = acc1[-1]
+        half_p = self.p // 2
+        # center the mod-p residue for correct rounding
+        cp0 = np.where(xp0 > half_p, xp0 - self.p, xp0)
+        cp1 = np.where(xp1 > half_p, xp1 - self.p, xp1)
+        for i in range(level):
+            qi = primes[i]
+            inv_p = pow(self.p, -1, qi)
+            out0[i] = (acc0[i] - cp0) % qi * inv_p % qi
+            out1[i] = (acc1[i] - cp1) % qi * inv_p % qi
+
+        return CKKSCiphertext(
+            c0=np.mod(c0r + out0, np.array(primes, np.int64)[:, None]),
+            c1=out1,
+            level=level,
+            scale=ct.scale,
+        )

@@ -154,3 +154,11 @@ def default_ckks_params(n: int = 8192, n_limbs: int = 3) -> CKKSParams:
     """BASELINE.json config 3 operating point: CKKS N=8192, slot packing."""
     qs = tuple(find_ntt_primes(n, 30, n_limbs))
     return CKKSParams(n=n, scale_bits=26, qs=qs)
+
+
+@lru_cache(maxsize=None)
+def ckks_params_for(n: int, scale_bits: int, n_limbs: int) -> CKKSParams:
+    """CKKSParams from the runtime HEParams config knobs."""
+    return CKKSParams(
+        n=n, scale_bits=scale_bits, qs=tuple(find_ntt_primes(n, 30, n_limbs))
+    )

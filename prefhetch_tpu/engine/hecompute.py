@@ -27,16 +27,83 @@ from prefhetch_tpu.crypto.packing import pack_candidates
 from prefhetch_tpu.crypto.params import BFVParams
 
 
-class HEComputeService:
-    """Holds a BFV parameter context (no keys) + jitted device kernels."""
+class CKKSComputeService:
+    """Server-side CKKS slot-packed scoring (BASELINE config 3).
 
-    def __init__(self, params: BFVParams):
+    Slot layout: the query arrives replicated across all N/2 slots; the
+    server packs slots/d candidates per plaintext, multiplies slot-wise, and
+    rotate-accumulates log2(d) times so slot j·d carries ⟨q, x_j⟩. Rotations
+    use client-registered Galois keys (public; registered once per key id —
+    the server still holds NO secret material)."""
+
+    def __init__(self, params):
+        from prefhetch_tpu.crypto.ckks import CKKSContext
+
+        self.params = params
+        self.ctx = CKKSContext(params)
+        self._galois: dict = {}          # key_id -> {step: GaloisKey}
+
+    def register_keys(self, key_id: str, gks_wire: dict) -> None:
+        from prefhetch_tpu.crypto.ckks import GaloisKey
+
+        self._galois[key_id] = {
+            int(step): GaloisKey.from_wire(w) for step, w in gks_wire.items()
+        }
+
+    def has_keys(self, key_id: str) -> bool:
+        return key_id in self._galois
+
+    def encrypted_scores(self, ct, candidates: np.ndarray, key_id: str):
+        """Returns (result ciphertexts per block, candidate norms [P])."""
+        gks = self._galois[key_id]
+        ctx = self.ctx
+        P, d = candidates.shape
+        slots = self.params.n // 2
+        per_ct = slots // d
+        n_blocks = -(-P // per_ct)
+        padded = np.zeros((n_blocks * per_ct, d), np.float64)
+        padded[:P] = candidates
+
+        steps = []
+        r = d // 2
+        while r >= 1:
+            steps.append(r)
+            r //= 2
+
+        out = []
+        for b in range(n_blocks):
+            block = padded[b * per_ct : (b + 1) * per_ct].reshape(-1)
+            prod = ctx.mul_plain(ct, ctx.encode(block), ctx.scale)
+            acc = prod
+            for s in steps:
+                acc = ctx.add(acc, ctx.rotate(acc, s, gks[s]))
+            out.append(acc)
+        norms = (np.round(candidates).astype(np.int64) ** 2).sum(-1)
+        return out, norms
+
+
+class HEComputeService:
+    """Holds a BFV parameter context (no keys) + the batched MAC kernel.
+
+    Two backends:
+    - "numpy" (default): vectorized host NTT + pointwise modmul. Fast in
+      absolute terms (a candidate block costs one [B, N] batched NTT + one
+      multiply) and free of device-compile latency.
+    - "jax": the same computation jitted for the accelerator. NOTE: in the
+      current sandbox the unrolled int64 NTT makes XLA compile times
+      pathological; the planned production path is the MXU int8-matmul NTT
+      (digit-decomposed DFT matrix — 16 int8 matmuls per transform), tracked
+      as ops work.
+    """
+
+    def __init__(self, params: BFVParams, backend: str = "numpy"):
         self.params = params
         self.ctx = BFVContext(params)
-        self._qs = jnp.asarray(np.array(params.qs, np.int64))
+        self.backend = backend
+        self._qs = np.array(params.qs, np.int64)
 
     @functools.cached_property
-    def _mac_fn(self):
+    def _mac_fn_jax(self):
         tables = self.ctx.tables
 
         @jax.jit
@@ -57,6 +124,15 @@ class HEComputeService:
 
         return mac
 
+    def _mac_numpy(self, c0, c1, pt_polys):
+        outs0, outs1 = [], []
+        for i, tb in enumerate(self.ctx.tables):
+            q = tb.q
+            pt_ntt = ntt(pt_polys % q, tb)              # [B, N] numpy path
+            outs0.append(c0[i][None, :] * pt_ntt % q)
+            outs1.append(c1[i][None, :] * pt_ntt % q)
+        return np.stack(outs0, axis=1), np.stack(outs1, axis=1)
+
     def encrypted_scores(
         self,
         ct: Ciphertext,              # NTT-domain encrypted query poly
@@ -67,11 +143,13 @@ class HEComputeService:
         if not ct.is_ntt:
             ct = self.ctx.to_ntt(ct)
         polys, _ = pack_candidates(candidates, self.params)   # [n_blocks, N]
-        c0, c1 = self._mac_fn(
-            jnp.asarray(ct.c0), jnp.asarray(ct.c1), jnp.asarray(polys)
-        )
-        c0 = np.asarray(c0)
-        c1 = np.asarray(c1)
+        if self.backend == "jax":
+            c0, c1 = self._mac_fn_jax(
+                jnp.asarray(ct.c0), jnp.asarray(ct.c1), jnp.asarray(polys)
+            )
+            c0, c1 = np.asarray(c0), np.asarray(c1)
+        else:
+            c0, c1 = self._mac_numpy(ct.c0, ct.c1, polys)
         out = [
             Ciphertext(c0=c0[b], c1=c1[b], is_ntt=True)
             for b in range(c0.shape[0])

@@ -164,7 +164,7 @@ class QueryEngine:
     # -- service 3b: POST /encryptedsearch --------------------------------
     @property
     def he_service(self):
-        """Lazily-built homomorphic compute service (no keys held)."""
+        """Lazily-built BFV homomorphic compute service (no keys held)."""
         if not hasattr(self, "_he_service"):
             from prefhetch_tpu.crypto.params import bfv_params_for
             from prefhetch_tpu.engine.hecompute import HEComputeService
@@ -175,10 +175,26 @@ class QueryEngine:
             )
         return self._he_service
 
+    @property
+    def ckks_service(self):
+        """Lazily-built CKKS slot-packed scoring service."""
+        if not hasattr(self, "_ckks_service"):
+            from prefhetch_tpu.crypto.params import ckks_params_for
+            from prefhetch_tpu.engine.hecompute import CKKSComputeService
+
+            he = self.config.he
+            self._ckks_service = CKKSComputeService(
+                ckks_params_for(he.n, he.scale_bits, he.n_limbs)
+            )
+        return self._ckks_service
+
     def encrypted_precise_search(
         self,
         encrypted_queries: list,                 # [nq] ct wire dicts
         nearest_coarse_vector_idx: np.ndarray,   # [nq, P]
+        scheme: str = "bfv",
+        key_id: str | None = None,
+        galois_keys: dict | None = None,
     ):
         """Encrypted re-rank: Enc(⟨q,x⟩) MACs for the named candidates.
 
@@ -187,16 +203,31 @@ class QueryEngine:
         encrypted path the reference reserved
         (include/client/client_lib.h:28-36). Returns per query
         (result ct wires per block, candidate norms)."""
-        from prefhetch_tpu.crypto.bfv import Ciphertext
-
         base = np.asarray(self.base)
         out_cts, out_norms = [], []
-        for i, ct_wire in enumerate(encrypted_queries):
-            ct = Ciphertext.from_wire(ct_wire)
-            cands = base[np.asarray(nearest_coarse_vector_idx[i], np.int64)]
-            cts, norms = self.he_service.encrypted_scores(ct, cands)
-            out_cts.append([c.to_wire() for c in cts])
-            out_norms.append(norms.tolist())
+        if scheme == "ckks":
+            from prefhetch_tpu.crypto.ckks import CKKSCiphertext
+
+            svc = self.ckks_service
+            if galois_keys:
+                svc.register_keys(key_id, galois_keys)
+            if not svc.has_keys(key_id):
+                raise ValueError("unknown CKKS keyId — register Galois keys first")
+            for i, ct_wire in enumerate(encrypted_queries):
+                ct = CKKSCiphertext.from_wire(ct_wire)
+                cands = base[np.asarray(nearest_coarse_vector_idx[i], np.int64)]
+                cts, norms = svc.encrypted_scores(ct, cands, key_id)
+                out_cts.append([c.to_wire() for c in cts])
+                out_norms.append(norms.tolist())
+        else:
+            from prefhetch_tpu.crypto.bfv import Ciphertext
+
+            for i, ct_wire in enumerate(encrypted_queries):
+                ct = Ciphertext.from_wire(ct_wire)
+                cands = base[np.asarray(nearest_coarse_vector_idx[i], np.int64)]
+                cts, norms = self.he_service.encrypted_scores(ct, cands)
+                out_cts.append([c.to_wire() for c in cts])
+                out_norms.append(norms.tolist())
         return out_cts, out_norms
 
     # -- service 4: POST /precise-vector-pir ------------------------------

@@ -125,7 +125,13 @@ class _Handler(BaseHTTPRequestHandler):
         ntotal = self.engine.base.shape[0]
         if cand.min() < 0 or cand.max() >= ntotal:
             raise ValueError("vector index out of range")
-        cts, norms = self.engine.encrypted_precise_search(enc_queries, cand)
+        cts, norms = self.engine.encrypted_precise_search(
+            enc_queries,
+            cand,
+            scheme=body.get("scheme", "bfv"),
+            key_id=body.get("keyId"),
+            galois_keys=body.get("galoisKeys"),
+        )
         self._send_json(
             {"encryptedScores": cts, "candidateNorms": norms}
         )

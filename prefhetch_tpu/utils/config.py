@@ -80,8 +80,9 @@ class HEParams:
 
     scheme: str = "bfv"
     n: int = 4096
-    t_bits: int = 24
+    t_bits: int = 24       # BFV plaintext modulus bits
     n_limbs: int = 2
+    scale_bits: int = 26   # CKKS fixed-point scale (config 3: N=8192)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -35,8 +35,9 @@ def served(tmp_path_factory):
                           kmeans_iters=8, pq_kmeans_iters=8),
         protocol=ProtocolParams(nprobe=8, coarse_probe=60, k=20, nquery=4,
                                 encrypted_rerank=True),
-        # N=256 keeps test decryption fast; 8 candidates per block at d=32
-        he=HEParams(scheme="bfv", n=256, t_bits=24, n_limbs=2),
+        # N=256 keeps test decryption fast; 8 candidates per block at d=32.
+        # 3 limbs so the same server params serve the CKKS variant test.
+        he=HEParams(scheme="bfv", n=256, t_bits=24, n_limbs=3),
         nbase=2000,
         train_path=os.path.join(str(ds), "syn_learn.fvecs"),
         base_path=os.path.join(str(ds), "syn_base.fvecs"),
@@ -105,3 +106,39 @@ def test_full_encrypted_pipeline_recall(served):
     _, top_ids = client.run()
     rep = client.benchmark_results(top_ids)
     assert rep.recall_1 >= 0.5
+
+
+def test_ckks_encrypted_scores_close_to_plaintext(served):
+    """CKKS slot-packed scoring over HTTP: approximate distances must agree
+    with /precisesearch within CKKS precision, including the one-time
+    Galois-key registration round."""
+    import dataclasses
+
+    cfg, engine, addr = served
+    ckks_cfg = dataclasses.replace(
+        cfg, he=dataclasses.replace(cfg.he, scheme="ckks")
+    )
+    client = ClientPipeline(ckks_cfg, server_addr=addr)
+    q = client.get_query()
+    cent = client.get_centroids()
+    _, sorted_cent = client.sort_nearest_centroids(q, cent)
+    cs, ci, sizes = client.get_coarse_scores(sorted_cent, q)
+    sorted_coarse = client.compute_nearest_coarse_vectors(cs, ci, sizes)
+
+    enc_scores, cand = client.get_encrypted_precise_scores(sorted_coarse, q)
+    plain_scores, cand2 = client.get_precise_scores(sorted_coarse, q)
+    np.testing.assert_array_equal(cand, cand2)
+    # CKKS is approximate: require <0.1% relative error on SIFT-scale dists
+    np.testing.assert_allclose(enc_scores, plain_scores, rtol=2e-3, atol=20.0)
+
+    # second query batch must NOT resend galois keys
+    captured = {}
+    orig = client._post
+
+    def spy(route, payload):
+        captured[route] = payload
+        return orig(route, payload)
+
+    client._post = spy
+    client.get_encrypted_precise_scores(sorted_coarse, q)
+    assert "galoisKeys" not in captured["encryptedsearch"]
