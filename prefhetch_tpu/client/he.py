@@ -78,6 +78,20 @@ class HEClient:
         return {str(s): self._galois[s].to_wire() for s in steps}
 
     # -- encrypt ----------------------------------------------------------
+    def encrypt_query_batch(self, queries: np.ndarray) -> List[dict]:
+        """Encrypt a [nq, d] query batch (BFV: batched NTTs + one NTT-domain
+        conversion pass)."""
+        if self.scheme != "bfv":
+            return [self.encrypt_query(q) for q in queries]
+        ms = np.stack([encode_query_poly(q, self.params) for q in queries])
+        cts = self.ctx.encrypt_batch(self.pk, ms, self._rng)
+        out = []
+        for ct in cts:
+            w = self.ctx.to_ntt(ct).to_wire()
+            w["scheme"] = self.scheme
+            out.append(w)
+        return out
+
     def encrypt_query(self, q: np.ndarray) -> dict:
         """Query vector [d] → ciphertext wire dict (scheme-tagged)."""
         if self.scheme == "bfv":
@@ -94,6 +108,38 @@ class HEClient:
         return w
 
     # -- decrypt ----------------------------------------------------------
+    def decrypt_scores_batch(
+        self,
+        score_ct_wires_per_query: List[List[dict]],   # [nq][n_blocks]
+        norms: np.ndarray,                            # [nq, P]
+        queries: np.ndarray,                          # [nq, d]
+    ) -> np.ndarray:
+        """Decrypt all queries' score blocks in ONE batched pass → [nq, P]."""
+        if self.scheme != "bfv":
+            return np.stack(
+                [
+                    self.decrypt_scores(w, norms[i], queries[i])
+                    for i, w in enumerate(score_ct_wires_per_query)
+                ]
+            )
+        nq, P = norms.shape
+        d = queries.shape[1]
+        n_blocks = len(score_ct_wires_per_query[0])
+        all_cts = [
+            Ciphertext.from_wire(w)
+            for per_q in score_ct_wires_per_query
+            for w in per_q
+        ]
+        prods = self.ctx.decrypt_batch(self.sk, all_cts)      # [nq·B, N]
+        prods = prods.reshape(nq, n_blocks, -1)
+        out = np.empty((nq, P), np.float32)
+        for i in range(nq):
+            ips = extract_inner_products(prods[i], d, P)
+            out[i] = distances_from_inner_products(
+                queries[i], ips, np.asarray(norms[i])
+            )
+        return out
+
     def decrypt_scores(
         self,
         score_ct_wires: List[dict],     # per-block result ciphertexts
@@ -105,11 +151,8 @@ class HEClient:
         d = q.shape[0]
         P = norms.shape[0]
         if self.scheme == "bfv":
-            prods = np.stack(
-                [
-                    self.ctx.decrypt(self.sk, Ciphertext.from_wire(w))
-                    for w in score_ct_wires
-                ]
+            prods = self.ctx.decrypt_batch(
+                self.sk, [Ciphertext.from_wire(w) for w in score_ct_wires]
             )
             ips = extract_inner_products(prods, d, P)
         else:

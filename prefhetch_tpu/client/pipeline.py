@@ -204,24 +204,17 @@ class ClientPipeline:
         payload = {
             "scheme": he_client.scheme,
             "keyId": he_client.key_id,
-            "encryptedPreciseQuery": [
-                he_client.encrypt_query(q) for q in query
-            ],
+            "encryptedPreciseQuery": he_client.encrypt_query_batch(query),
             "nearestCoarseVectorIndexes": cand.tolist(),
         }
         gks = he_client.galois_keys_wire(query.shape[1])
         if gks is not None:
             payload["galoisKeys"] = gks
         resp = self._post("encryptedsearch", payload)
-        scores = np.stack(
-            [
-                he_client.decrypt_scores(
-                    resp["encryptedScores"][i],
-                    np.asarray(resp["candidateNorms"][i], np.int64),
-                    query[i],
-                )
-                for i in range(query.shape[0])
-            ]
+        scores = he_client.decrypt_scores_batch(
+            resp["encryptedScores"],
+            np.asarray(resp["candidateNorms"], np.int64),
+            query,
         )
         return scores, cand
 

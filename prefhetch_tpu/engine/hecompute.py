@@ -103,6 +103,28 @@ class HEComputeService:
         self._qs = np.array(params.qs, np.int64)
 
     @functools.cached_property
+    def _mac_fn_mxu(self):
+        """TPU production path: forward NTT as digit-decomposed int8 MXU
+        matmuls (ops/ntt_mxu.py), pointwise modular MAC in 64-bit lanes."""
+        from prefhetch_tpu.ops.ntt_mxu import build_mxu_tables, ntt_mxu
+
+        tables = [
+            build_mxu_tables(q, self.params.n) for q in self.params.qs
+        ]
+
+        @jax.jit
+        def mac(c0, c1, pt_polys):
+            outs0, outs1 = [], []
+            for i, tb in enumerate(tables):
+                q = tb.q
+                pt_ntt = ntt_mxu(pt_polys % q, tb)      # [B, N] int64
+                outs0.append(c0[i][None, :] * pt_ntt % q)
+                outs1.append(c1[i][None, :] * pt_ntt % q)
+            return jnp.stack(outs0, axis=1), jnp.stack(outs1, axis=1)
+
+        return mac
+
+    @functools.cached_property
     def _mac_fn_jax(self):
         tables = self.ctx.tables
 
@@ -143,7 +165,12 @@ class HEComputeService:
         if not ct.is_ntt:
             ct = self.ctx.to_ntt(ct)
         polys, _ = pack_candidates(candidates, self.params)   # [n_blocks, N]
-        if self.backend == "jax":
+        if self.backend == "tpu":
+            c0, c1 = self._mac_fn_mxu(
+                jnp.asarray(ct.c0), jnp.asarray(ct.c1), jnp.asarray(polys)
+            )
+            c0, c1 = np.asarray(c0), np.asarray(c1)
+        elif self.backend == "jax":
             c0, c1 = self._mac_fn_jax(
                 jnp.asarray(ct.c0), jnp.asarray(ct.c1), jnp.asarray(polys)
             )
@@ -156,3 +183,35 @@ class HEComputeService:
         ]
         norms = (np.round(candidates).astype(np.int64) ** 2).sum(-1)
         return out, norms
+
+    def encrypted_scores_batch(
+        self,
+        cts: List[Ciphertext],        # [nq] NTT-domain encrypted queries
+        candidates: np.ndarray,       # [nq, P, d]
+    ) -> Tuple[List[List[Ciphertext]], np.ndarray]:
+        """Batched MACs: one NTT over all (query, block) plaintexts at once.
+
+        Returns ([nq][n_blocks] result cts, norms [nq, P])."""
+        nq, P, d = candidates.shape
+        cts = [self.ctx.to_ntt(c) if not c.is_ntt else c for c in cts]
+        polys = np.stack(
+            [pack_candidates(candidates[i], self.params)[0] for i in range(nq)]
+        )                                              # [nq, n_blocks, N]
+        n_blocks = polys.shape[1]
+        flat = polys.reshape(nq * n_blocks, -1)
+        c0q = np.stack([c.c0 for c in cts])            # [nq, L, N]
+        c1q = np.stack([c.c1 for c in cts])
+        out0 = np.empty((nq, n_blocks, len(self.params.qs), self.params.n), np.int64)
+        out1 = np.empty_like(out0)
+        for i, tb in enumerate(self.ctx.tables):
+            q = tb.q
+            pt_ntt = ntt(flat % q, tb).reshape(nq, n_blocks, -1)
+            out0[:, :, i] = c0q[:, None, i] * pt_ntt % q
+            out1[:, :, i] = c1q[:, None, i] * pt_ntt % q
+        result = [
+            [Ciphertext(c0=out0[qi, b], c1=out1[qi, b], is_ntt=True)
+             for b in range(n_blocks)]
+            for qi in range(nq)
+        ]
+        norms = (np.round(candidates).astype(np.int64) ** 2).sum(-1)
+        return result, norms

@@ -222,12 +222,14 @@ class QueryEngine:
         else:
             from prefhetch_tpu.crypto.bfv import Ciphertext
 
-            for i, ct_wire in enumerate(encrypted_queries):
-                ct = Ciphertext.from_wire(ct_wire)
-                cands = base[np.asarray(nearest_coarse_vector_idx[i], np.int64)]
-                cts, norms = self.he_service.encrypted_scores(ct, cands)
-                out_cts.append([c.to_wire() for c in cts])
-                out_norms.append(norms.tolist())
+            cts_in = [Ciphertext.from_wire(w) for w in encrypted_queries]
+            cands = base[np.asarray(nearest_coarse_vector_idx, np.int64)]
+            results, norms = self.he_service.encrypted_scores_batch(
+                cts_in, cands
+            )
+            for i, blocks in enumerate(results):
+                out_cts.append([c.to_wire() for c in blocks])
+                out_norms.append(norms[i].tolist())
         return out_cts, out_norms
 
     # -- service 4: POST /precise-vector-pir ------------------------------

@@ -1,0 +1,123 @@
+"""Negacyclic NTT on the MXU: digit-decomposed DFT matmul.
+
+The butterfly-network NTT (crypto/ntt.py) is VPU/elementwise work with a
+log N-deep dependency chain — the wrong shape for TPU, and its unrolled
+int64 stages also blow up XLA compile time. The MXU formulation used here:
+
+    NTT(a)[j] = Σ_k a_k ψ^{k(2j+1)}  — one N×N matrix-vector product mod q.
+
+Exact integer matmul on the MXU via balanced base-256 digits:
+    a = Σ_d A_d·2^{8d},  F = Σ_e F_e·2^{8e},   A_d, F_e ∈ [-128, 127]
+so  a @ F = Σ_{d,e} 2^{8(d+e)} (A_d @ F_e)
+with every A_d @ F_e an int8×int8→int32 MXU matmul whose accumulators stay
+< N·128² ≤ 2^26 (exact). Partial sums are grouped by digit weight s = d+e
+(< 2^29) and recombined with 2^{8s} mod q in 64-bit lanes.
+
+O(N²) instead of O(N log N), but N² int8 MACs is microseconds of MXU time
+at N≤8192, the program is tiny (16 matmuls — fast to compile), and there is
+no deep dependency chain. This is the production path for the server-side
+homomorphic MAC (SURVEY.md §7.4 hard-part #1: "lay out NTTs to hit the MXU").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prefhetch_tpu.crypto.params import root_of_unity
+
+N_DIGITS = 4  # 4 × 8-bit balanced digits cover q < 2^31
+
+
+class MXUNTTTables(NamedTuple):
+    q: int
+    n: int
+    f_digits: np.ndarray    # [4, N, N] int8 — forward matrix digits
+    g_digits: np.ndarray    # [4, N, N] int8 — inverse matrix digits
+    weights: np.ndarray     # [7] int64 — 2^{8s} mod q for s = d+e
+
+
+def _balanced_digits_int(mat: np.ndarray, q: int) -> np.ndarray:
+    """[N, N] int64 in [0, q) → [4, N, N] int8 balanced base-256 digits."""
+    x = mat.astype(np.int64).copy()
+    out = np.empty((N_DIGITS,) + mat.shape, np.int8)
+    for d in range(N_DIGITS):
+        r = ((x + 128) % 256) - 128
+        out[d] = r.astype(np.int8)
+        x = (x - r) >> 8
+    assert np.all(x == 0), "digits must reconstruct exactly"
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def build_mxu_tables(q: int, n: int) -> MXUNTTTables:
+    psi = root_of_unity(q, 2 * n)
+    inv_psi = pow(psi, -1, q)
+    inv_n = pow(n, -1, q)
+    # F[k, j] = ψ^{k(2j+1)} ;  G[j, k] = N⁻¹·ψ^{-k(2j+1)}
+    # (INTT(v)[k] = N⁻¹ Σ_j v_j ψ^{-k(2j+1)})
+    psi_pows = np.array([pow(psi, int(e), q) for e in range(2 * n)], np.int64)
+    ipsi_pows = np.array([pow(inv_psi, int(e), q) for e in range(2 * n)], np.int64)
+    kk, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    F = psi_pows[(kk * (2 * jj + 1)) % (2 * n)]
+    G = (ipsi_pows[(kk * (2 * jj + 1)) % (2 * n)] * inv_n % q).T
+    weights = np.array(
+        [pow(2, 8 * s, q) for s in range(2 * N_DIGITS - 1)], np.int64
+    )
+    return MXUNTTTables(
+        q=q, n=n,
+        f_digits=_balanced_digits_int(F, q),
+        g_digits=_balanced_digits_int(G, q),
+        weights=weights,
+    )
+
+
+def _digits_of(x: jax.Array) -> List[jax.Array]:
+    """[B, N] int32 in [0, q) → 4 × [B, N] int8 balanced digits (traced)."""
+    x = x.astype(jnp.int32)
+    outs = []
+    for _ in range(N_DIGITS):
+        r = ((x + 128) % 256) - 128
+        outs.append(r.astype(jnp.int8))
+        x = (x - r) >> 8
+    return outs
+
+
+def _matmul_mod(x: jax.Array, digit_mats: jax.Array, weights: jax.Array, q: int) -> jax.Array:
+    """x [B, N] int32 residues → x @ M mod q via 16 int8 MXU matmuls."""
+    xd = _digits_of(x)
+    n_s = 2 * N_DIGITS - 1
+    partial = [None] * n_s                       # grouped by s = d+e
+    for d in range(N_DIGITS):
+        for e in range(N_DIGITS):
+            p = jax.lax.dot_general(
+                xd[d], digit_mats[e],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )                                    # [B, N] int32, |p| < 2^26
+            s = d + e
+            partial[s] = p if partial[s] is None else partial[s] + p
+    acc = jnp.zeros(x.shape, jnp.int64)
+    for s in range(n_s):
+        acc = acc + partial[s].astype(jnp.int64) * weights[s]
+    return jnp.mod(acc, q)
+
+
+def ntt_mxu(x: jax.Array, tables: MXUNTTTables) -> jax.Array:
+    """Forward negacyclic NTT of [B, N] int residues (returns int64 [B, N])."""
+    return _matmul_mod(
+        x.astype(jnp.int32), jnp.asarray(tables.f_digits),
+        jnp.asarray(tables.weights), tables.q,
+    )
+
+
+def intt_mxu(x: jax.Array, tables: MXUNTTTables) -> jax.Array:
+    """Inverse negacyclic NTT of [B, N] int residues."""
+    return _matmul_mod(
+        x.astype(jnp.int32), jnp.asarray(tables.g_digits),
+        jnp.asarray(tables.weights), tables.q,
+    )

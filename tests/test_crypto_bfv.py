@@ -100,6 +100,19 @@ def test_mul_plain_ntt(ctx, keys, rng):
     np.testing.assert_array_equal(got, ref % t)
 
 
+def test_decrypt_batch_matches_single(ctx, keys, rng):
+    sk, pk = keys
+    t = ctx.params.t
+    ms = [rng.integers(0, t, ctx.params.n).astype(np.int64) for _ in range(4)]
+    cts = [ctx.encrypt(pk, m, rng) for m in ms]
+    cts[1] = ctx.to_ntt(cts[1])  # mixed domains not allowed in one batch —
+    cts[1] = ctx.from_ntt(cts[1])  # roundtrip to keep domain uniform
+    batch = ctx.decrypt_batch(sk, cts)
+    for i, m in enumerate(ms):
+        np.testing.assert_array_equal(batch[i], m)
+        np.testing.assert_array_equal(batch[i], ctx.decrypt(sk, cts[i]))
+
+
 def test_ciphertext_wire_roundtrip(ctx, keys, rng):
     sk, pk = keys
     from prefhetch_tpu.crypto.bfv import Ciphertext
