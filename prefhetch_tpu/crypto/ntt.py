@@ -108,10 +108,40 @@ def _cyclic_ntt_core(x, tables: NTTTables, inverse: bool):
     return x
 
 
+import os
+
+_NATIVE_DISABLED = os.environ.get("PFH_NO_NATIVE", "") not in ("", "0")
+_native_ntts: dict = {}
+
+
+def _native_transform(x: np.ndarray, tables: NTTTables, inverse: bool):
+    """Route host-side transforms through the C++ Shoup NTT when built
+    (native/prefhetch_native.cpp) — ~10× over the numpy butterfly path."""
+    if _NATIVE_DISABLED:
+        return None
+    try:
+        from prefhetch_tpu import native
+    except ImportError:
+        return None
+    if not native.available():
+        return None
+    key = (tables.q, tables.n, inverse)
+    fn = _native_ntts.get(key)
+    if fn is None:
+        fn = native.NativeNTT(tables.q, tables.n, inverse=inverse)
+        _native_ntts[key] = fn
+    shape = x.shape
+    return fn(x).reshape(shape)
+
+
 def ntt(x, tables: NTTTables):
     """Forward negacyclic NTT along the last axis (numpy or jax input)."""
     xp = _xp_of(x)
     q = tables.q
+    if xp is np:
+        out = _native_transform(np.asarray(x, np.int64), tables, inverse=False)
+        if out is not None:
+            return out
     psi = tables.psi_pows if xp is np else jnp.asarray(tables.psi_pows)
     return _cyclic_ntt_core(x * psi % q, tables, inverse=False)
 
@@ -120,6 +150,10 @@ def intt(x, tables: NTTTables):
     """Inverse negacyclic NTT along the last axis (numpy or jax input)."""
     xp = _xp_of(x)
     q = tables.q
+    if xp is np:
+        out = _native_transform(np.asarray(x, np.int64), tables, inverse=True)
+        if out is not None:
+            return out
     ipsi = tables.ipsi_pows if xp is np else jnp.asarray(tables.ipsi_pows)
     y = _cyclic_ntt_core(x, tables, inverse=True)
     return y * ipsi % q

@@ -24,6 +24,17 @@ def _read_vecs(path: str, dtype: np.dtype) -> np.ndarray:
     if not os.path.exists(path):
         # reference aborts on unreadable dataset (client_server_utils.h:28-32)
         raise FileNotFoundError(f"could not open {path}")
+    if os.environ.get("PFH_NO_NATIVE", "") in ("", "0"):
+        try:
+            from prefhetch_tpu import native
+
+            if native.available():
+                base = np.float32 if dtype == np.float32 else np.int32
+                out = native.read_vecs_native(path, base)
+                if out is not None:
+                    return out.astype(dtype, copy=False)
+        except ImportError:
+            pass
     size = os.path.getsize(path)
     if size == 0:
         raise ValueError(f"{path}: empty vecs file")

@@ -1,0 +1,177 @@
+"""ctypes bindings to the native C++ runtime library (native/*.cpp).
+
+Builds lazily with g++ on first use and caches the .so; every consumer
+falls back to the pure-python path when the toolchain or build is
+unavailable, so the framework never hard-depends on the native layer.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "prefhetch_native.cpp")
+_BUILD_DIR = os.path.join(_REPO_ROOT, "native", "build")
+_SO = os.path.join(_BUILD_DIR, "libprefhetch_native.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-pthread", _SRC, "-o", _SO,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded native library, or None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        i64 = ctypes.c_int64
+        lib.pfh_vecs_header.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(i64), ctypes.POINTER(i64)
+        ]
+        lib.pfh_vecs_header.restype = ctypes.c_int
+        lib.pfh_vecs_read.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, i64, i64
+        ]
+        lib.pfh_vecs_read.restype = ctypes.c_int
+        lib.pfh_json_encode_f32.argtypes = [
+            ctypes.c_void_p, i64, ctypes.c_char_p, i64
+        ]
+        lib.pfh_json_encode_f32.restype = i64
+        lib.pfh_json_encode_i64.argtypes = [
+            ctypes.c_void_p, i64, ctypes.c_char_p, i64
+        ]
+        lib.pfh_json_encode_i64.restype = i64
+        lib.pfh_json_decode_f64.argtypes = [
+            ctypes.c_char_p, i64, ctypes.c_void_p, i64
+        ]
+        lib.pfh_json_decode_f64.restype = i64
+        lib.pfh_ntt_batch.argtypes = [
+            ctypes.c_void_p, i64, i64, i64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.pfh_ntt_batch.restype = None
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+# ---------------------------------------------------------------------------
+def read_vecs_native(path: str, dtype) -> Optional[np.ndarray]:
+    """Native fvecs/ivecs read; None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    d = ctypes.c_int64()
+    n = ctypes.c_int64()
+    rc = lib.pfh_vecs_header(path.encode(), ctypes.byref(d), ctypes.byref(n))
+    if rc != 0:
+        raise ValueError(f"{path}: native header error {rc}")
+    out = np.empty((n.value, d.value), dtype=dtype)
+    rc = lib.pfh_vecs_read(
+        path.encode(), out.ctypes.data_as(ctypes.c_void_p), n.value, d.value
+    )
+    if rc != 0:
+        raise ValueError(f"{path}: native read error {rc}")
+    return out
+
+
+def json_encode_f32(x: np.ndarray) -> Optional[str]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    cap = x.size * 24 + 16
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.pfh_json_encode_f32(
+        x.ctypes.data_as(ctypes.c_void_p), x.size, buf, cap
+    )
+    if n < 0:
+        return None
+    return buf.raw[:n].decode()
+
+
+def json_encode_i64(x: np.ndarray) -> Optional[str]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.int64)
+    cap = x.size * 24 + 16
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.pfh_json_encode_i64(
+        x.ctypes.data_as(ctypes.c_void_p), x.size, buf, cap
+    )
+    if n < 0:
+        return None
+    return buf.raw[:n].decode()
+
+
+class NativeNTT:
+    """Shoup-multiplication negacyclic NTT (threaded) for one prime."""
+
+    def __init__(self, q: int, n: int, inverse: bool = False):
+        from prefhetch_tpu.crypto.ntt import build_tables
+
+        self.q, self.n, self.inverse = q, n, inverse
+        tb = build_tables(q, n)
+        tws = tb.stage_itw if inverse else tb.stage_tw
+        tw = np.concatenate(tws)
+        psi = tb.ipsi_pows if inverse else tb.psi_pows
+
+        def shoup(a):
+            return np.array([(int(v) << 64) // q for v in a], np.uint64).astype(
+                np.int64
+            )
+
+        self.tw = np.ascontiguousarray(tw, np.int64)
+        self.tw_sh = shoup(tw)
+        self.psi = np.ascontiguousarray(psi, np.int64)
+        self.psi_sh = shoup(psi)
+        self.bitrev = np.ascontiguousarray(tb.bitrev, np.int64)
+
+    def __call__(self, x: np.ndarray, n_threads: int = 4) -> np.ndarray:
+        lib = get_lib()
+        assert lib is not None
+        x = np.ascontiguousarray(x.reshape(-1, self.n), np.int64).copy()
+        lib.pfh_ntt_batch(
+            x.ctypes.data_as(ctypes.c_void_p), x.shape[0], self.n, self.q,
+            self.psi.ctypes.data_as(ctypes.c_void_p),
+            self.psi_sh.ctypes.data_as(ctypes.c_void_p),
+            self.tw.ctypes.data_as(ctypes.c_void_p),
+            self.tw_sh.ctypes.data_as(ctypes.c_void_p),
+            self.bitrev.ctypes.data_as(ctypes.c_void_p),
+            0 if self.inverse else 1,   # twist_first: fwd twists before
+            n_threads,
+        )
+        return x
