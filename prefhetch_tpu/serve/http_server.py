@@ -19,9 +19,11 @@ unconditionally and never returns HTTP errors — malformed requests get 400s.
 
 from __future__ import annotations
 
+import collections
 import json
 import logging
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -32,8 +34,45 @@ from prefhetch_tpu.engine.server import QueryEngine
 logger = logging.getLogger("prefhetch.serve")
 
 
+class ServerStats:
+    """Per-route request counters + latency aggregates.
+
+    Server-side observability the reference lacks entirely (its only timer
+    is client-side, SURVEY.md §5.1). Exposed at GET /stats."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._counts = collections.Counter()
+        self._errors = collections.Counter()
+        self._total_s = collections.defaultdict(float)
+        self._max_s = collections.defaultdict(float)
+
+    def record(self, route: str, seconds: float, ok: bool) -> None:
+        with self._lock:
+            self._counts[route] += 1
+            if not ok:
+                self._errors[route] += 1
+            self._total_s[route] += seconds
+            self._max_s[route] = max(self._max_s[route], seconds)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            return {
+                route: {
+                    "count": self._counts[route],
+                    "errors": self._errors[route],
+                    "mean_ms": round(
+                        self._total_s[route] / self._counts[route] * 1e3, 3
+                    ),
+                    "max_ms": round(self._max_s[route] * 1e3, 3),
+                }
+                for route in self._counts
+            }
+
+
 class _Handler(BaseHTTPRequestHandler):
     engine: QueryEngine = None  # injected by make_server
+    stats: ServerStats = None
     protocol_version = "HTTP/1.1"
 
     # quiet default request logging
@@ -53,20 +92,33 @@ class _Handler(BaseHTTPRequestHandler):
         return json.loads(self.rfile.read(length))
 
     def do_GET(self):  # noqa: N802
-        if self.path.rstrip("/") in ("", "/query".rstrip("/")) or self.path == "/query":
-            # GET /query → bare centroid array (reference: Query.cc:17-23)
-            centroids = self.engine.retrieve_centroids()
-            self._send_json(centroids.tolist())
-        elif self.path == "/healthz":
-            self._send_json({"status": "ok", "ntotal": self.engine.index.ntotal})
-        else:
-            self._send_json({"error": "not found"}, 404)
+        t0 = time.perf_counter()
+        ok = True
+        try:
+            if self.path == "/query" or self.path.rstrip("/") == "":
+                # GET /query → bare centroid array (reference: Query.cc:17-23)
+                centroids = self.engine.retrieve_centroids()
+                self._send_json(centroids.tolist())
+            elif self.path == "/healthz":
+                self._send_json(
+                    {"status": "ok", "ntotal": self.engine.index.ntotal}
+                )
+            elif self.path == "/stats":
+                self._send_json(self.stats.snapshot())
+            else:
+                ok = False
+                self._send_json({"error": "not found"}, 404)
+        finally:
+            self.stats.record(f"GET {self.path}", time.perf_counter() - t0, ok)
 
     def do_POST(self):  # noqa: N802
+        t0 = time.perf_counter()
+        ok = True
         try:
             body = self._read_json()
         except (ValueError, KeyError) as e:
             self._send_json({"error": f"bad json: {e}"}, 400)
+            self.stats.record(f"POST {self.path}", time.perf_counter() - t0, False)
             return
         try:
             if self.path == "/coarsesearch":
@@ -78,9 +130,13 @@ class _Handler(BaseHTTPRequestHandler):
             elif self.path == "/precise-vector-pir":
                 self._precise_vector_pir(body)
             else:
+                ok = False
                 self._send_json({"error": "not found"}, 404)
         except (KeyError, TypeError, ValueError, IndexError) as e:
+            ok = False
             self._send_json({"error": str(e)}, 400)
+        finally:
+            self.stats.record(f"POST {self.path}", time.perf_counter() - t0, ok)
 
     # reference: Query.cc:29-63
     def _coarse_search(self, body):
@@ -151,7 +207,9 @@ class _Handler(BaseHTTPRequestHandler):
 def make_server(
     engine: QueryEngine, host: str = "0.0.0.0", port: int = 8080
 ) -> ThreadingHTTPServer:
-    handler = type("BoundHandler", (_Handler,), {"engine": engine})
+    handler = type(
+        "BoundHandler", (_Handler,), {"engine": engine, "stats": ServerStats()}
+    )
     return ThreadingHTTPServer((host, port), handler)
 
 
