@@ -36,6 +36,16 @@ class PublicKey:
 
 
 @dataclasses.dataclass
+class RelinKey:
+    """Relinearization (evaluation) key for s², special-modulus form."""
+
+    special_p: int
+    b: np.ndarray            # [n_comp, L+1, N]
+    a: np.ndarray            # [n_comp, L+1, N]
+    ext: tuple               # basis qs + (special_p,)
+
+
+@dataclasses.dataclass
 class Ciphertext:
     """BFV ciphertext (c0, c1); is_ntt marks NTT-domain representation."""
 
@@ -275,6 +285,201 @@ class BFVContext:
             worst = max(worst, noise)
         budget = (q // (2 * t)).bit_length() - max(worst, 1).bit_length()
         return budget
+
+    # -- ct × ct multiplication + relinearization --------------------------
+    # Tensor products must be computed over the integers (coefficients up to
+    # N·q² ≈ 2^132) before the t/q rounding; this implementation evaluates
+    # them exactly in an extended RNS basis (enough extra NTT primes to
+    # cover N·q²), CRT-composes, rounds, and reduces back — the textbook
+    # exact construction (production RNS variants like BEHZ replace the
+    # compose step with floating-point base conversion).
+
+    @property
+    def _ext_basis(self):
+        if not hasattr(self, "_ext_cached"):
+            from prefhetch_tpu.crypto.params import find_ntt_primes
+
+            L = len(self.params.qs)
+            need_bits = (
+                self.params.q.bit_length() * 2
+                + self.params.n.bit_length() + 2
+            )
+            n_extra = -(-max(0, need_bits - 30 * L) // 29)
+            allp = find_ntt_primes(self.params.n, 30, L + n_extra + 1)
+            aux = tuple(pp for pp in allp if pp not in self.params.qs)[
+                : n_extra + 1
+            ]
+            self._ext_cached = tuple(self.params.qs) + aux
+            self._ext_tables = [
+                build_tables(q, self.params.n) for q in self._ext_cached
+            ]
+        return self._ext_cached
+
+    def _lift_to_basis(self, x_rns: np.ndarray) -> np.ndarray:
+        """[L, N] residues mod qs → [B, N] residues over the full ext basis
+        (via exact CRT compose of the [0, q) representative)."""
+        basis = self._ext_basis
+        big = self._crt_compose(np.mod(x_rns, np.array(self.params.qs)[:, None]))
+        out = np.empty((len(basis), self.params.n), np.int64)
+        for i, q in enumerate(basis):
+            out[i] = np.array([b % q for b in big], np.int64)
+        return out
+
+    def mul(self, x: Ciphertext, y: Ciphertext, rk: "RelinKey") -> Ciphertext:
+        """Homomorphic ct×ct with relinearization (the SEAL capability the
+        reference linked but never called)."""
+        x = self.from_ntt(x) if x.is_ntt else x
+        y = self.from_ntt(y) if y.is_ntt else y
+        basis = self._ext_basis
+        tables = self._ext_tables
+        p = self.params
+
+        def polymul_basis(a, b):
+            out = np.empty((len(basis), p.n), np.int64)
+            for i, tb in enumerate(tables):
+                out[i] = intt(ntt(a[i], tb) * ntt(b[i], tb) % tb.q, tb)
+            return out
+
+        x0 = self._lift_to_basis(x.c0)
+        x1 = self._lift_to_basis(x.c1)
+        y0 = self._lift_to_basis(y.c0)
+        y1 = self._lift_to_basis(y.c1)
+        qb = np.array(basis, np.int64)[:, None]
+        d0 = polymul_basis(x0, y0)
+        d1 = np.mod(polymul_basis(x0, y1) + polymul_basis(x1, y0), qb)
+        d2 = polymul_basis(x1, y1)
+
+        # exact compose over the big basis, then round(t·d/q) mod q
+        Q = 1
+        for q in basis:
+            Q *= q
+        comps = []
+        for i, qi in enumerate(basis):
+            qhat = Q // qi
+            comps.append((qhat, pow(qhat % qi, -1, qi), qi))
+
+        def round_scale(d):
+            out = np.empty((len(p.qs), p.n), np.int64)
+            col = [0] * p.n
+            for j in range(p.n):
+                acc = 0
+                for i, (qhat, inv, qi) in enumerate(comps):
+                    acc += qhat * ((int(d[i, j]) * inv) % qi)
+                v = acc % Q
+                if v > Q // 2:                    # center: negacyclic signs
+                    v -= Q                        # make coefficients negative
+                r = (v * p.t + p.q // 2) // p.q   # round(t·v/q), sign-correct
+                col[j] = r
+            for i, qi in enumerate(p.qs):
+                out[i] = np.array([c % qi for c in col], np.int64)
+            return out
+
+        c0 = round_scale(d0)
+        c1 = round_scale(d1)
+        c2 = round_scale(d2)
+        ks0, ks1 = self._key_switch(c2, rk)
+        qs = np.array(p.qs, np.int64)[:, None]
+        return Ciphertext(
+            c0=np.mod(c0 + ks0, qs), c1=np.mod(c1 + ks1, qs)
+        )
+
+    def relin_keygen(self, sk: SecretKey, rng) -> "RelinKey":
+        """Evaluation key for s² (special-modulus, 15-bit digit decomposed)."""
+        from prefhetch_tpu.crypto.params import find_ntt_primes
+
+        p = self.params
+        # special modulus: next NTT prime not in qs / aux basis
+        sp = [
+            q for q in find_ntt_primes(p.n, 30, len(self._ext_basis) + 2)
+            if q not in self._ext_basis
+        ][0]
+        ext = tuple(p.qs) + (sp,)
+        ext_tables = [build_tables(q, p.n) for q in ext]
+        qs_ext = np.array(ext, np.int64)[:, None]
+
+        def polymul_ext(a, b):
+            out = np.empty((len(ext), p.n), np.int64)
+            for i, tb in enumerate(ext_tables):
+                out[i] = intt(ntt(a[i], tb) * ntt(b[i], tb) % tb.q, tb)
+            return out
+
+        def to_ext_rns(small):
+            return np.mod(small[None, :].astype(np.int64), qs_ext)
+
+        # s over ext basis (ternary, small) and s²
+        s_small_signed = np.where(
+            sk.s_rns[0] > self.params.qs[0] // 2,
+            sk.s_rns[0] - self.params.qs[0],
+            sk.s_rns[0],
+        )
+        s_ext = to_ext_rns(s_small_signed)
+        s2_ext = polymul_ext(s_ext, s_ext)
+
+        digit_bits = 15
+        n_digits = -(-30 // digit_bits)
+        big_q = p.q
+        comps_b, comps_a = [], []
+        for i, qi in enumerate(p.qs):
+            qhat = big_q // qi
+            Pi = qhat * pow(qhat % qi, -1, qi) % big_q
+            for d in range(n_digits):
+                W = 1 << (d * digit_bits)
+                factor = Pi * W * sp % (big_q * sp)
+                fac = np.array([factor % q for q in ext], np.int64)[:, None]
+                a_big = [int(v) for v in rng.integers(0, 1 << 62, size=p.n)]
+                a_rns = np.stack(
+                    [np.array([c % q for c in a_big], np.int64) for q in ext]
+                )
+                e_rns = to_ext_rns(_sample_error(rng, p.n))
+                b_rns = np.mod(
+                    -(polymul_ext(a_rns, s_ext) + e_rns)
+                    + fac * s2_ext % qs_ext,
+                    qs_ext,
+                )
+                comps_b.append(b_rns)
+                comps_a.append(a_rns)
+        return RelinKey(
+            special_p=sp, b=np.stack(comps_b), a=np.stack(comps_a),
+            ext=ext,
+        )
+
+    def _key_switch(self, poly: np.ndarray, rk: "RelinKey"):
+        """Σ digits(poly) · rk over qs+[p], then exact division by p."""
+        p = self.params
+        ext = rk.ext
+        ext_tables = [build_tables(q, p.n) for q in ext]
+        qe = np.array(ext, np.int64)[:, None]
+        digit_bits = 15
+        n_digits = -(-30 // digit_bits)
+        mask = (1 << digit_bits) - 1
+        acc0 = np.zeros((len(ext), p.n), np.int64)
+        acc1 = np.zeros((len(ext), p.n), np.int64)
+
+        def polymul_ext(a, b):
+            out = np.empty((len(ext), p.n), np.int64)
+            for i, tb in enumerate(ext_tables):
+                out[i] = intt(ntt(a[i], tb) * ntt(b[i], tb) % tb.q, tb)
+            return out
+
+        for i in range(len(p.qs)):
+            limb = poly[i]
+            for d in range(n_digits):
+                digit = (limb >> (d * digit_bits)) & mask
+                comp = i * n_digits + d
+                digit_rns = np.mod(digit[None, :], qe)
+                acc0 = (acc0 + polymul_ext(digit_rns, rk.b[comp])) % qe
+                acc1 = (acc1 + polymul_ext(digit_rns, rk.a[comp])) % qe
+        sp = rk.special_p
+        half = sp // 2
+        cp0 = np.where(acc0[-1] > half, acc0[-1] - sp, acc0[-1])
+        cp1 = np.where(acc1[-1] > half, acc1[-1] - sp, acc1[-1])
+        out0 = np.empty((len(p.qs), p.n), np.int64)
+        out1 = np.empty_like(out0)
+        for i, qi in enumerate(p.qs):
+            inv_p = pow(sp, -1, qi)
+            out0[i] = (acc0[i] - cp0) % qi * inv_p % qi
+            out1[i] = (acc1[i] - cp1) % qi * inv_p % qi
+        return out0, out1
 
     # -- homomorphic ops -------------------------------------------------
     def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:

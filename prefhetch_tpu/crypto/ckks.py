@@ -220,8 +220,12 @@ class CKKSContext:
             b_rns=b_rns, a_rns=a_rns
         )
 
-    def encrypt(self, pk: CKKSPublicKey, pt_coeffs: np.ndarray, rng) -> CKKSCiphertext:
-        """pt_coeffs: signed int64 [N] (already scaled by Δ)."""
+    def encrypt(
+        self, pk: CKKSPublicKey, pt_coeffs: np.ndarray, rng,
+        scale: float | None = None,
+    ) -> CKKSCiphertext:
+        """pt_coeffs: signed int64 [N] (already scaled — pass the matching
+        `scale` when it differs from the context default Δ)."""
         L = len(self.qs)
         u = self._to_rns(_sample_ternary(rng, self.params.n), L)
         e1 = self._to_rns(_sample_error(rng, self.params.n), L)
@@ -230,7 +234,9 @@ class CKKSContext:
         qs = np.array(self.qs, np.int64)[:, None]
         c0 = np.mod(self._polymul(pk.b_rns, u, self.qs) + e1 + m, qs)
         c1 = np.mod(self._polymul(pk.a_rns, u, self.qs) + e2, qs)
-        return CKKSCiphertext(c0=c0, c1=c1, level=L, scale=self.scale)
+        return CKKSCiphertext(
+            c0=c0, c1=c1, level=L, scale=scale or self.scale
+        )
 
     def decrypt_coeffs(self, sk: CKKSSecretKey, ct: CKKSCiphertext) -> np.ndarray:
         """→ signed big-int coefficient vector [N] (CRT-composed, centered)."""
@@ -295,6 +301,112 @@ class CKKSContext:
             c0=out0, c1=out1, level=l, scale=ct.scale / ql
         )
 
+    def mul(
+        self, x: CKKSCiphertext, y: CKKSCiphertext, rk: "GaloisKey"
+    ) -> CKKSCiphertext:
+        """ct × ct with relinearization + rescale.
+
+        Tensor product (d0, d1, d2) = (x0·y0, x0·y1 + x1·y0, x1·y1); the
+        quadratic term d2·s² is switched back to degree 1 with the
+        relinearization key (same special-modulus digit key-switch machinery
+        as rotations, with s² in place of s(X^g))."""
+        assert x.level == y.level
+        level = x.level
+        primes = self.qs[:level]
+        qs = np.array(primes, np.int64)[:, None]
+        d0 = self._polymul(x.c0, y.c0, primes)
+        d1 = np.mod(
+            self._polymul(x.c0, y.c1, primes)
+            + self._polymul(x.c1, y.c0, primes),
+            qs,
+        )
+        d2 = self._polymul(x.c1, y.c1, primes)
+        ks0, ks1 = self._key_switch(d2, rk, level)
+        out = CKKSCiphertext(
+            c0=np.mod(d0 + ks0, qs),
+            c1=np.mod(d1 + ks1, qs),
+            level=level,
+            scale=x.scale * y.scale,
+        )
+        return self.rescale(out)
+
+    def relin_keygen(self, sk: CKKSSecretKey, rng) -> "GaloisKey":
+        """Relinearization key: key-switching key for s² (packaged in the
+        GaloisKey container with step = -1)."""
+        s2 = self._polymul(
+            sk.s_rns, sk.s_rns, self.ext
+        )  # s² mod each ext prime
+        return self._make_switch_key(s2, sk, rng, step=-1)
+
+    def _make_switch_key(self, target_rns, sk, rng, step):
+        """Generic key-switching key: encrypts `target` (given in RNS over
+        the extended basis) under s, P-scaled, digit-decomposed."""
+        n = self.params.n
+        L = len(self.qs)
+        n_digits = -(-30 // DIGIT_BITS)
+        ext = self.ext
+        qs_ext = np.array(ext, np.int64)[:, None]
+        big_q = 1
+        for q in self.qs:
+            big_q *= q
+        comps_b, comps_a = [], []
+        for i in range(L):
+            qi = self.qs[i]
+            qhat = big_q // qi
+            Pi = qhat * pow(qhat % qi, -1, qi) % big_q
+            for d in range(n_digits):
+                W = 1 << (d * DIGIT_BITS)
+                factor = Pi * W * self.p % (big_q * self.p)
+                fac_rns = np.array([factor % q for q in ext], np.int64)[:, None]
+                a_big = [int(x) for x in rng.integers(0, 1 << 62, size=n)]
+                a_rns = np.stack(
+                    [np.array([c % q for c in a_big], np.int64) for q in ext]
+                )
+                e_rns = self._to_rns(_sample_error(rng, n))
+                b_rns = np.mod(
+                    -(self._polymul(a_rns, sk.s_rns, ext) + e_rns)
+                    + fac_rns * target_rns % qs_ext,
+                    qs_ext,
+                )
+                comps_b.append(b_rns)
+                comps_a.append(a_rns)
+        return GaloisKey(step=step, b=np.stack(comps_b), a=np.stack(comps_a))
+
+    def _key_switch(self, poly: np.ndarray, key: "GaloisKey", level: int):
+        """Switch `poly`·(key target) into (c0, c1) under s: digit-decompose,
+        multiply key components over the extended basis, divide by p."""
+        n = self.params.n
+        primes = self.qs[:level]
+        n_digits = -(-30 // DIGIT_BITS)
+        mask = (1 << DIGIT_BITS) - 1
+        ext_primes = primes + (self.p,)
+        n_ext = len(ext_primes)
+        acc0 = np.zeros((n_ext, n), np.int64)
+        acc1 = np.zeros((n_ext, n), np.int64)
+        rows = [self.ext.index(q) for q in ext_primes]
+        qe = np.array(ext_primes, np.int64)[:, None]
+        for i in range(level):
+            limb = poly[i]
+            for d in range(n_digits):
+                digit = (limb >> (d * DIGIT_BITS)) & mask
+                comp = i * n_digits + d
+                kb = key.b[comp][rows]
+                ka = key.a[comp][rows]
+                digit_rns = self._to_rns(digit, None)[rows]
+                acc0 = (acc0 + self._polymul(digit_rns, kb, ext_primes)) % qe
+                acc1 = (acc1 + self._polymul(digit_rns, ka, ext_primes)) % qe
+        out0 = np.empty((level, n), np.int64)
+        out1 = np.empty_like(out0)
+        half_p = self.p // 2
+        cp0 = np.where(acc0[-1] > half_p, acc0[-1] - self.p, acc0[-1])
+        cp1 = np.where(acc1[-1] > half_p, acc1[-1] - self.p, acc1[-1])
+        for i in range(level):
+            qi = primes[i]
+            inv_p = pow(self.p, -1, qi)
+            out0[i] = (acc0[i] - cp0) % qi * inv_p % qi
+            out1[i] = (acc1[i] - cp1) % qi * inv_p % qi
+        return out0, out1
+
     # ------------------------------------------------------------------
     # rotations
     def _automorphism_map(self, step: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -322,105 +434,29 @@ class CKKSContext:
         return np.mod(poly[:, perm] * sgn[None, :], qs)
 
     def galois_keygen(self, sk: CKKSSecretKey, steps: Sequence[int], rng) -> Dict[int, GaloisKey]:
-        """Key-switching keys for slot rotations by each step."""
-        n = self.params.n
-        L = len(self.qs)
-        n_digits = -(-30 // DIGIT_BITS)          # digits per 30-bit limb
-        ext = self.ext
-        qs_ext = np.array(ext, np.int64)[:, None]
-        big_q = 1
-        for q in self.qs:
-            big_q *= q
+        """Key-switching keys for slot rotations by each step (the key embeds
+        p·s(X^{5^step}) so the post-switch division by p leaves the rotated
+        secret intact while shrinking the key-switch error)."""
         out = {}
         for step in steps:
             perm, sgn = self._automorphism_map(step)
             s_rot = sk.s_small[perm] * sgn       # s(X^g), small ints
-            s_rot_rns = self._to_rns(s_rot)
-            comps_b, comps_a = [], []
-            for i in range(L):
-                qi = self.qs[i]
-                # CRT basis element ≡ 1 mod q_i, 0 mod q_j (over q, lifted to q·p)
-                qhat = big_q // qi
-                Pi = qhat * pow(qhat % qi, -1, qi) % big_q
-                for d in range(n_digits):
-                    W = 1 << (d * DIGIT_BITS)
-                    factor = Pi * W * self.p % (big_q * self.p)
-                    fac_rns = np.array(
-                        [factor % q for q in ext], np.int64
-                    )[:, None]
-                    a_big = [int(x) for x in rng.integers(0, 1 << 62, size=n)]
-                    a_rns = np.stack(
-                        [np.array([c % q for c in a_big], np.int64) for q in ext]
-                    )
-                    e_rns = self._to_rns(_sample_error(rng, n))
-                    # NB: key embeds p·s_rot so the final division by p
-                    # leaves s_rot intact and shrinks the error
-                    b_rns = np.mod(
-                        -(self._polymul(a_rns, sk.s_rns, ext) + e_rns)
-                        + fac_rns * s_rot_rns % qs_ext,
-                        qs_ext,
-                    )
-                    comps_b.append(b_rns)
-                    comps_a.append(a_rns)
-            out[step] = GaloisKey(
-                step=step, b=np.stack(comps_b), a=np.stack(comps_a)
+            out[step] = self._make_switch_key(
+                self._to_rns(s_rot), sk, rng, step=step
             )
         return out
 
     def rotate(self, ct: CKKSCiphertext, step: int, gk: GaloisKey) -> CKKSCiphertext:
-        """Rotate slots left by `step` positions."""
+        """Rotate slots left by `step` positions: apply the automorphism to
+        both components, then key-switch c1(X^g)·s(X^g) back under s."""
         level = ct.level
         primes = self.qs[:level]
-        n = self.params.n
-        n_digits = -(-30 // DIGIT_BITS)
-        mask = (1 << DIGIT_BITS) - 1
-
-        # 1) apply automorphism to both components
         c0r = self._apply_auto(ct.c0, step, primes)
         c1r = self._apply_auto(ct.c1, step, primes)
-
-        # 2) key-switch c1r·s(X^g) → s: digit-decompose each limb of c1r,
-        #    multiply the matching key component over the extended basis
-        ext_primes = primes + (self.p,)
-        n_ext = len(ext_primes)
-        acc0 = np.zeros((n_ext, n), np.int64)
-        acc1 = np.zeros((n_ext, n), np.int64)
-        for i in range(level):
-            limb = c1r[i]
-            for d in range(n_digits):
-                digit = (limb >> (d * DIGIT_BITS)) & mask     # [N] < 2^15
-                comp = i * n_digits + d
-                # key components live over the FULL ext basis (qs + p);
-                # select rows matching our active primes
-                rows = [self.ext.index(q) for q in ext_primes]
-                kb = gk.b[comp][rows]
-                ka = gk.a[comp][rows]
-                digit_rns = self._to_rns(digit, None)[rows]
-                acc0 = (acc0 + self._polymul(digit_rns, kb, ext_primes))
-                acc1 = (acc1 + self._polymul(digit_rns, ka, ext_primes))
-                qe = np.array(ext_primes, np.int64)[:, None]
-                acc0 %= qe
-                acc1 %= qe
-
-        # 3) exact division by p (the special modulus): per remaining prime,
-        #    (x - [x]_p) · p^{-1}
-        out0 = np.empty((level, n), np.int64)
-        out1 = np.empty((level, n), np.int64)
-        xp0 = acc0[-1]                                         # mod p
-        xp1 = acc1[-1]
-        half_p = self.p // 2
-        # center the mod-p residue for correct rounding
-        cp0 = np.where(xp0 > half_p, xp0 - self.p, xp0)
-        cp1 = np.where(xp1 > half_p, xp1 - self.p, xp1)
-        for i in range(level):
-            qi = primes[i]
-            inv_p = pow(self.p, -1, qi)
-            out0[i] = (acc0[i] - cp0) % qi * inv_p % qi
-            out1[i] = (acc1[i] - cp1) % qi * inv_p % qi
-
+        ks0, ks1 = self._key_switch(c1r, gk, level)
         return CKKSCiphertext(
-            c0=np.mod(c0r + out0, np.array(primes, np.int64)[:, None]),
-            c1=out1,
+            c0=np.mod(c0r + ks0, np.array(primes, np.int64)[:, None]),
+            c1=ks1,
             level=level,
             scale=ct.scale,
         )

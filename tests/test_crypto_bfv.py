@@ -123,6 +123,29 @@ def test_ciphertext_wire_roundtrip(ctx, keys, rng):
     np.testing.assert_array_equal(ctx.decrypt(sk, ct2), m)
 
 
+def test_ct_ct_mul_relinearize(rng):
+    """Enc(m1)·Enc(m2) → Enc(m1·m2 mod (X^N+1, t)) — the full BFV
+    multiplication with exact tensor rounding + relinearization.
+
+    Uses t=2^16: FV multiplication noise scales with t·E_fresh, so a 60-bit
+    q supports ct×ct only up to ~t=2^16 (the protocol's t=2^24 operating
+    point is ct×pt-only by design — inner products need no ct×ct)."""
+    qs = tuple(find_ntt_primes(256, 30, 2))
+    params = BFVParams(n=256, t=1 << 16, qs=qs)
+    ctx = BFVContext(params)
+    sk, pk = ctx.keygen(rng)
+    n, t = params.n, params.t
+    m1 = rng.integers(0, t, n).astype(np.int64)
+    m2 = rng.integers(0, t, n).astype(np.int64)
+    rk = ctx.relin_keygen(sk, rng)
+    ct = ctx.mul(
+        ctx.encrypt(pk, m1, rng), ctx.encrypt(pk, m2, rng), rk
+    )
+    got = ctx.decrypt(sk, ct)
+    ref = naive_negacyclic_polymul(m1, m2, t) % t
+    np.testing.assert_array_equal(got, ref)
+
+
 # ---------------------------------------------------------------------------
 # End-to-end encrypted inner products at the real operating point shape
 def test_encrypted_inner_products_end_to_end(small_params, rng):

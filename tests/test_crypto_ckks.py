@@ -70,6 +70,50 @@ def test_rotation(ctx, keys, rng):
         np.testing.assert_allclose(out, np.roll(v, -step), atol=0.05)
 
 
+def test_ct_ct_mul_relinearize(ctx, keys, rng):
+    """Enc(a)·Enc(b) with relinearization ≈ a·b slot-wise."""
+    sk, pk = keys
+    nh = ctx.params.n // 2
+    a = rng.normal(size=nh) * 3
+    b = rng.normal(size=nh) * 3
+    rk = ctx.relin_keygen(sk, rng)
+    ct = ctx.mul(
+        ctx.encrypt(pk, ctx.encode(a), rng),
+        ctx.encrypt(pk, ctx.encode(b), rng),
+        rk,
+    )
+    assert ct.level == len(ctx.qs) - 1
+    out = np.real(ctx.decrypt(sk, ct))
+    np.testing.assert_allclose(out, a * b, atol=0.05)
+
+
+def test_mul_then_add_composes(ctx, keys, rng):
+    sk, pk = keys
+    nh = ctx.params.n // 2
+    a = rng.normal(size=nh)
+    b = rng.normal(size=nh)
+    c = rng.normal(size=nh)
+    rk = ctx.relin_keygen(sk, rng)
+    ab = ctx.mul(ctx.encrypt(pk, ctx.encode(a), rng),
+                 ctx.encrypt(pk, ctx.encode(b), rng), rk)
+    # to add Enc(c) at the lower level/scale, encode at the matched scale
+    cc = ctx.encrypt(pk, ctx.encode(c, scale=ab.scale), rng, scale=ab.scale)
+    cc = CKKSLevelDrop(ctx, cc, ab.level)
+    out = np.real(ctx.decrypt(sk, ctx.add(ab, cc)))
+    np.testing.assert_allclose(out, a * b + c, atol=0.1)
+
+
+def CKKSLevelDrop(ctx, ct, level):
+    """Drop unused limbs (modulus switching by truncation is NOT generally
+    valid — here the scale already matches, we just discard top limbs which
+    is exact in RNS when the value is identical mod the kept primes)."""
+    from prefhetch_tpu.crypto.ckks import CKKSCiphertext
+
+    return CKKSCiphertext(
+        c0=ct.c0[:level], c1=ct.c1[:level], level=level, scale=ct.scale
+    )
+
+
 def test_slot_packed_inner_products(ctx, keys, rng):
     """The config-3 scoring primitive: query replicated across blocks,
     candidates packed slot-wise, rotate-and-sum yields ⟨q, x_j⟩ per block."""
