@@ -99,6 +99,41 @@ class QueryEngine:
         self.index = index
         self.base = jnp.asarray(base, jnp.float32)
 
+    # ------------------------------------------------------------------
+    def enable_sharding(self, n_devices: Optional[int] = None) -> None:
+        """Shard the index + base matrix over a device mesh: inverted lists
+        along nlist, base rows along nbase; queries replicated; collectives
+        over ICI (parallel/sharded.py). Services below auto-route to the
+        sharded kernels. Net-new capability vs the reference (SURVEY §2.4)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from prefhetch_tpu.parallel.mesh import AXIS, make_mesh
+        from prefhetch_tpu.parallel.sharded import shard_index
+
+        self._mesh = make_mesh(n_devices)
+        self.index = shard_index(self.index, self._mesh)
+        ndev = self._mesh.devices.size
+        nb = self.base.shape[0]
+        if nb % ndev != 0:
+            # pad base rows so the row-shard divides evenly; padded rows are
+            # unreachable (ids are always < nb)
+            pad = ndev - nb % ndev
+            self.base = jnp.concatenate(
+                [self.base, jnp.zeros((pad, self.base.shape[1]), jnp.float32)]
+            )
+        self.base = jax.device_put(
+            self.base, NamedSharding(self._mesh, P(AXIS))
+        )
+        logger.info(
+            "Sharded index across %d devices (%d lists/device)",
+            ndev, self.index.nlist // ndev,
+        )
+
+    @property
+    def is_sharded(self) -> bool:
+        return getattr(self, "_mesh", None) is not None
+
     # -- service 1: GET /query -----------------------------------------
     def retrieve_centroids(self) -> np.ndarray:
         """Export all nlist centroids (reference: server_lib.cpp:101-109)."""
@@ -122,7 +157,11 @@ class QueryEngine:
         idx = self.index
         q = jnp.asarray(precise_query, jnp.float32)
         p = jnp.asarray(nearest_centroid_idx, jnp.int32)
-        if idx.uses_pq and idx.list_recon is not None:
+        if self.is_sharded:
+            from prefhetch_tpu.parallel.sharded import sharded_coarse_scan
+
+            res = sharded_coarse_scan(self._mesh, idx, q, p)
+        elif idx.uses_pq and idx.list_recon is not None:
             # MXU fast path: dense scan over PQ reconstructions (ADC-equal)
             res = coarse_scan_flat(
                 idx.list_recon, idx.list_ids, idx.list_sizes, q, p
@@ -153,6 +192,16 @@ class QueryEngine:
         nearest_coarse_vector_idx: np.ndarray,  # [nq, coarse_probe]
     ) -> np.ndarray:
         """Exact L2 of the named candidates (reference: server_lib.cpp:140-167)."""
+        if self.is_sharded:
+            from prefhetch_tpu.parallel.sharded import sharded_rerank
+
+            return np.asarray(
+                sharded_rerank(
+                    self._mesh, self.base,
+                    jnp.asarray(precise_query, jnp.float32),
+                    jnp.asarray(nearest_coarse_vector_idx, jnp.int32),
+                )
+            )
         return np.asarray(
             exact_rerank(
                 self.base,
@@ -237,6 +286,12 @@ class QueryEngine:
         """Gather the K named vectors per query
         (reference: server_lib.cpp:169-196 — a PIR placeholder: ids arrive
         in cleartext at this protocol revision)."""
+        if self.is_sharded:
+            from prefhetch_tpu.parallel.sharded import sharded_fetch
+
+            return np.asarray(
+                sharded_fetch(self._mesh, self.base, jnp.asarray(ids, jnp.int32))
+            )
         return np.asarray(
             fetch_vectors(self.base, jnp.asarray(ids, jnp.int32))
         )

@@ -205,8 +205,18 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(
-    engine: QueryEngine, host: str = "0.0.0.0", port: int = 8080
+    engine: QueryEngine,
+    host: str = "0.0.0.0",
+    port: int = 8080,
+    batching: bool = False,
+    max_batch: int = 64,
 ) -> ThreadingHTTPServer:
+    """batching=True interposes the cross-request BatchScheduler
+    (serve/batcher.py) so concurrent requests share device batches."""
+    if batching:
+        from prefhetch_tpu.serve.batcher import BatchScheduler
+
+        engine = BatchScheduler(engine, max_batch=max_batch)
     handler = type(
         "BoundHandler", (_Handler,), {"engine": engine, "stats": ServerStats()}
     )
@@ -218,11 +228,12 @@ def serve_forever(
     host: str = "0.0.0.0",
     port: int = 8080,
     background: bool = False,
+    batching: bool = False,
 ) -> Optional[ThreadingHTTPServer]:
     """Run the web server (reference: Server::run_webserver,
     src/server/server_lib.cpp:48-53). background=True returns the server
     with a daemon thread (for tests)."""
-    srv = make_server(engine, host, port)
+    srv = make_server(engine, host, port, batching=batching)
     logger.info("Server listening on %s:%d", host, port)
     if background:
         t = threading.Thread(target=srv.serve_forever, daemon=True)

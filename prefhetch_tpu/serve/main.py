@@ -46,6 +46,14 @@ def main(argv=None) -> None:
     parser.add_argument("--dataset-prefix", default="siftsmall")
     parser.add_argument("--index-dir", default=".", help="index artifact cache dir")
     parser.add_argument("--port", type=int, default=None)
+    parser.add_argument(
+        "--batching", action="store_true",
+        help="coalesce concurrent requests into shared device batches",
+    )
+    parser.add_argument(
+        "--shard", action="store_true",
+        help="shard the index across all visible devices (mesh mode)",
+    )
     args = parser.parse_args(argv)
 
     init_logger("prefhetch")  # parent logger: engine/serve children propagate
@@ -56,7 +64,11 @@ def main(argv=None) -> None:
     )
     engine = QueryEngine.get_instance(cfg, index_dir=args.index_dir)
     engine.init_index()
-    serve_forever(engine, cfg.host, args.port or cfg.port)
+    if args.shard:
+        engine.enable_sharding()
+    serve_forever(
+        engine, cfg.host, args.port or cfg.port, batching=args.batching
+    )
 
 
 if __name__ == "__main__":
