@@ -82,7 +82,12 @@ class ClientPipeline:
             raise ValueError("query does not have same dimension as train set")
         if xq.shape[0] < nq:
             raise ValueError("NQUERY exceeds number of queries in dataset")
-        return xq[:nq].copy()
+        out = xq[:nq].copy()
+        if self.config.index.metric == "cosine":
+            from prefhetch_tpu.data.synthetic import normalize_rows
+
+            out = normalize_rows(out)
+        return out
 
     # -- stage 2 ----------------------------------------------------------
     def get_centroids(self) -> np.ndarray:

@@ -72,6 +72,44 @@ def brute_force_ground_truth(
     return out
 
 
+def normalize_rows(x: np.ndarray) -> np.ndarray:
+    """L2-normalize rows — the standard preparation for angular/cosine
+    datasets (GloVe-style): on unit vectors, squared-L2 ordering equals
+    cosine-similarity ordering (‖a−b‖² = 2 − 2·cosθ), so the entire L2
+    pipeline serves angular search unchanged (BASELINE config 4)."""
+    x = np.asarray(x, np.float32)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    return x / np.maximum(norms, 1e-12)
+
+
+def make_angular_dataset(
+    nbase: int = 10_000,
+    ntrain: int = 20_000,
+    nquery: int = 100,
+    d: int = 100,
+    n_clusters: int = 100,
+    gt_k: int = 100,
+    seed: int = 42,
+) -> Dict[str, np.ndarray]:
+    """GloVe-style angular dataset: dense real vectors, cosine ground truth.
+
+    Vectors are returned unit-normalized; ground truth is exact top-k by
+    cosine similarity (equivalently, by L2 on the normalized vectors)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, d)).astype(np.float32)
+
+    def sample(n):
+        which = rng.integers(0, n_clusters, size=n)
+        x = centers[which] + 0.4 * rng.normal(size=(n, d)).astype(np.float32)
+        return normalize_rows(x)
+
+    base = sample(nbase)
+    train = sample(ntrain)
+    query = sample(nquery)
+    gt = brute_force_ground_truth(base, query, gt_k)
+    return {"train": train, "base": base, "query": query, "groundtruth": gt}
+
+
 def write_sift_style_dataset(
     out_dir: str, prefix: str = "synthetic", **kwargs
 ) -> Dict[str, str]:

@@ -73,6 +73,10 @@ class QueryEngine:
             raise ValueError(
                 "dataset does not have same dimension as configured d"
             )
+        if cfg.index.metric == "cosine":
+            from prefhetch_tpu.data.synthetic import normalize_rows
+
+            base = normalize_rows(base)
         self.base = jnp.asarray(base, jnp.float32)
 
         if not os.path.exists(artifact):
@@ -161,6 +165,13 @@ class QueryEngine:
             from prefhetch_tpu.parallel.sharded import sharded_coarse_scan
 
             res = sharded_coarse_scan(self._mesh, idx, q, p)
+        elif idx.list_sq is not None:
+            from prefhetch_tpu.ops.scan import coarse_scan_sq8
+
+            res = coarse_scan_sq8(
+                idx.list_sq, idx.sq_vmin, idx.sq_scale,
+                idx.list_ids, idx.list_sizes, q, p,
+            )
         elif idx.uses_pq and idx.list_recon is not None:
             # MXU fast path: dense scan over PQ reconstructions (ADC-equal)
             res = coarse_scan_flat(

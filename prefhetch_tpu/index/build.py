@@ -124,6 +124,13 @@ def build_ivf_index(
         raise ValueError(
             "dataset does not have same dimension as configured d"
         )
+    if params.metric == "cosine":
+        # angular search = L2 over unit vectors (see data.synthetic
+        # .normalize_rows); normalize once at build time
+        from prefhetch_tpu.data.synthetic import normalize_rows
+
+        base = normalize_rows(base)
+        train = normalize_rows(train)
     centroids = train_kmeans(
         np.asarray(train, np.float32),
         k=params.nlist,
@@ -151,7 +158,22 @@ def build_ivf_index(
     list_ids[sorted_assign, rank_in_list] = order.astype(np.int32)
 
     kwargs = {}
-    if params.uses_pq:
+    if params.uses_sq8:
+        # per-dimension 8-bit scalar quantizer (faiss IndexIVFScalarQuantizer
+        # QT_8bit analog): train min/scale on the training set
+        train_f = np.asarray(train, np.float32)
+        vmin = train_f.min(axis=0)
+        vmax = train_f.max(axis=0)
+        scale = np.maximum((vmax - vmin) / 255.0, 1e-12).astype(np.float32)
+        codes8 = np.clip(
+            np.round((base - vmin) / scale), 0, 255
+        ).astype(np.uint8)
+        list_sq = np.zeros((nlist, lmax, params.d), np.uint8)
+        list_sq[sorted_assign, rank_in_list] = codes8[order]
+        kwargs["list_sq"] = jnp.asarray(list_sq)
+        kwargs["sq_vmin"] = jnp.asarray(vmin)
+        kwargs["sq_scale"] = jnp.asarray(scale)
+    elif params.uses_pq:
         list_codes = np.zeros((nlist, lmax, params.pq_m), np.uint8)
         list_codes[sorted_assign, rank_in_list] = codes[order]
         kwargs["list_codes"] = jnp.asarray(list_codes.astype(np.int32))
@@ -193,7 +215,11 @@ def save_index(index: IVFIndex, directory: str) -> str:
         "list_ids": np.asarray(index.list_ids),
         "list_sizes": np.asarray(index.list_sizes),
     }
-    if index.uses_pq:
+    if index.list_sq is not None:
+        arrays["list_sq"] = np.asarray(index.list_sq)
+        arrays["sq_vmin"] = np.asarray(index.sq_vmin)
+        arrays["sq_scale"] = np.asarray(index.sq_scale)
+    elif index.uses_pq:
         arrays["list_codes"] = np.asarray(index.list_codes).astype(np.uint8)
         arrays["codebooks"] = np.asarray(index.codebooks)
         if index.list_recon is not None:
@@ -221,7 +247,11 @@ def load_index(path: str) -> IVFIndex:
     with np.load(path) as z:
         params = IndexParams(**json.loads(bytes(z["params_json"]).decode()))
         kwargs = {}
-        if "list_codes" in z:
+        if "list_sq" in z:
+            kwargs["list_sq"] = jnp.asarray(z["list_sq"])
+            kwargs["sq_vmin"] = jnp.asarray(z["sq_vmin"])
+            kwargs["sq_scale"] = jnp.asarray(z["sq_scale"])
+        elif "list_codes" in z:
             kwargs["list_codes"] = jnp.asarray(z["list_codes"].astype(np.int32))
             kwargs["codebooks"] = jnp.asarray(z["codebooks"])
             if "list_recon_bf16" in z:

@@ -47,6 +47,12 @@ class IVFIndex:
     # IVF-PQ payload
     list_codes: Optional[jax.Array] = None     # [nlist, lmax, M] i32
     codebooks: Optional[jax.Array] = None      # [M, ksub, dsub] f32
+    # IVF-SQ8 payload: per-dimension 8-bit scalar quantization
+    # (x ≈ vmin + (code + 0.5)·scale) — d bytes/vector, decoded on the fly
+    # inside the scan so the distance is still a dense matmul
+    list_sq: Optional[jax.Array] = None        # [nlist, lmax, d] uint8
+    sq_vmin: Optional[jax.Array] = None        # [d] f32
+    sq_scale: Optional[jax.Array] = None       # [d] f32
     # MXU fast path: PQ-reconstructed vectors z = centroid + decode(code),
     # bf16. The ADC distance ‖r − decode(code)‖² equals ‖q − z‖² exactly, so
     # the candidate scan becomes a dense matmul over z instead of 2·M·lmax

@@ -20,7 +20,12 @@ from prefhetch_tpu.index.build import build_ivf_index, load_index, save_index
 from prefhetch_tpu.index.types import IVFIndex
 from prefhetch_tpu.ops.distances import rank_centroids
 from prefhetch_tpu.ops.rerank import exact_rerank
-from prefhetch_tpu.ops.scan import ScanResult, coarse_scan_flat, coarse_scan_pq
+from prefhetch_tpu.ops.scan import (
+    ScanResult,
+    coarse_scan_flat,
+    coarse_scan_pq,
+    coarse_scan_sq8,
+)
 from prefhetch_tpu.ops.topk import topk_select
 from prefhetch_tpu.utils.config import IndexParams
 
@@ -78,6 +83,10 @@ class _IVFBase:
         For IVF-PQ this reranks with ADC scores only unless the model holds
         raw base vectors (set via keep_raw_base in train_add callers)."""
         idx = self.index
+        if idx.params.metric == "cosine":
+            from prefhetch_tpu.data.synthetic import normalize_rows
+
+            queries = normalize_rows(np.asarray(queries))
         q = jnp.asarray(queries, jnp.float32)
         _, probe = rank_centroids(q, idx.centroids, self.nprobe)
         res = self.coarse_scan(q, probe)
@@ -144,6 +153,29 @@ class IVFPQ(_IVFBase):
             jnp.asarray(queries, jnp.float32),
             jnp.asarray(probe_ids, jnp.int32),
             by_residual=idx.params.by_residual,
+        )
+
+
+class IVFSQ8(_IVFBase):
+    """IVF with per-dimension 8-bit scalar quantization
+    (faiss IndexIVFScalarQuantizer QT_8bit analog): d bytes/vector, decoded
+    on the fly inside the dense-matmul scan."""
+
+    def __init__(self, params: Optional[IndexParams] = None, **kw):
+        params = params or IndexParams(pq_m=0, quantizer="sq8", **kw)
+        if params.quantizer != "sq8":
+            import dataclasses
+
+            params = dataclasses.replace(params, quantizer="sq8")
+        super().__init__(params)
+
+    def coarse_scan(self, queries, probe_ids) -> ScanResult:
+        idx = self.index
+        return coarse_scan_sq8(
+            idx.list_sq, idx.sq_vmin, idx.sq_scale,
+            idx.list_ids, idx.list_sizes,
+            jnp.asarray(queries, jnp.float32),
+            jnp.asarray(probe_ids, jnp.int32),
         )
 
 

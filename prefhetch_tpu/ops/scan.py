@@ -96,6 +96,46 @@ def coarse_scan_flat(
     return ScanResult(d, i, m, counts)
 
 
+@jax.jit
+def coarse_scan_sq8(
+    list_sq: jax.Array,        # [nlist, lmax, d] uint8
+    sq_vmin: jax.Array,        # [d]
+    sq_scale: jax.Array,       # [d]
+    list_ids: jax.Array,       # [nlist, lmax]
+    list_sizes: jax.Array,     # [nlist]
+    queries: jax.Array,        # [nq, d]
+    probe_ids: jax.Array,      # [nq, nprobe]
+) -> ScanResult:
+    """IVF-SQ8 scan: gather 8-bit codes (d bytes/vector — 4× less HBM than
+    f32), decode x̂ = vmin + (code + ½)·scale in registers, then the same
+    dense distance matmul as the flat scan."""
+    queries = queries.astype(jnp.float32)
+    lmax = list_ids.shape[1]
+    qsq = jnp.sum(queries * queries, axis=-1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, lmax), 1)
+
+    def probe_step(_, p):
+        lids = probe_ids[:, p]
+        codes = list_sq[lids].astype(jnp.float32)             # [nq, lmax, d]
+        vecs = sq_vmin + (codes + 0.5) * sq_scale
+        ids = list_ids[lids]
+        sizes = list_sizes[lids]
+        vsq = jnp.sum(vecs * vecs, axis=-1)
+        cross = jnp.einsum(
+            "qd,qld->ql", queries, vecs, preferred_element_type=jnp.float32
+        )
+        d2 = jnp.maximum(qsq[:, None] + vsq - 2.0 * cross, 0.0)
+        valid = lane < sizes[:, None]
+        d2 = jnp.where(valid, d2, PAD_DISTANCE)
+        return None, (d2, ids, valid)
+
+    nprobe = probe_ids.shape[1]
+    _, (ds, ids, ms) = jax.lax.scan(probe_step, None, jnp.arange(nprobe))
+    d, i, m = _finalize(ds, ids, ms)
+    counts = jnp.sum(list_sizes[probe_ids], axis=1).astype(jnp.int32)
+    return ScanResult(d, i, m, counts)
+
+
 @functools.partial(jax.jit, static_argnames=("by_residual",))
 def coarse_scan_pq(
     centroids: jax.Array,      # [nlist, d]

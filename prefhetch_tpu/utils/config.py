@@ -33,7 +33,8 @@ class IndexParams:
     pq_m: int = 32              # SUB_QUANTIZERS — PQ sub-quantizer count (0 => IVF-Flat)
     pq_nbits: int = 8           # SUB_QUANTIZER_SIZE — bits per PQ code
     by_residual: bool = True    # FAISS IndexIVFPQ default: PQ encodes x - centroid
-    metric: str = "l2"          # squared-L2 everywhere, like the reference
+    metric: str = "l2"          # "l2" or "cosine" (angular — normalized L2)
+    quantizer: str = "auto"     # "auto" (pq if pq_m>0 else flat) | "sq8"
 
     # Training knobs (FAISS Clustering defaults: 25 iterations, seed 1234).
     kmeans_iters: int = 25
@@ -55,7 +56,11 @@ class IndexParams:
 
     @property
     def uses_pq(self) -> bool:
-        return self.pq_m > 0
+        return self.pq_m > 0 and self.quantizer != "sq8"
+
+    @property
+    def uses_sq8(self) -> bool:
+        return self.quantizer == "sq8"
 
     def artifact_name(self) -> str:
         """Parameter-encoding artifact filename.
@@ -64,8 +69,14 @@ class IndexParams:
         ``NBASE…_IVF…_PQ…_SUB_QUANTIZER_SIZE….faiss``
         (reference: src/server/server_lib.cpp:38-42).
         """
-        kind = f"PQ{self.pq_m}_NBITS{self.pq_nbits}" if self.uses_pq else "FLAT"
-        return f"D{self.d}_IVF{self.nlist}_{kind}.npz"
+        if self.uses_sq8:
+            kind = "SQ8"
+        elif self.uses_pq:
+            kind = f"PQ{self.pq_m}_NBITS{self.pq_nbits}"
+        else:
+            kind = "FLAT"
+        metric = "" if self.metric == "l2" else f"_{self.metric.upper()}"
+        return f"D{self.d}_IVF{self.nlist}_{kind}{metric}.npz"
 
 
 @dataclasses.dataclass(frozen=True)
