@@ -25,11 +25,12 @@ import time
 
 import numpy as np
 
-# operating point (SIFT-mid scale; keeps cold bench < ~3 min)
-NBASE = 100_000
-NTRAIN = 50_000
+# operating point — defaults to the BASELINE SIFT1M config
+# (nlist=1024, nprobe=16); override scale via PFH_BENCH_NBASE for quick runs
+NBASE = int(os.environ.get("PFH_BENCH_NBASE", 1_000_000))
+NTRAIN = min(NBASE, 100_000)
 D = 128
-NLIST = 512
+NLIST = 1024 if NBASE >= 500_000 else 512
 PQ_M = 32
 NPROBE = 16
 COARSE_PROBE = 256
