@@ -87,11 +87,13 @@ def tpu_pipeline(index, base_j, queries_j):
     from prefhetch_tpu.ops.topk import topk_select
 
     @jax.jit
-    def prog_scan(centroids, list_recon, list_ids, list_sizes, q):
+    def prog_scan(centroids, list_recon, list_ids, list_sizes, list_norms, q):
         _, probe = rank_centroids(q, centroids, NPROBE)
         # dense MXU ADC: ‖q − z‖² over bf16 PQ reconstructions (see
         # IVFIndex.list_recon) — no per-code LUT gathers
-        res = coarse_scan_flat(list_recon, list_ids, list_sizes, q, probe)
+        res = coarse_scan_flat(
+            list_recon, list_ids, list_sizes, q, probe, list_norms
+        )
         return res.distances, res.ids
 
     @jax.jit
@@ -101,13 +103,21 @@ def tpu_pipeline(index, base_j, queries_j):
         neg, order = jax.lax.top_k(-pd, K)
         return -neg, jnp.take_along_axis(cand, order, axis=1)
 
-    def step(centroids, list_recon, list_ids, list_sizes, base, q):
-        dist, ids = prog_scan(centroids, list_recon, list_ids, list_sizes, q)
+    import jax.numpy as _jnp
+
+    norms = index.list_norms
+    if norms is None:
+        norms = _jnp.sum(index.list_recon.astype(_jnp.float32) ** 2, axis=-1)
+
+    def step(centroids, list_recon, list_ids, list_sizes, list_norms, base, q):
+        dist, ids = prog_scan(
+            centroids, list_recon, list_ids, list_sizes, list_norms, q
+        )
         _, pos = topk_select(dist, COARSE_PROBE)
         return prog_tail(ids, pos, base, q)
 
     args = (index.centroids, index.list_recon, index.list_ids,
-            index.list_sizes, base_j, queries_j)
+            index.list_sizes, norms, base_j, queries_j)
     return step, args
 
 

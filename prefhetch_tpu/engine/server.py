@@ -175,7 +175,8 @@ class QueryEngine:
         elif idx.uses_pq and idx.list_recon is not None:
             # MXU fast path: dense scan over PQ reconstructions (ADC-equal)
             res = coarse_scan_flat(
-                idx.list_recon, idx.list_ids, idx.list_sizes, q, p
+                idx.list_recon, idx.list_ids, idx.list_sizes, q, p,
+                idx.list_norms,
             )
         elif idx.uses_pq:
             res = coarse_scan_pq(
@@ -184,7 +185,8 @@ class QueryEngine:
             )
         else:
             res = coarse_scan_flat(
-                idx.list_vectors, idx.list_ids, idx.list_sizes, q, p
+                idx.list_vectors, idx.list_ids, idx.list_sizes, q, p,
+                idx.list_norms,
             )
         # padded → ragged at the host/wire boundary
         dist = np.asarray(res.distances)

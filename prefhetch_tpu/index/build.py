@@ -184,13 +184,23 @@ def build_ivf_index(
             np.arange(params.pq_m)[None, :], codes
         ].reshape(base.shape[0], params.d)                  # [n, d]
         recon = decoded + (centroids[assign] if params.by_residual else 0.0)
+        import ml_dtypes
+
         list_recon = np.zeros((nlist, lmax, params.d), np.float32)
         list_recon[sorted_assign, rank_in_list] = recon[order]
-        kwargs["list_recon"] = jnp.asarray(list_recon, jnp.bfloat16)
+        recon_bf16 = list_recon.astype(ml_dtypes.bfloat16)
+        kwargs["list_recon"] = jnp.asarray(recon_bf16)
+        # norms of the bf16-rounded payload (what the scan actually sees)
+        kwargs["list_norms"] = jnp.asarray(
+            (recon_bf16.astype(np.float32) ** 2).sum(-1), jnp.float32
+        )
     else:
         list_vectors = np.zeros((nlist, lmax, params.d), np.float32)
         list_vectors[sorted_assign, rank_in_list] = base[order]
         kwargs["list_vectors"] = jnp.asarray(list_vectors)
+        kwargs["list_norms"] = jnp.asarray(
+            (list_vectors.astype(np.float64) ** 2).sum(-1), jnp.float32
+        )
 
     return IVFIndex(
         centroids=jnp.asarray(centroids, jnp.float32),
@@ -215,6 +225,8 @@ def save_index(index: IVFIndex, directory: str) -> str:
         "list_ids": np.asarray(index.list_ids),
         "list_sizes": np.asarray(index.list_sizes),
     }
+    if index.list_norms is not None:
+        arrays["list_norms"] = np.asarray(index.list_norms)
     if index.list_sq is not None:
         arrays["list_sq"] = np.asarray(index.list_sq)
         arrays["sq_vmin"] = np.asarray(index.sq_vmin)
@@ -247,6 +259,8 @@ def load_index(path: str) -> IVFIndex:
     with np.load(path) as z:
         params = IndexParams(**json.loads(bytes(z["params_json"]).decode()))
         kwargs = {}
+        if "list_norms" in z:
+            kwargs["list_norms"] = jnp.asarray(z["list_norms"])
         if "list_sq" in z:
             kwargs["list_sq"] = jnp.asarray(z["list_sq"])
             kwargs["sq_vmin"] = jnp.asarray(z["sq_vmin"])

@@ -60,6 +60,9 @@ class IVFIndex:
     # matmuls the fastest. Costs 2·d bytes/vector of extra HBM (documented
     # trade; the LUT path remains for memory-tight deployments).
     list_recon: Optional[jax.Array] = None     # [nlist, lmax, d] bf16
+    # precomputed ‖payload‖² per slot (payload = raw vectors or recon) so the
+    # scan never re-reduces the index to get norms
+    list_norms: Optional[jax.Array] = None     # [nlist, lmax] f32
     params: IndexParams = flax.struct.field(
         pytree_node=False, default_factory=IndexParams
     )

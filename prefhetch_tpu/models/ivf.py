@@ -119,6 +119,7 @@ class IVFFlat(_IVFBase):
             idx.list_sizes,
             jnp.asarray(queries, jnp.float32),
             jnp.asarray(probe_ids, jnp.int32),
+            idx.list_norms,
         )
 
 
@@ -143,6 +144,7 @@ class IVFPQ(_IVFBase):
                 idx.list_recon, idx.list_ids, idx.list_sizes,
                 jnp.asarray(queries, jnp.float32),
                 jnp.asarray(probe_ids, jnp.int32),
+                idx.list_norms,
             )
         return coarse_scan_pq(
             idx.centroids,

@@ -47,6 +47,8 @@ def shard_index(index: IVFIndex, mesh: Mesh) -> IVFIndex:
         kw["codebooks"] = jax.device_put(index.codebooks, rep)
     if index.list_recon is not None:
         kw["list_recon"] = jax.device_put(index.list_recon, row)
+    if index.list_norms is not None:
+        kw["list_norms"] = jax.device_put(index.list_norms, row)
     return IVFIndex(
         centroids=jax.device_put(index.centroids, rep),
         list_ids=jax.device_put(index.list_ids, row),
@@ -88,7 +90,7 @@ def sharded_coarse_scan(
     by_residual = index.params.by_residual
 
     def shard_fn(centroids, list_payload, list_ids, list_sizes, codebooks,
-                 queries, probe_ids):
+                 list_norms, queries, probe_ids):
         local, owned = _localize_probes(probe_ids, nlist_local)
         if uses_pq:
             res = coarse_scan_pq(
@@ -97,7 +99,8 @@ def sharded_coarse_scan(
             )
         else:
             res = coarse_scan_flat(
-                list_payload, list_ids, list_sizes, queries, local
+                list_payload, list_ids, list_sizes, queries, local,
+                list_norms,
             )
         nq, nprobe = probe_ids.shape
         lmax = list_ids.shape[1]
@@ -121,7 +124,7 @@ def sharded_coarse_scan(
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(), P()),
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(AXIS), P(), P()),
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
@@ -132,9 +135,13 @@ def sharded_coarse_scan(
     else:
         payload = index.list_vectors
     codebooks = index.codebooks if uses_pq else jnp.zeros((1, 1, 1), jnp.float32)
+    norms = index.list_norms
+    if norms is None:
+        norms = jnp.sum(payload.astype(jnp.float32) ** 2, axis=-1) if not uses_pq \
+            else jnp.zeros(index.list_ids.shape, jnp.float32)
     d, i, m, c = jax.jit(fn)(
         index.centroids, payload, index.list_ids, index.list_sizes,
-        codebooks, jnp.asarray(queries, jnp.float32),
+        codebooks, norms, jnp.asarray(queries, jnp.float32),
         jnp.asarray(probe_ids, jnp.int32),
     )
     return ScanResult(d, i, m, c)

@@ -52,10 +52,10 @@ def test_sharded_scan_matches_single_device(mesh, built, data):
     if built.uses_pq:
         # sharded path prefers the dense recon payload — mirror that here
         ref = coarse_scan_flat(built.list_recon, built.list_ids,
-                               built.list_sizes, q, probe)
+                               built.list_sizes, q, probe, built.list_norms)
     else:
         ref = coarse_scan_flat(built.list_vectors, built.list_ids,
-                               built.list_sizes, q, probe)
+                               built.list_sizes, q, probe, built.list_norms)
     sharded = shard_index(built, mesh)
     got = sharded_coarse_scan(mesh, sharded, q, probe)
 
