@@ -82,42 +82,44 @@ def tpu_pipeline(index, base_j, queries_j):
     import jax.numpy as jnp
 
     from prefhetch_tpu.ops.distances import rank_centroids
+    from prefhetch_tpu.ops.pallas_scan import pallas_slab_distances
     from prefhetch_tpu.ops.rerank import exact_rerank
-    from prefhetch_tpu.ops.scan import coarse_scan_flat
     from prefhetch_tpu.ops.topk import topk_select
 
-    @jax.jit
-    def prog_scan(centroids, list_recon, list_ids, list_sizes, list_norms, q):
-        _, probe = rank_centroids(q, centroids, NPROBE)
-        # dense MXU ADC: ‖q − z‖² over bf16 PQ reconstructions (see
-        # IVFIndex.list_recon) — no per-code LUT gathers
-        res = coarse_scan_flat(
-            list_recon, list_ids, list_sizes, q, probe, list_norms
-        )
-        return res.distances, res.ids
+    lmax = index.lmax
 
     @jax.jit
-    def prog_tail(ids, pos, base, q):
-        cand = jnp.take_along_axis(ids, pos, axis=1)
+    def prog_scan(centroids, list_recon, list_norms, list_sizes, q):
+        _, probe = rank_centroids(q, centroids, NPROBE)
+        # Pallas fused scan: scalar-prefetched slab DMA + MXU matvec per
+        # probed list; distances only (ids resolved positionally in the tail)
+        dist = pallas_slab_distances(
+            list_recon, list_norms, list_sizes, q, probe
+        )
+        return dist, probe
+
+    @jax.jit
+    def prog_tail(list_ids, probe, pos, base, q):
+        # resolve top positions → global ids with one tiny gather:
+        # pos = probe_slot·lmax + lane
+        probe_sel = jnp.take_along_axis(probe, pos // lmax, axis=1)
+        cand = list_ids[probe_sel, pos % lmax]
         pd = exact_rerank(base, q, cand)
         neg, order = jax.lax.top_k(-pd, K)
         return -neg, jnp.take_along_axis(cand, order, axis=1)
 
-    import jax.numpy as _jnp
-
     norms = index.list_norms
     if norms is None:
-        norms = _jnp.sum(index.list_recon.astype(_jnp.float32) ** 2, axis=-1)
+        norms = jnp.sum(index.list_recon.astype(jnp.float32) ** 2, axis=-1)
 
-    def step(centroids, list_recon, list_ids, list_sizes, list_norms, base, q):
-        dist, ids = prog_scan(
-            centroids, list_recon, list_ids, list_sizes, list_norms, q
-        )
+    def step(centroids, list_recon, list_norms, list_ids, list_sizes, base, q):
+        dist, probe = prog_scan(centroids, list_recon, list_norms,
+                                list_sizes, q)
         _, pos = topk_select(dist, COARSE_PROBE)
-        return prog_tail(ids, pos, base, q)
+        return prog_tail(list_ids, probe, pos, base, q)
 
-    args = (index.centroids, index.list_recon, index.list_ids,
-            index.list_sizes, norms, base_j, queries_j)
+    args = (index.centroids, index.list_recon, norms, index.list_ids,
+            index.list_sizes, base_j, queries_j)
     return step, args
 
 

@@ -1,0 +1,106 @@
+"""Pallas fused candidate-scan kernel.
+
+The coarse scan gathers, per (query, probe), one inverted-list slab
+[lmax, d] from HBM and reduces it against the query. XLA's gather+einsum
+path works (ops/scan.py), but the access pattern is exactly what
+``PrefetchScalarGridSpec`` is built for: the probed list ids are
+scalar-prefetched, the index_map selects each slab, and Mosaic
+double-buffers the HBM→VMEM DMAs across grid steps while the MXU computes
+the current slab's distances — a hand-fused gather+matmul+mask with no
+intermediate HBM materialization.
+
+Per grid step b (one flat (query, probe) pair):
+    dist[b, :] = ‖q_b‖² + ‖z‖² − 2·z @ q_b   over slab z = payload[list[b]]
+with invalid lanes (beyond the list's true size) set to PAD_DISTANCE.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from prefhetch_tpu.ops.topk import PAD_DISTANCE
+
+
+def _kernel(flat_lists_ref,          # scalar-prefetch [B] int32
+            sizes_ref,               # scalar-prefetch [nlist] int32
+            payload_ref,             # [1, lmax, d] — the b-th probed slab
+            norms_ref,               # [1, 1, lmax] f32
+            q_ref,                   # [1, 1, d] f32 — the b-th query row
+            out_ref):                # [1, 1, lmax] f32
+    b = pl.program_id(0)
+    lmax = out_ref.shape[2]
+    slab = payload_ref[0].astype(jnp.float32)            # [lmax, d]
+    q = q_ref[0]                                          # [1, d]
+    qsq = jnp.sum(q * q)
+    cross = jax.lax.dot_general(
+        slab, q,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(1, lmax)                                    # [1, lmax]
+    d2 = qsq + norms_ref[0] - 2.0 * cross
+    d2 = jnp.maximum(d2, 0.0)
+    size = sizes_ref[flat_lists_ref[b]]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, lmax), 1)
+    # literal pad value: module-level PAD_DISTANCE is a traced constant,
+    # which pallas kernels may not capture
+    out_ref[0] = jnp.where(lane < size, d2, float(PAD_DISTANCE))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_slab_distances(
+    payload: jax.Array,      # [nlist, lmax, d] f32/bf16
+    norms: jax.Array,        # [nlist, lmax] f32
+    sizes: jax.Array,        # [nlist] int32
+    queries: jax.Array,      # [nq, d] f32
+    probe_ids: jax.Array,    # [nq, nprobe] int32
+    interpret: bool = False,
+) -> jax.Array:
+    """Distances [nq, nprobe·lmax], PAD at invalid lanes (kernel-fused)."""
+    nq, nprobe = probe_ids.shape
+    nlist, lmax, d = payload.shape
+    B = nq * nprobe
+    flat = probe_ids.reshape(-1).astype(jnp.int32)
+    qrep = jnp.repeat(queries.astype(jnp.float32), nprobe, axis=0)  # [B, d]
+    # unit middle axes so every VMEM block's trailing dims equal the full
+    # array dims (Mosaic tiling rule for sublane<8 blocks)
+    norms3 = norms.reshape(nlist, 1, lmax)
+    qrep3 = qrep.reshape(B, 1, d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, lmax, d),
+                lambda b, flat_ref, sz_ref: (flat_ref[b], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, lmax),
+                lambda b, flat_ref, sz_ref: (flat_ref[b], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, d),
+                lambda b, flat_ref, sz_ref: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, lmax),
+            lambda b, flat_ref, sz_ref: (b, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 1, lmax), jnp.float32),
+        interpret=interpret,
+    )(flat, sizes.astype(jnp.int32), payload, norms3, qrep3)
+    return out.reshape(nq, nprobe * lmax)
