@@ -103,6 +103,18 @@ class QueryEngine:
         self.index = index
         self.base = jnp.asarray(base, jnp.float32)
 
+    @property
+    def _list_ids_np(self) -> np.ndarray:
+        if not hasattr(self, "_ids_np_cache"):
+            self._ids_np_cache = np.asarray(self.index.list_ids)
+        return self._ids_np_cache
+
+    @property
+    def _list_sizes_np(self) -> np.ndarray:
+        if not hasattr(self, "_sizes_np_cache"):
+            self._sizes_np_cache = np.asarray(self.index.list_sizes)
+        return self._sizes_np_cache
+
     # ------------------------------------------------------------------
     def enable_sharding(self, n_devices: Optional[int] = None) -> None:
         """Shard the index + base matrix over a device mesh: inverted lists
@@ -161,6 +173,42 @@ class QueryEngine:
         idx = self.index
         q = jnp.asarray(precise_query, jnp.float32)
         p = jnp.asarray(nearest_centroid_idx, jnp.int32)
+
+        # TPU serving fast path: Pallas fused scan for distances; ids/mask
+        # resolved host-side from the (static) list layout — the big ids
+        # tensor never exists on device.
+        import jax as _jax
+
+        dense_payload = (
+            idx.list_recon if idx.list_recon is not None else idx.list_vectors
+        )
+        if (
+            not self.is_sharded
+            and dense_payload is not None
+            and idx.list_norms is not None
+            and _jax.default_backend() == "tpu"
+        ):
+            from prefhetch_tpu.ops.pallas_scan import pallas_slab_distances
+
+            dist = np.asarray(
+                pallas_slab_distances(
+                    dense_payload, idx.list_norms, idx.list_sizes, q, p
+                )
+            )
+            probes_np = np.asarray(nearest_centroid_idx, np.int64)
+            ids_np = self._list_ids_np[probes_np]          # [nq, np, lmax]
+            sizes_np = self._list_sizes_np[probes_np]      # [nq, np]
+            lmax = idx.lmax
+            lane = np.arange(lmax)
+            mask = (lane[None, None, :] < sizes_np[:, :, None]).reshape(
+                dist.shape
+            )
+            counts = sizes_np.sum(axis=1).astype(np.int64)
+            flat_mask = mask.reshape(-1)
+            scores = dist.reshape(-1)[flat_mask].astype(np.float32)
+            indexes = ids_np.reshape(-1)[flat_mask].astype(np.int64)
+            return scores, indexes, counts
+
         if self.is_sharded:
             from prefhetch_tpu.parallel.sharded import sharded_coarse_scan
 

@@ -85,7 +85,9 @@ class IVFIndex:
 
     @property
     def ntotal(self) -> int:
-        return int(np.asarray(jnp.sum(self.list_sizes)))
+        # host-side sum: a device reduce here would trigger TPU init/compile
+        # on first touch (observed 60s+ for a /healthz probe)
+        return int(np.asarray(self.list_sizes).sum())
 
     def reconstruct_centroids(self) -> np.ndarray:
         """Centroid export for the client (privacy step 1).
