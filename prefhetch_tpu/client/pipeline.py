@@ -57,19 +57,54 @@ class ClientPipeline:
         self.server_addr = (server_addr or f"http://localhost:{config.port}/").rstrip("/") + "/"
 
     # -- transport ------------------------------------------------------
+    # The reference never checks HTTP outcomes — it parses every response
+    # unconditionally (SURVEY.md §5.3). Here transient transport failures
+    # (connection refused/reset, timeouts) retry with backoff; HTTP error
+    # statuses (4xx/5xx) surface immediately as exceptions.
+    _RETRIES = 3
+    _BACKOFF_S = 0.5
+
+    def _with_retries(self, fn):
+        import time as _time
+        import urllib.error
+
+        last = None
+        for attempt in range(self._RETRIES):
+            try:
+                return fn()
+            except urllib.error.HTTPError:
+                raise                      # server answered: not transient
+            except (urllib.error.URLError, ConnectionError, TimeoutError) as e:
+                last = e
+                logger.warning(
+                    "transport error (attempt %d/%d): %s",
+                    attempt + 1, self._RETRIES, e,
+                )
+                _time.sleep(self._BACKOFF_S * (2 ** attempt))
+        raise last
+
     def _get(self, route: str):
-        with urllib.request.urlopen(self.server_addr + route, timeout=300) as r:
-            return json.loads(r.read())
+        def go():
+            with urllib.request.urlopen(
+                self.server_addr + route, timeout=300
+            ) as r:
+                return json.loads(r.read())
+
+        return self._with_retries(go)
 
     def _post(self, route: str, payload: dict):
         data = json.dumps(payload).encode()
-        req = urllib.request.Request(
-            self.server_addr + route,
-            data=data,
-            headers={"Content-Type": "application/json"},
-        )
-        with urllib.request.urlopen(req, timeout=300) as r:
-            return json.loads(r.read())
+
+        def go():
+            req = urllib.request.Request(
+                self.server_addr + route,
+                data=data,
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                return json.loads(r.read())
+
+        return self._with_retries(go)
 
     # -- stage 1 ----------------------------------------------------------
     def get_query(self) -> np.ndarray:

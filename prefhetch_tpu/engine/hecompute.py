@@ -184,6 +184,29 @@ class HEComputeService:
         norms = (np.round(candidates).astype(np.int64) ** 2).sum(-1)
         return out, norms
 
+    @functools.cached_property
+    def _mac_batch_fn_mxu(self):
+        """Device path for the multi-query MAC: forward NTT of ALL
+        (query, block) plaintexts as one int8-MXU matmul batch + pointwise
+        modular multiply — one jit dispatch per request batch."""
+        from prefhetch_tpu.ops.ntt_mxu import build_mxu_tables, ntt_mxu
+
+        tables = [build_mxu_tables(q, self.params.n) for q in self.params.qs]
+
+        def mac(c0q, c1q, flat_polys, nq, n_blocks):
+            # c0q/c1q: [nq, L, N]; flat_polys: [nq·B, N]
+            outs0, outs1 = [], []
+            for i, tb in enumerate(tables):
+                q = tb.q
+                pt = ntt_mxu(flat_polys % q, tb).reshape(
+                    nq, n_blocks, -1
+                )                                       # [nq, B, N]
+                outs0.append(c0q[:, None, i] * pt % q)
+                outs1.append(c1q[:, None, i] * pt % q)
+            return jnp.stack(outs0, axis=2), jnp.stack(outs1, axis=2)
+
+        return jax.jit(mac, static_argnums=(3, 4))
+
     def encrypted_scores_batch(
         self,
         cts: List[Ciphertext],        # [nq] NTT-domain encrypted queries
@@ -201,13 +224,22 @@ class HEComputeService:
         flat = polys.reshape(nq * n_blocks, -1)
         c0q = np.stack([c.c0 for c in cts])            # [nq, L, N]
         c1q = np.stack([c.c1 for c in cts])
-        out0 = np.empty((nq, n_blocks, len(self.params.qs), self.params.n), np.int64)
-        out1 = np.empty_like(out0)
-        for i, tb in enumerate(self.ctx.tables):
-            q = tb.q
-            pt_ntt = ntt(flat % q, tb).reshape(nq, n_blocks, -1)
-            out0[:, :, i] = c0q[:, None, i] * pt_ntt % q
-            out1[:, :, i] = c1q[:, None, i] * pt_ntt % q
+        if self.backend == "tpu":
+            o0, o1 = self._mac_batch_fn_mxu(
+                jnp.asarray(c0q), jnp.asarray(c1q), jnp.asarray(flat),
+                nq, n_blocks,
+            )
+            out0, out1 = np.asarray(o0), np.asarray(o1)
+        else:
+            out0 = np.empty(
+                (nq, n_blocks, len(self.params.qs), self.params.n), np.int64
+            )
+            out1 = np.empty_like(out0)
+            for i, tb in enumerate(self.ctx.tables):
+                q = tb.q
+                pt_ntt = ntt(flat % q, tb).reshape(nq, n_blocks, -1)
+                out0[:, :, i] = c0q[:, None, i] * pt_ntt % q
+                out1[:, :, i] = c1q[:, None, i] * pt_ntt % q
         result = [
             [Ciphertext(c0=out0[qi, b], c1=out1[qi, b], is_ntt=True)
              for b in range(n_blocks)]

@@ -104,7 +104,10 @@ class _Handler(BaseHTTPRequestHandler):
                     {"status": "ok", "ntotal": self.engine.index.ntotal}
                 )
             elif self.path == "/stats":
-                self._send_json(self.stats.snapshot())
+                snap = self.stats.snapshot()
+                if hasattr(self.engine, "stats"):   # batching mode
+                    snap["batcher"] = self.engine.stats()
+                self._send_json(snap)
             else:
                 ok = False
                 self._send_json({"error": "not found"}, 404)
