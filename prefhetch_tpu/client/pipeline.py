@@ -80,7 +80,8 @@ class ClientPipeline:
                     "transport error (attempt %d/%d): %s",
                     attempt + 1, self._RETRIES, e,
                 )
-                _time.sleep(self._BACKOFF_S * (2 ** attempt))
+                if attempt < self._RETRIES - 1:   # no sleep after last try
+                    _time.sleep(self._BACKOFF_S * (2 ** attempt))
         raise last
 
     def _get(self, route: str):

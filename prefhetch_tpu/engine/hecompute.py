@@ -103,28 +103,6 @@ class HEComputeService:
         self._qs = np.array(params.qs, np.int64)
 
     @functools.cached_property
-    def _mac_fn_mxu(self):
-        """TPU production path: forward NTT as digit-decomposed int8 MXU
-        matmuls (ops/ntt_mxu.py), pointwise modular MAC in 64-bit lanes."""
-        from prefhetch_tpu.ops.ntt_mxu import build_mxu_tables, ntt_mxu
-
-        tables = [
-            build_mxu_tables(q, self.params.n) for q in self.params.qs
-        ]
-
-        @jax.jit
-        def mac(c0, c1, pt_polys):
-            outs0, outs1 = [], []
-            for i, tb in enumerate(tables):
-                q = tb.q
-                pt_ntt = ntt_mxu(pt_polys % q, tb)      # [B, N] int64
-                outs0.append(c0[i][None, :] * pt_ntt % q)
-                outs1.append(c1[i][None, :] * pt_ntt % q)
-            return jnp.stack(outs0, axis=1), jnp.stack(outs1, axis=1)
-
-        return mac
-
-    @functools.cached_property
     def _mac_fn_jax(self):
         tables = self.ctx.tables
 
@@ -166,10 +144,12 @@ class HEComputeService:
             ct = self.ctx.to_ntt(ct)
         polys, _ = pack_candidates(candidates, self.params)   # [n_blocks, N]
         if self.backend == "tpu":
-            c0, c1 = self._mac_fn_mxu(
-                jnp.asarray(ct.c0), jnp.asarray(ct.c1), jnp.asarray(polys)
+            # nq=1 case of the batch kernel (one shared jitted program)
+            o0, o1 = self._mac_batch_fn_mxu(
+                jnp.asarray(ct.c0)[None], jnp.asarray(ct.c1)[None],
+                jnp.asarray(polys),
             )
-            c0, c1 = np.asarray(c0), np.asarray(c1)
+            c0, c1 = np.asarray(o0)[0], np.asarray(o1)[0]
         elif self.backend == "jax":
             c0, c1 = self._mac_fn_jax(
                 jnp.asarray(ct.c0), jnp.asarray(ct.c1), jnp.asarray(polys)
@@ -193,8 +173,11 @@ class HEComputeService:
 
         tables = [build_mxu_tables(q, self.params.n) for q in self.params.qs]
 
-        def mac(c0q, c1q, flat_polys, nq, n_blocks):
-            # c0q/c1q: [nq, L, N]; flat_polys: [nq·B, N]
+        def mac(c0q, c1q, flat_polys):
+            # c0q/c1q: [nq, L, N]; flat_polys: [nq·B, N] — group sizes are
+            # static at trace time from the array shapes
+            nq = c0q.shape[0]
+            n_blocks = flat_polys.shape[0] // nq
             outs0, outs1 = [], []
             for i, tb in enumerate(tables):
                 q = tb.q
@@ -205,7 +188,7 @@ class HEComputeService:
                 outs1.append(c1q[:, None, i] * pt % q)
             return jnp.stack(outs0, axis=2), jnp.stack(outs1, axis=2)
 
-        return jax.jit(mac, static_argnums=(3, 4))
+        return jax.jit(mac)
 
     def encrypted_scores_batch(
         self,
@@ -226,8 +209,7 @@ class HEComputeService:
         c1q = np.stack([c.c1 for c in cts])
         if self.backend == "tpu":
             o0, o1 = self._mac_batch_fn_mxu(
-                jnp.asarray(c0q), jnp.asarray(c1q), jnp.asarray(flat),
-                nq, n_blocks,
+                jnp.asarray(c0q), jnp.asarray(c1q), jnp.asarray(flat)
             )
             out0, out1 = np.asarray(o0), np.asarray(o1)
         else:
