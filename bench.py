@@ -80,19 +80,25 @@ def tpu_pipeline(index, base_j, queries_j):
     """
     import jax
     import jax.numpy as jnp
+    import numpy as _np
 
+    from prefhetch_tpu.index.tiling import build_tiled_view
     from prefhetch_tpu.ops.distances import rank_centroids
     from prefhetch_tpu.ops.pallas_scan import pallas_slab_distances
     from prefhetch_tpu.ops.rerank import exact_rerank
     from prefhetch_tpu.ops.topk import topk_select
 
+    # NOTE: the engine's HTTP serving path uses the TILED layout
+    # (index/tiling.py) because the client's probe ids arrive host-side
+    # anyway. This in-process pipeline stays fully device-resident (padded
+    # layout): a host round-trip per iteration to expand probes would
+    # serialize the async dispatch chain and measure link latency instead of
+    # chip throughput.
     lmax = index.lmax
 
     @jax.jit
     def prog_scan(centroids, list_recon, list_norms, list_sizes, q):
         _, probe = rank_centroids(q, centroids, NPROBE)
-        # Pallas fused scan: scalar-prefetched slab DMA + MXU matvec per
-        # probed list; distances only (ids resolved positionally in the tail)
         dist = pallas_slab_distances(
             list_recon, list_norms, list_sizes, q, probe
         )

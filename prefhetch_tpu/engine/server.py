@@ -104,6 +104,16 @@ class QueryEngine:
         self.base = jnp.asarray(base, jnp.float32)
 
     @property
+    def _tiled_view(self):
+        """Tiled scan layout, built once per index (None without a dense
+        payload — e.g. pure-LUT PQ mode)."""
+        if not hasattr(self, "_tiled_cache"):
+            from prefhetch_tpu.index.tiling import build_tiled_view
+
+            self._tiled_cache = build_tiled_view(self.index)
+        return self._tiled_cache
+
+    @property
     def _list_ids_np(self) -> np.ndarray:
         if not hasattr(self, "_ids_np_cache"):
             self._ids_np_cache = np.asarray(self.index.list_ids)
@@ -174,36 +184,33 @@ class QueryEngine:
         q = jnp.asarray(precise_query, jnp.float32)
         p = jnp.asarray(nearest_centroid_idx, jnp.int32)
 
-        # TPU serving fast path: Pallas fused scan for distances; ids/mask
-        # resolved host-side from the (static) list layout — the big ids
-        # tensor never exists on device.
+        # TPU serving fast path: logical probes expand to fixed-size tiles
+        # (index/tiling.py — no global-lmax padding), the Pallas fused scan
+        # computes distances, and ids/mask resolve host-side from the static
+        # tile tables. The wire contract (logical centroid ids in, ragged
+        # candidates out) is unchanged.
         import jax as _jax
 
-        dense_payload = (
-            idx.list_recon if idx.list_recon is not None else idx.list_vectors
-        )
         if (
             not self.is_sharded
-            and dense_payload is not None
-            and idx.list_norms is not None
             and _jax.default_backend() == "tpu"
+            and self._tiled_view is not None
         ):
             from prefhetch_tpu.ops.pallas_scan import pallas_slab_distances
 
+            view = self._tiled_view
+            probes_np = np.asarray(nearest_centroid_idx, np.int64)
+            tile_idx, counts = view.expand_probes(probes_np)
             dist = np.asarray(
                 pallas_slab_distances(
-                    dense_payload, idx.list_norms, idx.list_sizes, q, p
+                    view.payload, view.norms, view.sizes, q,
+                    jnp.asarray(tile_idx),
                 )
             )
-            probes_np = np.asarray(nearest_centroid_idx, np.int64)
-            ids_np = self._list_ids_np[probes_np]          # [nq, np, lmax]
-            sizes_np = self._list_sizes_np[probes_np]      # [nq, np]
-            lmax = idx.lmax
-            lane = np.arange(lmax)
-            mask = (lane[None, None, :] < sizes_np[:, :, None]).reshape(
-                dist.shape
-            )
-            counts = sizes_np.sum(axis=1).astype(np.int64)
+            ids_np = view.tile_ids_np[tile_idx]            # [nq, mt, T]
+            tsz = view.tile_sizes_np[tile_idx]             # [nq, mt]
+            lane = np.arange(view.tile)
+            mask = (lane[None, None, :] < tsz[:, :, None]).reshape(dist.shape)
             flat_mask = mask.reshape(-1)
             scores = dist.reshape(-1)[flat_mask].astype(np.float32)
             indexes = ids_np.reshape(-1)[flat_mask].astype(np.int64)

@@ -1,0 +1,125 @@
+"""Tiled inverted-list view: fixed-size tiles instead of global-lmax padding.
+
+The dense padded layout ([nlist, lmax, …]) pads EVERY list to the longest
+list; k-means imbalance makes lmax ≈ 3.5× the mean list length at SIFT1M,
+so the scan does 3.5× the necessary work and the payload occupies 3.5× the
+necessary HBM. The tiled view re-packs each list into ⌈size/T⌉ consecutive
+tiles of T slots (only the last tile of each list is padded), plus one
+reserved all-empty tile used to pad probe expansions.
+
+The scan kernel is unchanged — it already takes (payload, norms, sizes,
+probe ids): tiles simply become the "lists" it sees. The server expands the
+client's logical probes (centroid ids — the wire contract is untouched)
+into tile ids host-side per request; tiles of a list are consecutive, so
+candidate order (probe-major, storage order within a list) is preserved.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prefhetch_tpu.index.types import IVFIndex
+
+TILE = 512
+
+
+@dataclasses.dataclass
+class TiledView:
+    """Device arrays for the tiled scan + host tables for probe expansion."""
+
+    payload: jax.Array          # [ntiles+1, T, d] — +1 = reserved empty tile
+    norms: jax.Array            # [ntiles+1, T] f32
+    sizes: jax.Array            # [ntiles+1] i32 — valid slots per tile
+    ids: jax.Array              # [ntiles+1, T] i32 device — for tail gathers
+    tile_ids_np: np.ndarray     # [ntiles+1, T] i32 host — global vector ids
+    tile_sizes_np: np.ndarray   # [ntiles+1] i32 host
+    tile_start_np: np.ndarray   # [nlist] host — first tile of each list
+    tile_count_np: np.ndarray   # [nlist] host — tiles per list
+    tile: int = TILE
+
+    @property
+    def empty_tile(self) -> int:
+        return self.payload.shape[0] - 1
+
+    def expand_probes(
+        self, probe_ids: np.ndarray, bucket: int = 8
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Logical probes [nq, nprobe] → (tile ids [nq, max_t],
+        candidate counts [nq] — the protocol's listSizesPerQuery).
+
+        max_t is the per-batch max tile count rounded up to `bucket` (bounds
+        jit-shape churn); rows are padded with the empty tile."""
+        nq, nprobe = probe_ids.shape
+        tcounts = self.tile_count_np[probe_ids]               # [nq, nprobe]
+        t_totals = tcounts.sum(axis=1)
+        max_t = int(-(-int(t_totals.max()) // bucket) * bucket)
+        out = np.full((nq, max_t), self.empty_tile, np.int32)
+        for qi in range(nq):
+            pos = 0
+            for p in probe_ids[qi]:
+                s = self.tile_start_np[p]
+                c = self.tile_count_np[p]
+                out[qi, pos : pos + c] = np.arange(s, s + c, dtype=np.int32)
+                pos += c
+        cand_counts = self.tile_sizes_np[out].sum(axis=1)
+        return out, cand_counts.astype(np.int64)
+
+
+def build_tiled_view(index: IVFIndex, tile: int = TILE) -> Optional[TiledView]:
+    """Derive the tiled view from a built index (host-side re-pack).
+
+    Uses the dense scan payload (recon for PQ, raw vectors for flat);
+    returns None if the index has no dense payload."""
+    if index.list_recon is not None:
+        payload_np = np.asarray(index.list_recon)
+    elif index.list_vectors is not None:
+        payload_np = np.asarray(index.list_vectors)
+    else:
+        return None
+    ids_np = np.asarray(index.list_ids)
+    sizes_np = np.asarray(index.list_sizes)
+    nlist, lmax, d = payload_np.shape
+
+    tile_count = -(-sizes_np // tile)                 # ⌈size/T⌉, 0 for empty
+    tile_count = np.maximum(tile_count, 0)
+    tile_start = np.zeros(nlist, np.int64)
+    np.cumsum(tile_count[:-1], out=tile_start[1:])
+    ntiles = int(tile_count.sum())
+
+    payload = np.zeros((ntiles + 1, tile, d), payload_np.dtype)
+    tile_ids = np.full((ntiles + 1, tile), -1, np.int32)
+    tile_sizes = np.zeros(ntiles + 1, np.int32)
+    if index.list_norms is not None:
+        norms_np = np.asarray(index.list_norms)
+    else:
+        norms_np = (payload_np.astype(np.float32) ** 2).sum(-1)
+    tile_norms = np.zeros((ntiles + 1, tile), np.float32)
+
+    for c in range(nlist):
+        size = int(sizes_np[c])
+        t0 = int(tile_start[c])
+        for k in range(int(tile_count[c])):
+            lo = k * tile
+            hi = min(size, lo + tile)
+            n = hi - lo
+            payload[t0 + k, :n] = payload_np[c, lo:hi]
+            tile_ids[t0 + k, :n] = ids_np[c, lo:hi]
+            tile_norms[t0 + k, :n] = norms_np[c, lo:hi]
+            tile_sizes[t0 + k] = n
+
+    return TiledView(
+        payload=jnp.asarray(payload),
+        norms=jnp.asarray(tile_norms),
+        sizes=jnp.asarray(tile_sizes),
+        ids=jnp.asarray(tile_ids),
+        tile_ids_np=tile_ids,
+        tile_sizes_np=tile_sizes,
+        tile_start_np=tile_start.astype(np.int64),
+        tile_count_np=tile_count.astype(np.int64),
+        tile=tile,
+    )
