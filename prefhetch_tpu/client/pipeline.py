@@ -295,6 +295,32 @@ class ClientPipeline:
         )
         return np.asarray(resp["queryResults"], np.float32), top_ids
 
+    # -- stage 8 (real-PIR variant) -----------------------------------------
+    def get_precise_vectors_real_pir(
+        self, sorted_precise_ids: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """POST /pir-fetch: genuinely private retrieval — the request carries
+        only BFV selector ciphertexts; the server never learns which rows
+        were fetched (crypto/pir.py; upgrades the reference's placeholder)."""
+        from prefhetch_tpu.client.pir import get_pir_client
+
+        k = self.config.protocol.k
+        top_ids = sorted_precise_ids[:, :k]
+        client = get_pir_client(self.config)
+        nbase = self.config.nbase
+        d = self.config.index.d
+        queries = [
+            client.build_query(int(i), nbase, d)
+            for row in top_ids
+            for i in row
+        ]
+        resp = self._post("pir-fetch", {"pirQueries": queries})
+        flat = np.stack(
+            [client.decode_response(w, d) for w in resp["pirResults"]]
+        )
+        nq = top_ids.shape[0]
+        return flat.reshape(nq, k, d), top_ids
+
     # -- stage 9 ----------------------------------------------------------
     def benchmark_results(self, observed_idx: np.ndarray) -> BenchmarkReport:
         """Score against ground truth (reference: client_lib.cpp:243-337)."""
@@ -316,4 +342,6 @@ class ClientPipeline:
         else:
             ps, cand = self.get_precise_scores(sorted_coarse, query)
         _, sorted_ids = self.compute_nearest_precise_vectors(ps, cand)
+        if self.config.protocol.pir_mode == "he":
+            return self.get_precise_vectors_real_pir(sorted_ids)
         return self.get_precise_vectors_pir(sorted_ids)

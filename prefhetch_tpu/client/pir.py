@@ -1,0 +1,19 @@
+"""Client-side handle for the real-PIR retrieval mode (crypto/pir.py)."""
+
+from __future__ import annotations
+
+from prefhetch_tpu.crypto.params import bfv_params_for
+from prefhetch_tpu.crypto.pir import PIRClient
+from prefhetch_tpu.utils.config import PipelineConfig
+
+_cache = {}
+
+
+def get_pir_client(config: PipelineConfig, seed: int = 0) -> PIRClient:
+    he = config.he
+    key = (he.n, he.pir_t_bits, he.n_limbs, seed)
+    if key not in _cache:
+        _cache[key] = PIRClient(
+            bfv_params_for(he.n, he.pir_t_bits, he.n_limbs), seed=seed
+        )
+    return _cache[key]

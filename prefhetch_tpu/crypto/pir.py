@@ -1,0 +1,124 @@
+"""Single-server computational PIR for the vector-retrieval stage.
+
+The reference's ``/precise-vector-pir`` is PIR in name only — the client
+sends indices in cleartext and the server gathers raw rows (reference:
+src/server/server_lib.cpp:169-196; SURVEY.md §2.2 note). This module makes
+the retrieval genuinely private: the server returns the requested row
+without learning which row it was.
+
+Construction (basic XPIR-style, no query expansion):
+
+- The database [nbase, d] is packed into G plaintext polynomials; block b
+  holds rows [b·R, (b+1)·R), R = N/d rows per block, row j reversed inside
+  its d-aligned coefficient window (the crypto/packing.py layout).
+- To fetch row i = (b*, r), the client sends G ciphertexts: Enc(X^{s}) with
+  s = N − d·(r+1) at position b*, Enc(0) elsewhere. The server computes
+  ONE response ct: Σ_b ct_b ⊗ p_b (NTT-domain MACs + additions). The
+  monomial shifts row r's window onto coefficients [N−d, N−1]; every other
+  row of the block lands outside that window (wraps stay below N−d), and
+  all other blocks contribute Enc(0)·p = Enc(0).
+- The client decrypts one ct and reads the window.
+
+Cost model: upload G ciphertexts per retrieved row (G = nbase·d/N) — the
+communication-inefficient but genuinely private baseline. SealPIR-style
+oblivious query expansion (1 ct expanded into G selectors via substitution
+automorphisms — the Galois machinery in crypto/ckks.py) is the planned
+upgrade (ROADMAP.md).
+
+Noise: the response is a sum of G ct×pt products with ‖p‖₁ ≤ N·255, so the
+plaintext modulus must stay small (t = 2^9 covers byte-valued vectors) to
+keep Σ noise ≪ q/2t. Checked by tests at the production prime sizes.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from prefhetch_tpu.crypto.bfv import BFVContext, Ciphertext
+from prefhetch_tpu.crypto.params import BFVParams
+
+
+def rows_per_block(params: BFVParams, d: int) -> int:
+    assert params.n % d == 0
+    return params.n // d
+
+
+def pack_database(base: np.ndarray, params: BFVParams) -> np.ndarray:
+    """[nbase, d] byte-valued rows → packed plaintext polys [G, N]."""
+    nbase, d = base.shape
+    R = rows_per_block(params, d)
+    G = -(-nbase // R)
+    padded = np.zeros((G * R, d), np.int64)
+    padded[:nbase] = np.round(base).astype(np.int64)
+    assert padded.min() >= 0 and padded.max() < params.t, (
+        "database values must fit the PIR plaintext modulus"
+    )
+    polys = np.zeros((G, params.n), np.int64)
+    rev = padded[:, ::-1].reshape(G, R * d)
+    polys[:, : R * d] = rev
+    return polys
+
+
+class PIRClient:
+    """Holds the PIR keypair; builds queries and decodes responses."""
+
+    def __init__(self, params: BFVParams, seed: int = 0):
+        self.params = params
+        self.ctx = BFVContext(params)
+        self._rng = np.random.default_rng(seed)
+        self.sk, self.pk = self.ctx.keygen(self._rng)
+
+    def build_query(self, row: int, nbase: int, d: int) -> List[dict]:
+        """Selector ciphertexts for one row → list of G ct wire dicts."""
+        p = self.params
+        R = rows_per_block(p, d)
+        G = -(-nbase // R)
+        b_star, r = divmod(row, R)
+        s = p.n - d * (r + 1)
+        polys = np.zeros((G, p.n), np.int64)
+        polys[b_star, s] = 1
+        cts = self.ctx.encrypt_batch(self.pk, polys, self._rng)
+        return [self.ctx.to_ntt(ct).to_wire() for ct in cts]
+
+    def decode_response(self, wire: dict, d: int) -> np.ndarray:
+        """Response ct → the retrieved row [d].
+
+        The window coefficient N−d+k carries x[d−1−k] (rows are stored
+        reversed in their block windows), so the read is flipped."""
+        ct = Ciphertext.from_wire(wire)
+        coeffs = self.ctx.decrypt(self.sk, ct)
+        return coeffs[self.params.n - d :][::-1].astype(np.float32)
+
+
+class PIRServer:
+    """Precomputes NTT(p_b) for the packed database; answers queries with
+    Σ_b ct_b ⊗ p_b. Holds no keys; never sees the requested index."""
+
+    def __init__(self, base: np.ndarray, params: BFVParams):
+        self.params = params
+        self.ctx = BFVContext(params)
+        self.d = base.shape[1]
+        self.nbase = base.shape[0]
+        polys = pack_database(base, params)
+        self.db_ntt = np.stack(
+            [self.ctx.plain_to_ntt(p) for p in polys]
+        )                                     # [G, L, N]
+
+    def answer(self, query_wires: List[dict]) -> dict:
+        p = self.params
+        G = self.db_ntt.shape[0]
+        if len(query_wires) != G:
+            raise ValueError(
+                f"PIR query must carry {G} ciphertexts, got {len(query_wires)}"
+            )
+        qs = np.array(p.qs, np.int64)[:, None]
+        acc0 = np.zeros((len(p.qs), p.n), np.int64)
+        acc1 = np.zeros_like(acc0)
+        for b, w in enumerate(query_wires):
+            ct = Ciphertext.from_wire(w)
+            assert ct.is_ntt
+            acc0 = (acc0 + ct.c0 * self.db_ntt[b]) % qs
+            acc1 = (acc1 + ct.c1 * self.db_ntt[b]) % qs
+        return Ciphertext(c0=acc0, c1=acc1, is_ntt=True).to_wire()

@@ -349,6 +349,26 @@ class QueryEngine:
                 out_norms.append(norms[i].tolist())
         return out_cts, out_norms
 
+    # -- service 4b: POST /pir-fetch (real PIR) ----------------------------
+    @property
+    def pir_service(self):
+        """Real single-server PIR (crypto/pir.py) over the base matrix."""
+        if not hasattr(self, "_pir_service"):
+            from prefhetch_tpu.crypto.params import bfv_params_for
+            from prefhetch_tpu.crypto.pir import PIRServer
+
+            he = self.config.he
+            self._pir_service = PIRServer(
+                np.asarray(self.base),
+                bfv_params_for(he.n, he.pir_t_bits, he.n_limbs),
+            )
+        return self._pir_service
+
+    def pir_fetch(self, pir_queries: list) -> list:
+        """Answer one PIR query (list of G selector ct wires) per requested
+        row. The server never learns the row indices."""
+        return [self.pir_service.answer(q) for q in pir_queries]
+
     # -- service 4: POST /precise-vector-pir ------------------------------
     def precise_vector_pir(self, ids: np.ndarray) -> np.ndarray:
         """Gather the K named vectors per query

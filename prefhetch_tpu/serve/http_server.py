@@ -132,6 +132,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._encrypted_search(body)
             elif self.path == "/precise-vector-pir":
                 self._precise_vector_pir(body)
+            elif self.path == "/pir-fetch":
+                self._pir_fetch(body)
             else:
                 ok = False
                 self._send_json({"error": "not found"}, 404)
@@ -194,6 +196,16 @@ class _Handler(BaseHTTPRequestHandler):
         self._send_json(
             {"encryptedScores": cts, "candidateNorms": norms}
         )
+
+    # net-new route: REAL single-server PIR (crypto/pir.py) — unlike
+    # /precise-vector-pir (the reference's cleartext-index placeholder), the
+    # request carries only selector ciphertexts.
+    def _pir_fetch(self, body):
+        queries = body["pirQueries"]
+        if not isinstance(queries, list) or not queries:
+            raise ValueError("pirQueries must be a non-empty list")
+        results = self.engine.pir_fetch(queries)
+        self._send_json({"pirResults": results})
 
     # reference: Query.cc:99-127
     def _precise_vector_pir(self, body):

@@ -94,6 +94,8 @@ class HEParams:
     t_bits: int = 24       # BFV plaintext modulus bits
     n_limbs: int = 2
     scale_bits: int = 26   # CKKS fixed-point scale (config 3: N=8192)
+    pir_t_bits: int = 9    # PIR plaintext modulus (byte-valued rows; small t
+    #                        keeps the Σ-of-G-MACs noise within budget)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,6 +118,11 @@ class ProtocolParams:
     # When True, the precise re-rank round runs over an encrypted query
     # (client sends Enc(q); server returns Enc(⟨q,x⟩) + plaintext norms).
     encrypted_rerank: bool = False
+    # "plain": reference-parity placeholder (cleartext indices, raw gather).
+    # "he": real single-server PIR (crypto/pir.py) — the server never learns
+    # which rows were fetched. Upload-heavy (G cts per row) until query
+    # expansion lands; practical at small nbase / demo scale.
+    pir_mode: str = "plain"
 
     def validate(self) -> None:
         if self.k > self.coarse_probe:
