@@ -299,24 +299,37 @@ class ClientPipeline:
     def get_precise_vectors_real_pir(
         self, sorted_precise_ids: np.ndarray
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """POST /pir-fetch: genuinely private retrieval — the request carries
-        only BFV selector ciphertexts; the server never learns which rows
-        were fetched (crypto/pir.py; upgrades the reference's placeholder)."""
+        """POST /pir-fetch: genuinely private retrieval — each requested row
+        costs ONE uploaded BFV ciphertext Enc(X^{block}); the server
+        obliviously expands it (SealPIR-style, crypto/pir.expand_query) and
+        never learns which rows were fetched. Public Galois expansion keys
+        register once per client. Upgrades the reference's placeholder,
+        which sent indices in cleartext."""
         from prefhetch_tpu.client.pir import get_pir_client
+        from prefhetch_tpu.crypto.pir import rows_per_block
 
         k = self.config.protocol.k
         top_ids = sorted_precise_ids[:, :k]
         client = get_pir_client(self.config)
         nbase = self.config.nbase
         d = self.config.index.d
-        queries = [
-            client.build_query(int(i), nbase, d)
-            for row in top_ids
-            for i in row
-        ]
-        resp = self._post("pir-fetch", {"pirQueries": queries})
+        wires, rs = [], []
+        for row in top_ids.reshape(-1):
+            w, r = client.build_query_packed(int(row), nbase, d)
+            wires.append(w)
+            rs.append(r)
+        payload = {"pirPacked": wires, "keyId": client.key_id}
+        if not getattr(client, "_keys_registered", False):
+            payload["galoisKeys"] = client.galois_keys_wire(nbase, d)
+            client._keys_registered = True
+        resp = self._post("pir-fetch", payload)
+        R = rows_per_block(client.params, d)
+        n_blocks = -(-nbase // R)
         flat = np.stack(
-            [client.decode_response(w, d) for w in resp["pirResults"]]
+            [
+                client.decode_block_response(w, d, rs[i], n_blocks)
+                for i, w in enumerate(resp["pirResults"])
+            ]
         )
         nq = top_ids.shape[0]
         return flat.reshape(nq, k, d), top_ids

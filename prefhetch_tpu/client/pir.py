@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from prefhetch_tpu.crypto.params import bfv_params_for
+from prefhetch_tpu.crypto.params import pir_params_for
 from prefhetch_tpu.crypto.pir import PIRClient
 from prefhetch_tpu.utils.config import PipelineConfig
 
@@ -11,9 +11,9 @@ _cache = {}
 
 def get_pir_client(config: PipelineConfig, seed: int = 0) -> PIRClient:
     he = config.he
-    key = (he.n, he.pir_t_bits, he.n_limbs, seed)
+    key = (he.n, he.pir_plain_modulus, he.n_limbs, seed)
     if key not in _cache:
         _cache[key] = PIRClient(
-            bfv_params_for(he.n, he.pir_t_bits, he.n_limbs), seed=seed
+            pir_params_for(he.n, he.pir_plain_modulus, he.n_limbs), seed=seed
         )
     return _cache[key]

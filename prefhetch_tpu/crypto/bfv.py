@@ -37,12 +37,45 @@ class PublicKey:
 
 @dataclasses.dataclass
 class RelinKey:
-    """Relinearization (evaluation) key for s², special-modulus form."""
+    """Key-switching key (relinearization / Galois), special-modulus form."""
 
     special_p: int
     b: np.ndarray            # [n_comp, L+1, N]
     a: np.ndarray            # [n_comp, L+1, N]
     ext: tuple               # basis qs + (special_p,)
+
+    def to_wire(self) -> dict:
+        import base64
+
+        def enc(x):
+            return base64.b64encode(
+                np.ascontiguousarray(x.astype("<u4")).tobytes()
+            ).decode()
+
+        return {
+            "specialP": self.special_p,
+            "ext": list(self.ext),
+            "shape": list(self.b.shape),
+            "b": enc(self.b),
+            "a": enc(self.a),
+        }
+
+    @staticmethod
+    def from_wire(obj: dict) -> "RelinKey":
+        import base64
+
+        shape = tuple(obj["shape"])
+
+        def dec(s):
+            return np.frombuffer(base64.b64decode(s), dtype="<u4").astype(
+                np.int64
+            ).reshape(shape)
+
+        return RelinKey(
+            special_p=int(obj["specialP"]),
+            b=dec(obj["b"]), a=dec(obj["a"]),
+            ext=tuple(obj["ext"]),
+        )
 
 
 @dataclasses.dataclass
@@ -383,16 +416,34 @@ class BFVContext:
             c0=np.mod(c0 + ks0, qs), c1=np.mod(c1 + ks1, qs)
         )
 
-    def relin_keygen(self, sk: SecretKey, rng) -> "RelinKey":
-        """Evaluation key for s² (special-modulus, 15-bit digit decomposed)."""
-        from prefhetch_tpu.crypto.params import find_ntt_primes
+    # -- generic special-modulus key switching ------------------------------
+    @property
+    def _special_p(self) -> int:
+        if not hasattr(self, "_sp_cached"):
+            from prefhetch_tpu.crypto.params import find_ntt_primes
 
+            p = self.params
+            self._sp_cached = [
+                q for q in find_ntt_primes(p.n, 30, len(self._ext_basis) + 2)
+                if q not in self._ext_basis
+            ][0]
+        return self._sp_cached
+
+    def _s_signed(self, sk: SecretKey) -> np.ndarray:
+        """Recover the small signed secret from its first-limb residues."""
+        q0 = self.params.qs[0]
+        return np.where(
+            sk.s_rns[0] > q0 // 2, sk.s_rns[0] - q0, sk.s_rns[0]
+        )
+
+    def _make_switch_key(
+        self, sk: SecretKey, target_small: np.ndarray, rng
+    ) -> "RelinKey":
+        """Key-switching key encrypting P·W_d·target under s over qs+[p]
+        (15-bit digit decomposition). `target_small` is a small signed
+        polynomial (s², s(X^g), …)."""
         p = self.params
-        # special modulus: next NTT prime not in qs / aux basis
-        sp = [
-            q for q in find_ntt_primes(p.n, 30, len(self._ext_basis) + 2)
-            if q not in self._ext_basis
-        ][0]
+        sp = self._special_p
         ext = tuple(p.qs) + (sp,)
         ext_tables = [build_tables(q, p.n) for q in ext]
         qs_ext = np.array(ext, np.int64)[:, None]
@@ -406,14 +457,8 @@ class BFVContext:
         def to_ext_rns(small):
             return np.mod(small[None, :].astype(np.int64), qs_ext)
 
-        # s over ext basis (ternary, small) and s²
-        s_small_signed = np.where(
-            sk.s_rns[0] > self.params.qs[0] // 2,
-            sk.s_rns[0] - self.params.qs[0],
-            sk.s_rns[0],
-        )
-        s_ext = to_ext_rns(s_small_signed)
-        s2_ext = polymul_ext(s_ext, s_ext)
+        s_ext = to_ext_rns(self._s_signed(sk))
+        target_ext = to_ext_rns(np.asarray(target_small, np.int64))
 
         digit_bits = 15
         n_digits = -(-30 // digit_bits)
@@ -433,7 +478,7 @@ class BFVContext:
                 e_rns = to_ext_rns(_sample_error(rng, p.n))
                 b_rns = np.mod(
                     -(polymul_ext(a_rns, s_ext) + e_rns)
-                    + fac * s2_ext % qs_ext,
+                    + fac * target_ext % qs_ext,
                     qs_ext,
                 )
                 comps_b.append(b_rns)
@@ -442,6 +487,97 @@ class BFVContext:
             special_p=sp, b=np.stack(comps_b), a=np.stack(comps_a),
             ext=ext,
         )
+
+    def relin_keygen(self, sk: SecretKey, rng) -> "RelinKey":
+        """Evaluation key for s² (special-modulus, 15-bit digit decomposed)."""
+        p = self.params
+        sp = self._special_p
+        ext = tuple(p.qs) + (sp,)
+        ext_tables = [build_tables(q, p.n) for q in ext]
+        qs_ext = np.array(ext, np.int64)[:, None]
+
+        def polymul_ext(a, b):
+            out = np.empty((len(ext), p.n), np.int64)
+            for i, tb in enumerate(ext_tables):
+                out[i] = intt(ntt(a[i], tb) * ntt(b[i], tb) % tb.q, tb)
+            return out
+
+        s_signed = self._s_signed(sk)
+        s_ext = np.mod(s_signed[None, :].astype(np.int64), qs_ext)
+        s2_ext = polymul_ext(s_ext, s_ext)
+        # s² has coefficients up to ~N (small); recover signed form mod sp
+        s2_signed = np.where(
+            s2_ext[-1] > sp // 2, s2_ext[-1] - sp, s2_ext[-1]
+        )
+        return self._make_switch_key(sk, s2_signed, rng)
+
+    # -- Galois automorphisms (X → X^g) -------------------------------------
+    def _automorphism_map(self, g: int):
+        """Permutation/sign arrays: out[(k·g) mod N] = ± in[k]."""
+        if not hasattr(self, "_auto_cache"):
+            self._auto_cache = {}
+        if g in self._auto_cache:
+            return self._auto_cache[g]
+        n = self.params.n
+        M = 2 * n
+        k = np.arange(n)
+        kg = (k * g) % M
+        dest = kg % n
+        sign = np.where(kg < n, 1, -1).astype(np.int64)
+        perm = np.empty(n, np.int64)
+        sgn = np.empty(n, np.int64)
+        perm[dest] = k
+        sgn[dest] = sign
+        self._auto_cache[g] = (perm, sgn)
+        return perm, sgn
+
+    def _apply_auto_poly(self, poly: np.ndarray, g: int) -> np.ndarray:
+        perm, sgn = self._automorphism_map(g)
+        qs = np.array(self.params.qs, np.int64)[:, None]
+        return np.mod(poly[:, perm] * sgn[None, :], qs)
+
+    def galois_keygen(self, sk: SecretKey, elts, rng) -> dict:
+        """Key-switching keys for Galois elements g (odd, mod 2N)."""
+        out = {}
+        s_signed = self._s_signed(sk)
+        n = self.params.n
+        M = 2 * n
+        for g in elts:
+            k = np.arange(n)
+            kg = (k * g) % M
+            dest = kg % n
+            sign = np.where(kg < n, 1, -1)
+            s_rot = np.zeros(n, np.int64)
+            s_rot[dest] = s_signed * sign
+            out[int(g)] = self._make_switch_key(sk, s_rot, rng)
+        return out
+
+    def apply_galois(self, ct: Ciphertext, g: int, gk: "RelinKey") -> Ciphertext:
+        """Substitution X → X^g on a ciphertext (plus key switch back to s)."""
+        ct = self.from_ntt(ct) if ct.is_ntt else ct
+        c0g = self._apply_auto_poly(ct.c0, g)
+        c1g = self._apply_auto_poly(ct.c1, g)
+        ks0, ks1 = self._key_switch(c1g, gk)
+        qs = np.array(self.params.qs, np.int64)[:, None]
+        return Ciphertext(c0=np.mod(c0g + ks0, qs), c1=ks1)
+
+    def mul_monomial(self, ct: Ciphertext, e: int) -> Ciphertext:
+        """ct × X^e (e may be negative) — a signed negacyclic coefficient
+        rotation of both components; no keys needed."""
+        ct = self.from_ntt(ct) if ct.is_ntt else ct
+        n = self.params.n
+        e = e % (2 * n)
+        qs = np.array(self.params.qs, np.int64)[:, None]
+
+        def rot(poly):
+            k = np.arange(n)
+            dest = (k + e) % (2 * n)
+            sign = np.where(dest < n, 1, -1)
+            out = np.zeros_like(poly)
+            out[:, dest % n] = poly * sign[None, :]
+            return np.mod(out, qs)
+
+        return Ciphertext(c0=rot(ct.c0), c1=rot(ct.c1))
 
     def _key_switch(self, poly: np.ndarray, rk: "RelinKey"):
         """Σ digits(poly) · rk over qs+[p], then exact division by p."""

@@ -136,6 +136,12 @@ def bfv_params_for(n: int, t_bits: int, n_limbs: int) -> BFVParams:
     )
 
 
+@lru_cache(maxsize=None)
+def pir_params_for(n: int, t: int, n_limbs: int) -> BFVParams:
+    """BFV parameters for the PIR subsystem (explicit plaintext modulus)."""
+    return BFVParams(n=n, t=t, qs=tuple(find_ntt_primes(n, 30, n_limbs)))
+
+
 @dataclasses.dataclass(frozen=True)
 class CKKSParams:
     """RNS-CKKS parameters: N=8192, scale 2^scale_bits, prime chain qs."""

@@ -65,10 +65,13 @@ class PIRClient:
     """Holds the PIR keypair; builds queries and decodes responses."""
 
     def __init__(self, params: BFVParams, seed: int = 0):
+        import uuid
+
         self.params = params
         self.ctx = BFVContext(params)
         self._rng = np.random.default_rng(seed)
         self.sk, self.pk = self.ctx.keygen(self._rng)
+        self.key_id = uuid.uuid4().hex
 
     def build_query(self, row: int, nbase: int, d: int) -> List[dict]:
         """Selector ciphertexts for one row → list of G ct wire dicts."""
@@ -91,6 +94,94 @@ class PIRClient:
         coeffs = self.ctx.decrypt(self.sk, ct)
         return coeffs[self.params.n - d :][::-1].astype(np.float32)
 
+    # -- packed (oblivious-expansion) variant ---------------------------
+    def build_query_packed(self, row: int, nbase: int, d: int) -> Tuple[dict, int]:
+        """One ciphertext Enc(X^{b*}) selecting the block; returns
+        (ct wire, row-within-block r for local decode)."""
+        p = self.params
+        R = rows_per_block(p, d)
+        b_star, r = divmod(row, R)
+        poly = np.zeros(p.n, np.int64)
+        poly[b_star] = 1
+        ct = self.ctx.encrypt(self.pk, poly, self._rng)
+        return ct.to_wire(), r
+
+    def galois_keys_wire(self, nbase: int, d: int) -> dict:
+        """Public expansion keys (one-time registration)."""
+        from prefhetch_tpu.crypto.pir import expansion_galois_elements
+
+        p = self.params
+        R = rows_per_block(p, d)
+        G = -(-nbase // R)
+        elts = expansion_galois_elements(p.n, G)
+        if not hasattr(self, "_gks"):
+            self._gks = {}
+        missing = [g for g in elts if g not in self._gks]
+        if missing:
+            self._gks.update(
+                self.ctx.galois_keygen(self.sk, missing, self._rng)
+            )
+        return {str(g): self._gks[g].to_wire() for g in elts}
+
+    def decode_block_response(
+        self, wire: dict, d: int, r: int, n_blocks: int
+    ) -> np.ndarray:
+        """Packed response ct → the retrieved row [d].
+
+        The response encrypts 2^⌈log₂G⌉·p_{b*}; undo the expansion scale
+        with its inverse mod t, then read row r's reversed window."""
+        p = self.params
+        ct = Ciphertext.from_wire(wire)
+        coeffs = self.ctx.decrypt(self.sk, ct)
+        logm = max(1, (n_blocks - 1).bit_length())
+        inv = pow(1 << logm, -1, p.t)
+        coeffs = (coeffs * inv) % p.t
+        return coeffs[r * d : (r + 1) * d][::-1].astype(np.float32)
+
+
+def expand_query(
+    ctx: BFVContext, ct: Ciphertext, m: int, gks: dict
+) -> List[Ciphertext]:
+    """SealPIR-style oblivious expansion: one ct encrypting Σ_b a_b·X^b →
+    m ciphertexts, the b-th encrypting 2^⌈log₂m⌉ · a_b.
+
+    Each of ⌈log₂ m⌉ rounds substitutes X → X^{N/2^j + 1} (Galois key
+    switch) to split even/odd coefficient trees. Round j splits on bit j of
+    the coefficient index but prepends the choice to the output index, so
+    coefficient b emerges at the bit-reversed position — undone here so
+    the returned list is in natural coefficient order. The 2^logm scale
+    factor is undone at decode with its inverse mod t (t must be odd)."""
+    n = ctx.params.n
+    logm = max(1, (m - 1).bit_length())
+    cts = [ct]
+    for j in range(logm):
+        g = (n >> j) + 1
+        gk = gks[g]
+        new = []
+        for c in cts:
+            c_g = ctx.apply_galois(c, g, gk)
+            even = ctx.add(c, c_g)
+            c_sh = ctx.mul_monomial(c, -(1 << j))
+            c_sh_g = ctx.apply_galois(c_sh, g, gk)
+            odd = ctx.add(c_sh, c_sh_g)
+            new += [even, odd]
+        cts = new
+
+    def bitrev(x: int) -> int:
+        r = 0
+        for _ in range(logm):
+            r = (r << 1) | (x & 1)
+            x >>= 1
+        return r
+
+    return [cts[bitrev(b)] for b in range(m)]
+
+
+def expansion_galois_elements(n: int, m: int) -> List[int]:
+    """Galois elements needed by expand_query for m selectors."""
+    logm = max(1, (m - 1).bit_length())
+    return [(n >> j) + 1 for j in range(logm)]
+
 
 class PIRServer:
     """Precomputes NTT(p_b) for the packed database; answers queries with
@@ -105,6 +196,37 @@ class PIRServer:
         self.db_ntt = np.stack(
             [self.ctx.plain_to_ntt(p) for p in polys]
         )                                     # [G, L, N]
+
+    @property
+    def n_blocks(self) -> int:
+        return self.db_ntt.shape[0]
+
+    def register_galois_keys(self, key_id: str, gks_wire: dict) -> None:
+        from prefhetch_tpu.crypto.bfv import RelinKey
+
+        if not hasattr(self, "_galois"):
+            self._galois = {}
+        self._galois[key_id] = {
+            int(g): RelinKey.from_wire(w) for g, w in gks_wire.items()
+        }
+
+    def has_keys(self, key_id: str) -> bool:
+        return hasattr(self, "_galois") and key_id in self._galois
+
+    def answer_packed(self, query_wire: dict, key_id: str) -> dict:
+        """Oblivious-expansion path: ONE uploaded ct → ONE response ct."""
+        gks = self._galois[key_id]
+        ct = Ciphertext.from_wire(query_wire)
+        selectors = expand_query(self.ctx, ct, self.n_blocks, gks)
+        p = self.params
+        qs = np.array(p.qs, np.int64)[:, None]
+        acc0 = np.zeros((len(p.qs), p.n), np.int64)
+        acc1 = np.zeros_like(acc0)
+        for b, sel in enumerate(selectors):
+            sel = self.ctx.to_ntt(sel)
+            acc0 = (acc0 + sel.c0 * self.db_ntt[b]) % qs
+            acc1 = (acc1 + sel.c1 * self.db_ntt[b]) % qs
+        return Ciphertext(c0=acc0, c1=acc1, is_ntt=True).to_wire()
 
     def answer(self, query_wires: List[dict]) -> dict:
         p = self.params

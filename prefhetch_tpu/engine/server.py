@@ -354,20 +354,38 @@ class QueryEngine:
     def pir_service(self):
         """Real single-server PIR (crypto/pir.py) over the base matrix."""
         if not hasattr(self, "_pir_service"):
-            from prefhetch_tpu.crypto.params import bfv_params_for
+            from prefhetch_tpu.crypto.params import pir_params_for
             from prefhetch_tpu.crypto.pir import PIRServer
 
             he = self.config.he
             self._pir_service = PIRServer(
                 np.asarray(self.base),
-                bfv_params_for(he.n, he.pir_t_bits, he.n_limbs),
+                pir_params_for(he.n, he.pir_plain_modulus, he.n_limbs),
             )
         return self._pir_service
 
-    def pir_fetch(self, pir_queries: list) -> list:
-        """Answer one PIR query (list of G selector ct wires) per requested
-        row. The server never learns the row indices."""
-        return [self.pir_service.answer(q) for q in pir_queries]
+    def pir_fetch(
+        self,
+        pir_queries: list | None = None,
+        packed: list | None = None,
+        key_id: str | None = None,
+        galois_keys: dict | None = None,
+    ) -> list:
+        """Answer PIR queries; the server never learns the row indices.
+
+        Two forms: `pir_queries` = naive (G selector cts per row);
+        `packed` = oblivious expansion (ONE ct per row + one-time public
+        Galois keys registered under key_id)."""
+        svc = self.pir_service
+        if packed is not None:
+            if galois_keys:
+                svc.register_galois_keys(key_id, galois_keys)
+            if not svc.has_keys(key_id):
+                raise ValueError(
+                    "unknown PIR keyId — register Galois keys first"
+                )
+            return [svc.answer_packed(w, key_id) for w in packed]
+        return [svc.answer(q) for q in pir_queries]
 
     # -- service 4: POST /precise-vector-pir ------------------------------
     def precise_vector_pir(self, ids: np.ndarray) -> np.ndarray:

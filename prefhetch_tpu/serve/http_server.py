@@ -201,10 +201,20 @@ class _Handler(BaseHTTPRequestHandler):
     # /precise-vector-pir (the reference's cleartext-index placeholder), the
     # request carries only selector ciphertexts.
     def _pir_fetch(self, body):
-        queries = body["pirQueries"]
-        if not isinstance(queries, list) or not queries:
-            raise ValueError("pirQueries must be a non-empty list")
-        results = self.engine.pir_fetch(queries)
+        if "pirPacked" in body:
+            packed = body["pirPacked"]
+            if not isinstance(packed, list) or not packed:
+                raise ValueError("pirPacked must be a non-empty list")
+            results = self.engine.pir_fetch(
+                packed=packed,
+                key_id=body.get("keyId"),
+                galois_keys=body.get("galoisKeys"),
+            )
+        else:
+            queries = body["pirQueries"]
+            if not isinstance(queries, list) or not queries:
+                raise ValueError("pirQueries must be a non-empty list")
+            results = self.engine.pir_fetch(pir_queries=queries)
         self._send_json({"pirResults": results})
 
     # reference: Query.cc:99-127

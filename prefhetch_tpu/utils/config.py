@@ -94,8 +94,10 @@ class HEParams:
     t_bits: int = 24       # BFV plaintext modulus bits
     n_limbs: int = 2
     scale_bits: int = 26   # CKKS fixed-point scale (config 3: N=8192)
-    pir_t_bits: int = 9    # PIR plaintext modulus (byte-valued rows; small t
-    #                        keeps the Σ-of-G-MACs noise within budget)
+    # PIR plaintext modulus: small (keeps the Σ-of-G-MACs noise within
+    # budget), > 255 (byte-valued rows), and ODD so the 2^logm factor from
+    # oblivious query expansion is invertible mod t. 257 is prime.
+    pir_plain_modulus: int = 257
 
 
 @dataclasses.dataclass(frozen=True)

@@ -63,3 +63,33 @@ def test_pir_noise_margin_at_scale():
     resp = server.answer(q)
     got = client.decode_response(resp, d)
     np.testing.assert_array_equal(got, base[row])
+
+
+def test_oblivious_expansion_correctness():
+    """expand_query: one ct Enc(Σ a_b X^b) → m cts Enc(2^logm · a_b), in
+    natural coefficient order."""
+    from prefhetch_tpu.crypto.params import pir_params_for
+    from prefhetch_tpu.crypto.pir import expand_query, expansion_galois_elements
+    from prefhetch_tpu.crypto.bfv import BFVContext
+
+    params = pir_params_for(256, 257, 2)
+    ctx = BFVContext(params)
+    rng = np.random.default_rng(21)
+    sk, pk = ctx.keygen(rng)
+    m = 13
+    a = rng.integers(0, 2, m).astype(np.int64)
+    poly = np.zeros(params.n, np.int64)
+    poly[:m] = a
+    ct = ctx.encrypt(pk, poly, rng)
+    gks = ctx.galois_keygen(
+        sk, expansion_galois_elements(params.n, m), rng
+    )
+    outs = expand_query(ctx, ct, m, gks)
+    logm = max(1, (m - 1).bit_length())
+    inv = pow(1 << logm, -1, params.t)
+    for b in range(m):
+        dec = ctx.decrypt(sk, outs[b])
+        val = dec[0] * inv % params.t
+        assert val == a[b], f"selector {b}: got {val}, want {a[b]}"
+        # all other coefficients must decode to zero
+        assert np.all((dec[1:] * inv) % params.t == 0)

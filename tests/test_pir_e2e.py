@@ -33,7 +33,8 @@ def served(tmp_path_factory):
         index=IndexParams(d=32, nlist=8, pq_m=0, kmeans_iters=5),
         protocol=ProtocolParams(nprobe=4, coarse_probe=30, k=5, nquery=3,
                                 pir_mode="he"),
-        he=HEParams(scheme="bfv", n=256, t_bits=24, n_limbs=2, pir_t_bits=9),
+        he=HEParams(scheme="bfv", n=256, t_bits=24, n_limbs=2,
+                    pir_plain_modulus=257),
         nbase=256,
         train_path=os.path.join(str(ds), "syn_learn.fvecs"),
         base_path=os.path.join(str(ds), "syn_base.fvecs"),
@@ -59,7 +60,8 @@ def test_full_pipeline_with_real_pir(served):
 
 
 def test_pir_request_contains_no_indices(served):
-    """Privacy contract: the /pir-fetch body has no row indices anywhere."""
+    """Privacy contract: the /pir-fetch body has no row indices anywhere —
+    one packed ciphertext per row + (first call) public Galois keys."""
     cfg, engine, addr = served
     client = ClientPipeline(cfg, server_addr=addr)
 
@@ -74,6 +76,12 @@ def test_pir_request_contains_no_indices(served):
     client.run()
     assert "pir-fetch" in captured
     body = captured["pir-fetch"]
-    assert set(body) == {"pirQueries"}
+    assert "pirPacked" in body and "keyId" in body
+    # exactly one uploaded ct per retrieved row
+    assert len(body["pirPacked"]) == cfg.protocol.nquery * cfg.protocol.k
     s = json.dumps(body)
     assert "nearestPreciseVectorIndexes" not in s
+
+    # second run must not resend the galois keys
+    client.run()
+    assert "galoisKeys" not in captured["pir-fetch"]
