@@ -181,12 +181,25 @@ def main():
     d, ids = step(*args)
     ids.block_until_ready()
 
+    # throughput: pipelined dispatch (async across batches, like serving
+    # under sustained load)
     t0 = time.perf_counter()
     for _ in range(N_BATCHES):
         d, ids = step(*args)
     ids.block_until_ready()
     dt = time.perf_counter() - t0
     tpu_qps = BATCH * N_BATCHES / dt
+
+    # latency: synchronous per-batch round trips
+    lat = []
+    for _ in range(N_BATCHES):
+        tb = time.perf_counter()
+        d, ids = step(*args)
+        ids.block_until_ready()
+        lat.append(time.perf_counter() - tb)
+    lat_ms = sorted(x * 1e3 for x in lat)
+    p50 = lat_ms[len(lat_ms) // 2]
+    p99 = lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))]
 
     # recall sanity on the bench workload
     from prefhetch_tpu.metrics import benchmark_results
@@ -213,6 +226,8 @@ def main():
             "recall_at_10": round(rep.recall_10, 4),
             "recall_at_100": round(rep.recall_100, 4),
             "encrypted_rerank_qps": round(enc_qps, 2),
+            "batch_p50_ms": round(p50, 2),
+            "batch_p99_ms": round(p99, 2),
             "nbase": NBASE,
             "batch": BATCH,
             "backend": jax.devices()[0].platform,
