@@ -136,6 +136,7 @@ def build_ivf_index(
         k=params.nlist,
         iters=params.kmeans_iters,
         seed=params.seed,
+        spherical=(params.metric == "cosine"),
     )
     assign = assign_to_lists(base, centroids)
 

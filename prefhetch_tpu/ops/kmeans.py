@@ -38,13 +38,14 @@ def _pad_chunks(x: np.ndarray, chunk: int) -> Tuple[np.ndarray, np.ndarray]:
     return xp.reshape(nchunks, chunk, d), valid.reshape(nchunks, chunk)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "iters"))
+@functools.partial(jax.jit, static_argnames=("k", "iters", "spherical"))
 def _kmeans_loop(
     xc: jax.Array,        # [nchunks, chunk, d]
     validc: jax.Array,    # [nchunks, chunk] bool
     init_centroids: jax.Array,  # [k, d]
     k: int,
     iters: int,
+    spherical: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run `iters` Lloyd iterations; returns (centroids [k,d], mean cost)."""
 
@@ -94,6 +95,11 @@ def _kmeans_loop(
         eps = 1e-4 * rank[:, None]
         repaired = donor_c[None, :] * (1.0 + eps) + eps
         new_c = jnp.where(empty[:, None], repaired, new_c)
+        if spherical:
+            # spherical k-means (FAISS Clustering spherical option): for
+            # cosine/angular data, re-project centroids to the unit sphere
+            norm = jnp.linalg.norm(new_c, axis=-1, keepdims=True)
+            new_c = new_c / jnp.maximum(norm, 1e-12)
         return new_c, cost
 
     centroids, costs = jax.lax.scan(
@@ -109,6 +115,7 @@ def train_kmeans(
     seed: int = 1234,
     chunk: int = 4096,
     subsample: bool = True,
+    spherical: bool = False,
 ) -> np.ndarray:
     """Train k centroids on x [n, d]; returns centroids [k, d] float32.
 
@@ -128,7 +135,8 @@ def train_kmeans(
     chunk = min(chunk, n)
     xc, validc = _pad_chunks(x, chunk)
     centroids, _ = _kmeans_loop(
-        jnp.asarray(xc), jnp.asarray(validc), jnp.asarray(init), k, iters
+        jnp.asarray(xc), jnp.asarray(validc), jnp.asarray(init), k, iters,
+        spherical,
     )
     return np.asarray(centroids)
 

@@ -104,3 +104,11 @@ def test_kmeans_batched_matches_single():
 def test_kmeans_requires_enough_points():
     with pytest.raises(ValueError):
         train_kmeans(np.zeros((5, 4), np.float32), k=10)
+
+
+def test_spherical_kmeans_unit_centroids():
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(400, 16)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    c = train_kmeans(x, k=8, iters=8, seed=3, spherical=True)
+    np.testing.assert_allclose(np.linalg.norm(c, axis=1), 1.0, rtol=1e-5)
