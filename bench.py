@@ -86,7 +86,7 @@ def tpu_pipeline(index, base_j, queries_j):
     from prefhetch_tpu.ops.distances import rank_centroids
     from prefhetch_tpu.ops.pallas_scan import pallas_slab_distances
     from prefhetch_tpu.ops.rerank import exact_rerank
-    from prefhetch_tpu.ops.topk import topk_select
+    from prefhetch_tpu.ops.topk import topk_select_segmented
 
     # NOTE: the engine's HTTP serving path uses the TILED layout
     # (index/tiling.py) because the client's probe ids arrive host-side
@@ -121,7 +121,7 @@ def tpu_pipeline(index, base_j, queries_j):
     def step(centroids, list_recon, list_norms, list_ids, list_sizes, base, q):
         dist, probe = prog_scan(centroids, list_recon, list_norms,
                                 list_sizes, q)
-        _, pos = topk_select(dist, COARSE_PROBE)
+        _, pos = topk_select_segmented(dist, COARSE_PROBE, NPROBE)
         return prog_tail(list_ids, probe, pos, base, q)
 
     args = (index.centroids, index.list_recon, norms, index.list_ids,

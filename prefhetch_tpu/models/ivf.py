@@ -26,7 +26,7 @@ from prefhetch_tpu.ops.scan import (
     coarse_scan_pq,
     coarse_scan_sq8,
 )
-from prefhetch_tpu.ops.topk import topk_select
+from prefhetch_tpu.ops.topk import topk_select_segmented
 from prefhetch_tpu.utils.config import IndexParams
 
 
@@ -91,9 +91,10 @@ class _IVFBase:
         _, probe = rank_centroids(q, idx.centroids, self.nprobe)
         res = self.coarse_scan(q, probe)
         kk = k if coarse_probe is None else coarse_probe
-        # separate dispatch: scan distances are pre-padded, so topk_select
-        # stays on XLA's fast top-k path (see ops/topk.py contract)
-        d, pos = topk_select(res.distances, kk)
+        # separate dispatch: scan distances are pre-padded, so the top-k
+        # stays on XLA's fast path (see ops/topk.py contract); segmented
+        # two-level selection is exact and faster at scan widths
+        d, pos = topk_select_segmented(res.distances, kk, self.nprobe)
         ids = np.take_along_axis(
             np.asarray(res.ids), np.asarray(pos), axis=1
         )

@@ -112,3 +112,16 @@ def test_spherical_kmeans_unit_centroids():
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     c = train_kmeans(x, k=8, iters=8, seed=3, spherical=True)
     np.testing.assert_allclose(np.linalg.norm(c, axis=1), 1.0, rtol=1e-5)
+
+
+def test_topk_segmented_matches_flat(rng):
+    from prefhetch_tpu.ops.topk import PAD_DISTANCE, topk_select, topk_select_segmented
+    import jax.numpy as jnp
+
+    d = rng.random((8, 16 * 96)).astype(np.float32)
+    d[rng.random(d.shape) < 0.2] = float(PAD_DISTANCE)  # pads anywhere
+    v1, p1 = topk_select(jnp.asarray(d), 40)
+    v2, p2 = topk_select_segmented(jnp.asarray(d), 40, 16)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+    for i in range(8):
+        assert set(np.asarray(p1)[i].tolist()) == set(np.asarray(p2)[i].tolist())
