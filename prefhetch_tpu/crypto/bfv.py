@@ -580,31 +580,32 @@ class BFVContext:
         return Ciphertext(c0=rot(ct.c0), c1=rot(ct.c1))
 
     def _key_switch(self, poly: np.ndarray, rk: "RelinKey"):
-        """Σ digits(poly) · rk over qs+[p], then exact division by p."""
+        """Σ digits(poly) · rk over qs+[p], then exact division by p.
+
+        NTT-batched across key components (see crypto/ckks.py _key_switch):
+        one forward-NTT batch + one inverse NTT per prime."""
         p = self.params
         ext = rk.ext
         ext_tables = [build_tables(q, p.n) for q in ext]
-        qe = np.array(ext, np.int64)[:, None]
         digit_bits = 15
         n_digits = -(-30 // digit_bits)
         mask = (1 << digit_bits) - 1
-        acc0 = np.zeros((len(ext), p.n), np.int64)
-        acc1 = np.zeros((len(ext), p.n), np.int64)
-
-        def polymul_ext(a, b):
-            out = np.empty((len(ext), p.n), np.int64)
-            for i, tb in enumerate(ext_tables):
-                out[i] = intt(ntt(a[i], tb) * ntt(b[i], tb) % tb.q, tb)
-            return out
-
-        for i in range(len(p.qs)):
+        L = len(p.qs)
+        n_comp = L * n_digits
+        digits = np.empty((n_comp, p.n), np.int64)
+        for i in range(L):
             limb = poly[i]
             for d in range(n_digits):
-                digit = (limb >> (d * digit_bits)) & mask
-                comp = i * n_digits + d
-                digit_rns = np.mod(digit[None, :], qe)
-                acc0 = (acc0 + polymul_ext(digit_rns, rk.b[comp])) % qe
-                acc1 = (acc1 + polymul_ext(digit_rns, rk.a[comp])) % qe
+                digits[i * n_digits + d] = (limb >> (d * digit_bits)) & mask
+        acc0 = np.empty((len(ext), p.n), np.int64)
+        acc1 = np.empty((len(ext), p.n), np.int64)
+        for e, q in enumerate(ext):
+            tb = ext_tables[e]
+            D = ntt(digits % q, tb)                      # [n_comp, N]
+            Kb = ntt(rk.b[:, e] % q, tb)
+            Ka = ntt(rk.a[:, e] % q, tb)
+            acc0[e] = intt(np.sum(D * Kb % q, axis=0) % q, tb)
+            acc1[e] = intt(np.sum(D * Ka % q, axis=0) % q, tb)
         sp = rk.special_p
         half = sp // 2
         cp0 = np.where(acc0[-1] > half, acc0[-1] - sp, acc0[-1])

@@ -374,27 +374,36 @@ class CKKSContext:
 
     def _key_switch(self, poly: np.ndarray, key: "GaloisKey", level: int):
         """Switch `poly`·(key target) into (c0, c1) under s: digit-decompose,
-        multiply key components over the extended basis, divide by p."""
+        multiply key components over the extended basis, divide by p.
+
+        NTT-batched: by linearity, Σ_c INTT(NTT(d_c)⊙NTT(k_c)) =
+        INTT(Σ_c NTT(d_c)⊙NTT(k_c)) — all component forward NTTs run as one
+        batch per prime and a single inverse NTT closes the sum."""
         n = self.params.n
         primes = self.qs[:level]
         n_digits = -(-30 // DIGIT_BITS)
         mask = (1 << DIGIT_BITS) - 1
         ext_primes = primes + (self.p,)
         n_ext = len(ext_primes)
-        acc0 = np.zeros((n_ext, n), np.int64)
-        acc1 = np.zeros((n_ext, n), np.int64)
         rows = [self.ext.index(q) for q in ext_primes]
-        qe = np.array(ext_primes, np.int64)[:, None]
+        n_comp = level * n_digits
+        # digits [n_comp, N] — small positive ints, same value every prime
+        digits = np.empty((n_comp, n), np.int64)
         for i in range(level):
             limb = poly[i]
             for d in range(n_digits):
-                digit = (limb >> (d * DIGIT_BITS)) & mask
-                comp = i * n_digits + d
-                kb = key.b[comp][rows]
-                ka = key.a[comp][rows]
-                digit_rns = self._to_rns(digit, None)[rows]
-                acc0 = (acc0 + self._polymul(digit_rns, kb, ext_primes)) % qe
-                acc1 = (acc1 + self._polymul(digit_rns, ka, ext_primes)) % qe
+                digits[i * n_digits + d] = (limb >> (d * DIGIT_BITS)) & mask
+        comp_rows = [i * n_digits + d for i in range(level)
+                     for d in range(n_digits)]
+        acc0 = np.empty((n_ext, n), np.int64)
+        acc1 = np.empty((n_ext, n), np.int64)
+        for e, q in enumerate(ext_primes):
+            tb = self.tables[self.ext.index(q)]
+            D = ntt(digits % q, tb)                       # [n_comp, N] batch
+            Kb = ntt(key.b[comp_rows, rows[e]] % q, tb)   # [n_comp, N]
+            Ka = ntt(key.a[comp_rows, rows[e]] % q, tb)
+            acc0[e] = intt(np.sum(D * Kb % q, axis=0) % q, tb)
+            acc1[e] = intt(np.sum(D * Ka % q, axis=0) % q, tb)
         out0 = np.empty((level, n), np.int64)
         out1 = np.empty_like(out0)
         half_p = self.p // 2
