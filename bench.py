@@ -80,9 +80,7 @@ def tpu_pipeline(index, base_j, queries_j):
     """
     import jax
     import jax.numpy as jnp
-    import numpy as _np
 
-    from prefhetch_tpu.index.tiling import build_tiled_view
     from prefhetch_tpu.ops.distances import rank_centroids
     from prefhetch_tpu.ops.pallas_scan import pallas_slab_distances
     from prefhetch_tpu.ops.rerank import exact_rerank

@@ -318,11 +318,22 @@ class ClientPipeline:
             w, r = client.build_query_packed(int(row), nbase, d)
             wires.append(w)
             rs.append(r)
+        import urllib.error
+
         payload = {"pirPacked": wires, "keyId": client.key_id}
         if not getattr(client, "_keys_registered", False):
             payload["galoisKeys"] = client.galois_keys_wire(nbase, d)
+        try:
+            resp = self._post("pir-fetch", payload)
             client._keys_registered = True
-        resp = self._post("pir-fetch", payload)
+        except urllib.error.HTTPError as e:
+            if e.code != 400 or "galoisKeys" in payload:
+                raise
+            # server lost/never had this key id (restart, different
+            # replica): re-register and retry once
+            payload["galoisKeys"] = client.galois_keys_wire(nbase, d)
+            resp = self._post("pir-fetch", payload)
+            client._keys_registered = True
         R = rows_per_block(client.params, d)
         n_blocks = -(-nbase // R)
         flat = np.stack(

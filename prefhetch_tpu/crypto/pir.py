@@ -240,7 +240,9 @@ class PIRServer:
         acc1 = np.zeros_like(acc0)
         for b, w in enumerate(query_wires):
             ct = Ciphertext.from_wire(w)
-            assert ct.is_ntt
+            if not ct.is_ntt:
+                # untrusted wire input: convert rather than assume
+                ct = self.ctx.to_ntt(ct)
             acc0 = (acc0 + ct.c0 * self.db_ntt[b]) % qs
             acc1 = (acc1 + ct.c1 * self.db_ntt[b]) % qs
         return Ciphertext(c0=acc0, c1=acc1, is_ntt=True).to_wire()

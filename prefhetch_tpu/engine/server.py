@@ -110,7 +110,9 @@ class QueryEngine:
         if not hasattr(self, "_tiled_cache"):
             from prefhetch_tpu.index.tiling import build_tiled_view
 
-            self._tiled_cache = build_tiled_view(self.index)
+            with self._lock:      # ThreadingHTTPServer: one init wins
+                if not hasattr(self, "_tiled_cache"):
+                    self._tiled_cache = build_tiled_view(self.index)
         return self._tiled_cache
 
     @property
@@ -287,9 +289,11 @@ class QueryEngine:
             from prefhetch_tpu.engine.hecompute import HEComputeService
 
             he = self.config.he
-            self._he_service = HEComputeService(
-                bfv_params_for(he.n, he.t_bits, he.n_limbs)
-            )
+            with self._lock:
+                if not hasattr(self, "_he_service"):
+                    self._he_service = HEComputeService(
+                        bfv_params_for(he.n, he.t_bits, he.n_limbs)
+                    )
         return self._he_service
 
     @property
@@ -300,9 +304,11 @@ class QueryEngine:
             from prefhetch_tpu.engine.hecompute import CKKSComputeService
 
             he = self.config.he
-            self._ckks_service = CKKSComputeService(
-                ckks_params_for(he.n, he.scale_bits, he.n_limbs)
-            )
+            with self._lock:
+                if not hasattr(self, "_ckks_service"):
+                    self._ckks_service = CKKSComputeService(
+                        ckks_params_for(he.n, he.scale_bits, he.n_limbs)
+                    )
         return self._ckks_service
 
     def encrypted_precise_search(
@@ -358,10 +364,12 @@ class QueryEngine:
             from prefhetch_tpu.crypto.pir import PIRServer
 
             he = self.config.he
-            self._pir_service = PIRServer(
-                np.asarray(self.base),
-                pir_params_for(he.n, he.pir_plain_modulus, he.n_limbs),
-            )
+            with self._lock:
+                if not hasattr(self, "_pir_service"):
+                    self._pir_service = PIRServer(
+                        np.asarray(self.base),
+                        pir_params_for(he.n, he.pir_plain_modulus, he.n_limbs),
+                    )
         return self._pir_service
 
     def pir_fetch(
