@@ -59,8 +59,12 @@ def main(argv=None) -> None:
     for name, sec in stages.stages.items():
         logger.info("  stage %s: %.1f ms", name, sec * 1e3)
 
-    # stage 8 — outside the timed window (client.cpp:55-66)
-    _, top_ids = client.get_precise_vectors_pir(sorted_ids)
+    # stage 8 — outside the timed window (client.cpp:55-66); real-PIR mode
+    # dispatches like ClientPipeline.run() so the CLI never leaks indices
+    if cfg.protocol.pir_mode == "he":
+        _, top_ids = client.get_precise_vectors_real_pir(sorted_ids)
+    else:
+        _, top_ids = client.get_precise_vectors_pir(sorted_ids)
 
     # stage 9 — benchmark report (client_lib.cpp:243-337)
     rep = client.benchmark_results(top_ids)

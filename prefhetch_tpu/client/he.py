@@ -35,10 +35,14 @@ from prefhetch_tpu.utils.config import HEParams
 class HEClient:
     """Holds the client's HE keys and drives encrypt/decrypt."""
 
-    def __init__(self, he: HEParams, seed: int = 0):
+    def __init__(self, he: HEParams, seed: Optional[int] = None):
+        from prefhetch_tpu.crypto.rng import secure_rng
+
         self.he = he
         self.scheme = he.scheme
-        self._rng = np.random.default_rng(seed)
+        # seed=None (production): OS-entropy CSPRNG. Integer seeds are for
+        # tests only — deterministic secret keys are publicly derivable.
+        self._rng = secure_rng(seed)
         self.key_id = uuid.uuid4().hex
         self._keys_sent = False
         if he.scheme == "bfv":
@@ -134,7 +138,7 @@ class HEClient:
         prods = prods.reshape(nq, n_blocks, -1)
         out = np.empty((nq, P), np.float32)
         for i in range(nq):
-            ips = extract_inner_products(prods[i], d, P)
+            ips = extract_inner_products(prods[i], d, P, self.params.t)
             out[i] = distances_from_inner_products(
                 queries[i], ips, np.asarray(norms[i])
             )
@@ -154,7 +158,7 @@ class HEClient:
             prods = self.ctx.decrypt_batch(
                 self.sk, [Ciphertext.from_wire(w) for w in score_ct_wires]
             )
-            ips = extract_inner_products(prods, d, P)
+            ips = extract_inner_products(prods, d, P, self.params.t)
         else:
             from prefhetch_tpu.crypto.ckks import CKKSCiphertext
 

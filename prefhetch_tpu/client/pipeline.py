@@ -52,6 +52,7 @@ class ClientPipeline:
     """Drives the multi-round protocol against a server address."""
 
     def __init__(self, config: PipelineConfig, server_addr: str | None = None):
+        config.validate()
         self.config = config
         # reference hardcodes http://localhost:8080/ (client_lib.h:7)
         self.server_addr = (server_addr or f"http://localhost:{config.port}/").rstrip("/") + "/"

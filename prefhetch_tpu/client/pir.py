@@ -9,7 +9,7 @@ from prefhetch_tpu.utils.config import PipelineConfig
 _cache = {}
 
 
-def get_pir_client(config: PipelineConfig, seed: int = 0) -> PIRClient:
+def get_pir_client(config: PipelineConfig, seed=None) -> PIRClient:
     he = config.he
     key = (he.n, he.pir_plain_modulus, he.n_limbs, seed)
     if key not in _cache:

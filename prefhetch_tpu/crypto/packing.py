@@ -15,13 +15,17 @@ exactly (no wraparound: all contributing index sums stay below N, and
 cross-candidate products land on other coefficients).
 
 One ciphertext×plaintext product therefore scores N/d candidates
-(N=4096, d=128 → 32 per MAC). All values stay < t (SIFT inner products
-≤ 128·255² < 2^23 < t=2^24), so BFV decrypts them exactly.
+(N=4096, d=128 → 32 per MAC). Inner products must fit a centered plaintext
+window |⟨q,x⟩| < t/2 (SIFT: 128·255² < 2^23 < t/2 at t=2^24+…), so BFV
+decrypts them exactly; SIGNED integer data is supported via mod-t encoding
+plus the centered lift in ``extract_inner_products``. Non-integer data
+(e.g. unit-normalized cosine vectors) must be fixed-point quantized by the
+caller first — both encoders reject it rather than rounding to garbage.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -33,22 +37,46 @@ def candidates_per_block(params: BFVParams, d: int) -> int:
     return params.n // d
 
 
+def _as_plain_ints(x: np.ndarray, t: int, what: str) -> np.ndarray:
+    """Validate integer-valued input with |x| < t/2; returns signed int64."""
+    xi = np.round(x).astype(np.int64)
+    if not np.allclose(np.asarray(x, np.float64), xi, atol=1e-6):
+        raise ValueError(
+            f"{what} must be integer-valued for the exact BFV path "
+            "(got fractional values — fixed-point quantize first, e.g. "
+            "scale cosine/unit vectors by 2^b and round)"
+        )
+    if np.abs(xi).max(initial=0) >= t // 2:
+        raise ValueError(
+            f"{what} magnitude {np.abs(xi).max()} exceeds the plaintext "
+            f"half-window t/2 = {t // 2}"
+        )
+    return xi
+
+
 def encode_query_poly(q: np.ndarray, params: BFVParams) -> np.ndarray:
-    """Query vector [d] (non-negative ints) → plaintext poly [N]."""
+    """Query vector [d] (signed ints, |q| < t/2) → plaintext poly [N].
+
+    This is the ENCRYPTED message: signed values lift into [0, t) — the
+    message magnitude does not multiply encryption noise."""
     d = q.shape[0]
     out = np.zeros(params.n, np.int64)
-    out[:d] = np.round(q).astype(np.int64)
+    out[:d] = _as_plain_ints(q, params.t, "query") % params.t
     return out
 
 
 def pack_candidate_block(x_block: np.ndarray, params: BFVParams) -> np.ndarray:
     """Candidate matrix [B, d] (B ≤ N/d) → packed plaintext poly [N].
 
-    Candidate j occupies coefficients [j·d, (j+1)·d) with reversed order."""
+    Candidate j occupies coefficients [j·d, (j+1)·d) with reversed order.
+
+    This is the ct×pt MULTIPLICAND: values stay as SMALL SIGNED ints (the
+    per-limb ``% q`` inside the NTT reduces them); lifting mod t here would
+    scale ciphertext noise by ~t and break decryption."""
     B, d = x_block.shape
     assert B * d <= params.n
     out = np.zeros(params.n, np.int64)
-    rev = np.round(x_block[:, ::-1]).astype(np.int64)     # [B, d]
+    rev = _as_plain_ints(x_block[:, ::-1], params.t, "candidates")  # [B, d]
     out[: B * d] = rev.reshape(-1)
     return out
 
@@ -72,16 +100,22 @@ def pack_candidates(
 
 
 def extract_inner_products(
-    product_coeffs: np.ndarray, d: int, n_candidates: int
+    product_coeffs: np.ndarray, d: int, n_candidates: int,
+    t: Optional[int] = None,
 ) -> np.ndarray:
     """Decrypted product polys [n_blocks, N] → inner products [n_candidates].
 
-    Inner product of candidate j in block b sits at coefficient j·d + d−1."""
+    Inner product of candidate j in block b sits at coefficient j·d + d−1.
+    With ``t`` given, coefficients are center-lifted from [0, t) to
+    (−t/2, t/2] so negative inner products (signed data) decode correctly."""
     n_blocks, n = product_coeffs.shape
     B = n // d
     idx = np.arange(B) * d + (d - 1)
     vals = product_coeffs[:, idx].reshape(-1)             # [n_blocks·B]
-    return vals[:n_candidates]
+    vals = vals[:n_candidates]
+    if t is not None:
+        vals = np.where(vals > t // 2, vals - t, vals)
+    return vals
 
 
 def distances_from_inner_products(

@@ -51,10 +51,19 @@ def pack_database(base: np.ndarray, params: BFVParams) -> np.ndarray:
     R = rows_per_block(params, d)
     G = -(-nbase // R)
     padded = np.zeros((G * R, d), np.int64)
-    padded[:nbase] = np.round(base).astype(np.int64)
-    assert padded.min() >= 0 and padded.max() < params.t, (
-        "database values must fit the PIR plaintext modulus"
-    )
+    rounded = np.round(base).astype(np.int64)
+    if not np.allclose(np.asarray(base, np.float64), rounded, atol=1e-6):
+        raise ValueError(
+            "PIR database rows must be integer-valued (fixed-point "
+            "quantize float/cosine datasets before enabling pir_mode='he')"
+        )
+    if rounded.min() < 0 or rounded.max() >= params.t:
+        raise ValueError(
+            f"PIR database values must lie in [0, t={params.t}); "
+            f"got [{rounded.min()}, {rounded.max()}] — rescale or raise "
+            "pir_plain_modulus"
+        )
+    padded[:nbase] = rounded
     polys = np.zeros((G, params.n), np.int64)
     rev = padded[:, ::-1].reshape(G, R * d)
     polys[:, : R * d] = rev
@@ -64,12 +73,15 @@ def pack_database(base: np.ndarray, params: BFVParams) -> np.ndarray:
 class PIRClient:
     """Holds the PIR keypair; builds queries and decodes responses."""
 
-    def __init__(self, params: BFVParams, seed: int = 0):
+    def __init__(self, params: BFVParams, seed=None):
         import uuid
+
+        from prefhetch_tpu.crypto.rng import secure_rng
 
         self.params = params
         self.ctx = BFVContext(params)
-        self._rng = np.random.default_rng(seed)
+        # seed=None (production): OS-entropy CSPRNG; integer seeds test-only
+        self._rng = secure_rng(seed)
         self.sk, self.pk = self.ctx.keygen(self._rng)
         self.key_id = uuid.uuid4().hex
 

@@ -45,6 +45,7 @@ class QueryEngine:
     _instance_lock = threading.Lock()
 
     def __init__(self, config: PipelineConfig, index_dir: str = "."):
+        config.validate()
         self.config = config
         self.index_dir = index_dir
         self.index: Optional[IVFIndex] = None

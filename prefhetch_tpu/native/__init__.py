@@ -19,13 +19,21 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__f
 _SRC = os.path.join(_REPO_ROOT, "native", "prefhetch_native.cpp")
 _BUILD_DIR = os.path.join(_REPO_ROOT, "native", "build")
 _SO = os.path.join(_BUILD_DIR, "libprefhetch_native.so")
+_STAMP = _SO + ".src.sha256"
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build() -> bool:
+def _src_hash() -> str:
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _build(src_hash: str) -> bool:
     os.makedirs(_BUILD_DIR, exist_ok=True)
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
@@ -33,20 +41,31 @@ def _build() -> bool:
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
     except (subprocess.SubprocessError, FileNotFoundError):
         return False
+    with open(_STAMP, "w") as f:
+        f.write(src_hash)
+    return True
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
-    """The loaded native library, or None if unavailable."""
+    """The loaded native library, or None if unavailable.
+
+    Rebuilds when the source hash differs from the stamp written at build
+    time — never loads a .so this machine didn't build (the .so is
+    gitignored; a stale/foreign binary has no matching stamp)."""
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            if not _build():
+        src_hash = _src_hash()
+        stamp = None
+        if os.path.exists(_STAMP):
+            with open(_STAMP) as f:
+                stamp = f.read().strip()
+        if not os.path.exists(_SO) or stamp != src_hash:
+            if not _build(src_hash):
                 return None
         try:
             lib = ctypes.CDLL(_SO)

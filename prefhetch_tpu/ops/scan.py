@@ -98,10 +98,17 @@ def coarse_scan_flat(
     ids = list_ids[probe_ids]                                 # [nq, np, lmax]
     vp = list_norms[probe_ids]                                # [nq, np, lmax]
 
+    # payload precision follows the payload itself: bf16 only when it is
+    # already bf16 (PQ reconstructions); raw IVF-Flat vectors stay f32 so
+    # coarse distances don't change with batch size across the two branches.
+    # Queries stay f32 in both (bf16 promotes exactly, so branch outputs
+    # agree bit-for-bit for bf16 payloads too).
+    cdt = jnp.bfloat16 if list_vectors.dtype == jnp.bfloat16 else jnp.float32
+
     if nq * nprobe >= nlist:
         # full-index matmul + row select
         S = jnp.einsum(
-            "qd,cld->qcl", queries, list_vectors.astype(jnp.bfloat16),
+            "qd,cld->qcl", queries, list_vectors.astype(cdt),
             preferred_element_type=jnp.float32,
         )                                                     # [nq, nlist, lmax]
         Sp = jnp.take_along_axis(S, probe_ids[:, :, None], axis=1)
@@ -120,7 +127,7 @@ def coarse_scan_flat(
         def chunk_step(_, c):
             sl = jax.lax.dynamic_slice_in_dim(flat_p, c * chunk, chunk)
             qc = jax.lax.dynamic_slice_in_dim(qrep_p, c * chunk, chunk)
-            vecs = list_vectors[sl].astype(jnp.float32)       # [chunk, lmax, d]
+            vecs = list_vectors[sl].astype(cdt)               # [chunk, lmax, d]
             return None, jnp.einsum(
                 "bd,bld->bl", qc, vecs, preferred_element_type=jnp.float32
             )

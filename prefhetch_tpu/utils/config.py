@@ -153,6 +153,21 @@ class PipelineConfig:
     host: str = "0.0.0.0"
     port: int = 8080
 
+    def validate(self) -> None:
+        """Cross-field checks run at engine/client start."""
+        self.protocol.validate()
+        if self.index.metric == "cosine" and (
+            self.protocol.encrypted_rerank or self.protocol.pir_mode == "he"
+        ):
+            # the exact BFV paths need integer-valued data; unit-normalized
+            # cosine vectors would silently round to garbage
+            raise ValueError(
+                "encrypted_rerank / pir_mode='he' require integer-valued "
+                "vectors (e.g. SIFT bytes); metric='cosine' operates on "
+                "unit-normalized floats — fixed-point quantize the dataset "
+                "or use the plaintext protocol"
+            )
+
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
 

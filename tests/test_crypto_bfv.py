@@ -178,3 +178,66 @@ def test_encrypted_inner_products_end_to_end(small_params, rng):
     dist = distances_from_inner_products(q, ips, norms)
     refd = ((np.round(q) - np.round(X)) ** 2).sum(-1)
     np.testing.assert_allclose(dist, refd)
+
+
+def test_signed_inner_products_roundtrip(small_params, rng):
+    """Signed integer data: mod-t encode + centered-lift decode is exact."""
+    d = 32
+    ctx = BFVContext(small_params)
+    sk, pk = ctx.keygen(rng)
+
+    q = rng.integers(-128, 128, d).astype(np.float32)
+    X = rng.integers(-128, 128, size=(20, d)).astype(np.float32)
+
+    ct = ctx.to_ntt(ctx.encrypt(pk, encode_query_poly(q, small_params), rng))
+    polys, _ = pack_candidates(X, small_params)
+    out_cts = [ctx.mul_plain_ntt(ct, ctx.plain_to_ntt(p)) for p in polys]
+    prods = np.stack([ctx.decrypt(sk, c) for c in out_cts])
+    ips = extract_inner_products(prods, d, 20, small_params.t)
+    ref = (np.round(q).astype(np.int64) * np.round(X).astype(np.int64)).sum(-1)
+    np.testing.assert_array_equal(ips, ref)
+    assert (ref < 0).any(), "test vectors should exercise negative products"
+
+    norms = (np.round(X).astype(np.int64) ** 2).sum(-1)
+    dist = distances_from_inner_products(q, ips, norms)
+    refd = ((np.round(q) - np.round(X)) ** 2).sum(-1)
+    np.testing.assert_allclose(dist, refd)
+
+
+def test_fractional_data_rejected(small_params):
+    """Unit-normalized (cosine-style) floats must raise, not round silently."""
+    q = np.full(32, 0.177, np.float32)
+    with pytest.raises(ValueError, match="integer-valued"):
+        encode_query_poly(q, small_params)
+    with pytest.raises(ValueError, match="integer-valued"):
+        pack_candidates(np.full((4, 32), 0.3, np.float32), small_params)
+
+
+def test_secure_rng_default_and_determinism():
+    from prefhetch_tpu.crypto.rng import SecureRNG, secure_rng
+
+    r = secure_rng()          # production mode: OS entropy
+    assert isinstance(r, SecureRNG)
+    tern = r.integers(-1, 2, size=4096)
+    assert tern.min() >= -1 and tern.max() <= 1
+    assert len(np.unique(tern)) == 3
+    bits = r.integers(0, 2, size=(64, 2, 8))
+    assert bits.shape == (64, 2, 8) and bits.min() >= 0 and bits.max() <= 1
+    big = r.integers(0, 1 << 62, size=256)
+    assert big.min() >= 0 and int(big.max()) < (1 << 62)
+    # two OS-entropy instances must disagree (keys are not derivable)
+    r2 = secure_rng()
+    assert not np.array_equal(
+        r.integers(0, 1 << 62, size=64), r2.integers(0, 1 << 62, size=64)
+    )
+    # integer seed (tests only) stays deterministic numpy
+    assert isinstance(secure_rng(7), np.random.Generator)
+
+
+def test_heclient_keys_differ_without_seed():
+    from prefhetch_tpu.client.he import HEClient
+    from prefhetch_tpu.utils.config import HEParams
+
+    he = HEParams(scheme="bfv", n=256, t_bits=24, n_limbs=2)
+    a, b = HEClient(he), HEClient(he)
+    assert not np.array_equal(a.sk.s_rns, b.sk.s_rns)
