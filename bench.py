@@ -212,7 +212,7 @@ def main():
     dt_np = time.perf_counter() - t0
     np_qps = nq_base / dt_np
 
-    enc_qps = encrypted_rerank_qps(data, np.asarray(ids))
+    enc_qps, enc_mac_qps = encrypted_rerank_qps(data, np.asarray(ids))
 
     result = {
         "metric": "ivfpq_query_pipeline_qps",
@@ -224,6 +224,7 @@ def main():
             "recall_at_10": round(rep.recall_10, 4),
             "recall_at_100": round(rep.recall_100, 4),
             "encrypted_rerank_qps": round(enc_qps, 2),
+            "encrypted_mac_device_qps": round(enc_mac_qps, 2),
             "batch_p50_ms": round(p50, 2),
             "batch_p99_ms": round(p99, 2),
             "nbase": NBASE,
@@ -234,41 +235,85 @@ def main():
     print(json.dumps(result))
 
 
-def encrypted_rerank_qps(data, cand_ids, nq: int = 16) -> float:
+def encrypted_rerank_qps(data, cand_ids, nq: int = 64):
     """Encrypted re-rank throughput (BFV N=4096, 2 limbs — BASELINE config 2):
-    client encrypt → server batched ct×pt MACs → client batched decrypt →
-    distance assembly, end-to-end on the host+device split actually used."""
+    client encrypt → server device gather/pack/NTT/MAC + c0 truncation →
+    client batched decrypt → exact distance assembly.
+
+    The MAC runs on the accelerator when one is the default backend
+    (candidates travel as INDICES; gather+pack on device). Stages are
+    pipelined with a background transfer thread: batch i's device result
+    downloads while batch i+1 encrypts — on this sandbox's relay link the
+    download (~270 KB/query of response ciphertext) is the binding
+    constraint, so the pipeline hides host crypto behind it.
+
+    Returns (end_to_end_qps, device_mac_qps) — the second is the MAC
+    kernel's own sustained rate (dispatch-amortized), i.e. the serving
+    ceiling with a local (non-relay) host↔device link."""
     import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
 
     from prefhetch_tpu.client.he import HEClient
     from prefhetch_tpu.crypto.bfv import Ciphertext
     from prefhetch_tpu.engine.hecompute import HEComputeService
     from prefhetch_tpu.utils.config import HEParams
 
-    hc = HEClient(HEParams())
-    svc = HEComputeService(hc.params)
+    hc = HEClient(HEParams(), seed=11)  # pinned: bench must be reproducible
+    backend = "tpu" if jax.default_backend() == "tpu" else "numpy"
+    svc = HEComputeService(hc.params, backend=backend)
+    svc.set_base(data["base"])
     queries = data["query"][:nq].astype(np.float32)
-    cands = data["base"][cand_ids[:nq, :COARSE_PROBE]]
+    idx = cand_ids[:nq, :COARSE_PROBE].astype(np.int64)
+    ref = (
+        (data["base"][idx].astype(np.float64) - queries[:, None, :]) ** 2
+    ).sum(-1)
 
-    def run_once():
+    def encrypt():
         wires = hc.encrypt_query_batch(queries)
-        cts = [Ciphertext.from_wire(w) for w in wires]
-        results, norms = svc.encrypted_scores_batch(cts, cands)
-        return hc.decrypt_scores_batch(
-            [[c.to_wire() for c in blocks] for blocks in results],
-            norms, queries,
-        )
+        return [Ciphertext.from_wire(w) for w in wires]
 
-    run_once()  # warm
-    t0 = _time.perf_counter()
-    n_iter = 3
-    for _ in range(n_iter):
-        d = run_once()
-    dt = _time.perf_counter() - t0
-    # sanity: encrypted distances must match exact L2
-    ref = ((cands.astype(np.float64) - queries[:, None, :]) ** 2).sum(-1)
-    assert np.abs(d - ref).max() < 1.0, "encrypted distances diverged"
-    return nq * n_iter / dt
+    def fetch(pending):
+        b, nm = pending
+        return svc.trunc_unbundle(np.asarray(b), nm)
+
+    # warm (compile + first transfers)
+    out = hc.decrypt_scores_trunc(*fetch(
+        svc.encrypted_scores_trunc_async(encrypt(), idx)
+    ), queries)
+    assert np.abs(out - ref).max() < 1.0, "encrypted distances diverged"
+
+    n_iter = 4
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        t0 = _time.perf_counter()
+        fut = None
+        for _ in range(n_iter):
+            cts = encrypt()
+            pending = svc.encrypted_scores_trunc_async(cts, idx)
+            if fut is not None:
+                out = hc.decrypt_scores_trunc(*fut.result(), queries)
+            fut = pool.submit(fetch, pending)
+        out = hc.decrypt_scores_trunc(*fut.result(), queries)
+        dt = _time.perf_counter() - t0
+    assert np.abs(out - ref).max() < 1.0, "encrypted distances diverged"
+    e2e_qps = nq * n_iter / dt
+
+    # device MAC sustained rate: chained dispatches, one sync at the end
+    cts = encrypt()
+    if backend == "tpu":
+        n_mac = 6
+        t0 = _time.perf_counter()
+        last = None
+        for _ in range(n_mac):
+            last, _nm = svc.encrypted_scores_trunc_async(cts, idx)
+        _ = np.asarray(last[0, 0, 0, :4])
+        mac_qps = nq * n_mac / (_time.perf_counter() - t0)
+    else:
+        t0 = _time.perf_counter()
+        svc.encrypted_scores_trunc(cts, idx)
+        mac_qps = nq / (_time.perf_counter() - t0)
+    return e2e_qps, mac_qps
 
 
 if __name__ == "__main__":

@@ -88,10 +88,10 @@ class HEClient:
         if self.scheme != "bfv":
             return [self.encrypt_query(q) for q in queries]
         ms = np.stack([encode_query_poly(q, self.params) for q in queries])
-        cts = self.ctx.encrypt_batch(self.pk, ms, self._rng)
+        cts = self.ctx.encrypt_batch_ntt(self.pk, ms, self._rng)
         out = []
         for ct in cts:
-            w = self.ctx.to_ntt(ct).to_wire()
+            w = ct.to_wire()
             w["scheme"] = self.scheme
             out.append(w)
         return out
@@ -141,6 +141,49 @@ class HEClient:
             ips = extract_inner_products(prods[i], d, P, self.params.t)
             out[i] = distances_from_inner_products(
                 queries[i], ips, np.asarray(norms[i])
+            )
+        return out
+
+    def decrypt_scores_trunc(
+        self,
+        c1_ntt: np.ndarray,    # [nq, nb, L, N] int32 — response c1, NTT dom.
+        c0_ip: np.ndarray,     # [nq, nb, L, B] int32 — c0 at ip coefficients
+        norms: np.ndarray,     # [nq, P]
+        queries: np.ndarray,   # [nq, d]
+    ) -> np.ndarray:
+        """Decrypt the truncated-response wire (engine/hecompute.py
+        encrypted_scores_trunc) → exact distances [nq, P].
+
+        Per limb: ONE batched pointwise c1⊙NTT(s) + ONE batched inverse NTT
+        over all (query, block) pairs, then the CRT float64 fraction
+        rounding of crypto/bfv.py restricted to the B ip coefficients."""
+        from prefhetch_tpu.crypto.ntt import intt, ntt
+
+        assert self.scheme == "bfv"
+        p = self.params
+        nq, P = norms.shape
+        d = queries.shape[1]
+        B = p.n // d
+        nb = c1_ntt.shape[1]
+        q, t = p.q, p.t
+        pos = np.arange(B) * d + (d - 1)
+        frac = np.zeros((nq, nb, B), np.float64)
+        for i, tb in enumerate(self.ctx.tables):
+            qi = tb.q
+            s_ntt = ntt(self.sk.s_rns[i], tb)                  # [N]
+            w = c1_ntt[:, :, i].astype(np.int64).reshape(-1, p.n)
+            cs = intt(w * s_ntt % qi, tb)[:, pos]              # [nq·nb, B]
+            v = (cs.reshape(nq, nb, B) + c0_ip[:, :, i]) % qi
+            inv = pow((q // qi) % qi, -1, qi)
+            frac += ((v * inv) % qi).astype(np.float64) / qi
+        frac -= np.floor(frac)
+        ips = np.round(t * frac).astype(np.int64) % t
+        ips = np.where(ips > t // 2, ips - t, ips)             # centered
+        ips = ips.reshape(nq, nb * B)[:, :P]
+        out = np.empty((nq, P), np.float32)
+        for i in range(nq):
+            out[i] = distances_from_inner_products(
+                queries[i], ips[i], np.asarray(norms[i])
             )
         return out
 

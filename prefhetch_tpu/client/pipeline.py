@@ -253,11 +253,22 @@ class ClientPipeline:
         if gks is not None:
             payload["galoisKeys"] = gks
         resp = self._post("encryptedsearch", payload)
-        scores = he_client.decrypt_scores_batch(
-            resp["encryptedScores"],
-            np.asarray(resp["candidateNorms"], np.int64),
-            query,
-        )
+        if "c1Ntt" in resp:
+            # BFV truncated-response wire: ~4× smaller than full result cts
+            from prefhetch_tpu.utils.wire import unpack_i32
+
+            scores = he_client.decrypt_scores_trunc(
+                unpack_i32(resp["c1Ntt"]),
+                unpack_i32(resp["c0Ip"]),
+                np.asarray(resp["candidateNorms"], np.int64),
+                query,
+            )
+        else:
+            scores = he_client.decrypt_scores_batch(
+                resp["encryptedScores"],
+                np.asarray(resp["candidateNorms"], np.int64),
+                query,
+            )
         return scores, cand
 
     def _he_client(self):

@@ -123,15 +123,23 @@ class Ciphertext:
         )
 
 
-def _sample_ternary(rng: np.random.Generator, n: int) -> np.ndarray:
-    return rng.integers(-1, 2, size=n).astype(np.int64)
+def _sample_ternary(rng, shape) -> np.ndarray:
+    return rng.integers(-1, 2, size=shape).astype(np.int64)
 
 
-def _sample_error(rng: np.random.Generator, n: int, sigma: float = 3.2) -> np.ndarray:
-    """Centered binomial approximation of a discrete gaussian (σ≈3.2)."""
+def _binomial_half(rng, k: int, shape) -> np.ndarray:
+    if hasattr(rng, "binomial_half"):           # SecureRNG (production)
+        return rng.binomial_half(k, shape)
+    return rng.binomial(k, 0.5, size=shape).astype(np.int64)
+
+
+def _sample_error(rng, shape, sigma: float = 3.2) -> np.ndarray:
+    """Centered binomial approximation of a discrete gaussian (σ≈3.2).
+
+    Vectorized over arbitrary shapes — sampling per-row in a Python loop
+    was the dominant client encrypt cost."""
     k = 21  # CB(21) has σ = sqrt(21/2) ≈ 3.24
-    bits = rng.integers(0, 2, size=(n, 2, k))
-    return (bits[:, 0].sum(-1) - bits[:, 1].sum(-1)).astype(np.int64)
+    return _binomial_half(rng, k, shape) - _binomial_half(rng, k, shape)
 
 
 class BFVContext:
@@ -213,9 +221,9 @@ class BFVContext:
         p = self.params
         B = ms.shape[0]
         qs = np.array(p.qs, np.int64)[:, None, None]          # [L,1,1]
-        u = np.stack([_sample_ternary(rng, p.n) for _ in range(B)])
-        e1 = np.stack([_sample_error(rng, p.n) for _ in range(B)])
-        e2 = np.stack([_sample_error(rng, p.n) for _ in range(B)])
+        u = _sample_ternary(rng, (B, p.n))
+        e1 = _sample_error(rng, (B, p.n))
+        e2 = _sample_error(rng, (B, p.n))
         u_rns = np.mod(u[None], qs)                           # [L, B, N]
         e1_rns = np.mod(e1[None], qs)
         e2_rns = np.mod(e2[None], qs)
@@ -232,6 +240,43 @@ class BFVContext:
             c0[:, i] = (intt(b_ntt[None] * u_ntt % qi, tb) + e1_rns[i] + dm[i]) % qi
             c1[:, i] = (intt(a_ntt[None] * u_ntt % qi, tb) + e2_rns[i]) % qi
         return [Ciphertext(c0=c0[b], c1=c1[b]) for b in range(B)]
+
+    def encrypt_batch_ntt(
+        self, pk: PublicKey, ms: np.ndarray, rng
+    ) -> List[Ciphertext]:
+        """Encrypt B plaintexts [B, N] directly into NTT domain.
+
+        Avoids the intt→(to_ntt) round trip of encrypt_batch: the masking
+        products b·u, a·u are formed in NTT domain and the noise/message
+        terms are forward-NTT'd once — 3 batched NTTs per limb instead of 5.
+        This is the fast path for the encrypted re-rank client."""
+        p = self.params
+        B = ms.shape[0]
+        qs = np.array(p.qs, np.int64)[:, None, None]          # [L,1,1]
+        u = _sample_ternary(rng, (B, p.n))
+        e1 = _sample_error(rng, (B, p.n))
+        e2 = _sample_error(rng, (B, p.n))
+        u_rns = np.mod(u[None], qs)                           # [L, B, N]
+        e1_rns = np.mod(e1[None], qs)
+        e2_rns = np.mod(e2[None], qs)
+        dm = self._delta[:, None, None] * np.mod(
+            ms[None].astype(np.int64), p.t
+        ) % qs
+        c0 = np.empty((B, len(p.qs), p.n), np.int64)
+        c1 = np.empty_like(c0)
+        for i, tb in enumerate(self.tables):
+            qi = tb.q
+            b_ntt = ntt(pk.b_rns[i], tb)
+            a_ntt = ntt(pk.a_rns[i], tb)
+            u_ntt = ntt(u_rns[i], tb)                         # [B, N]
+            c0[:, i] = (
+                b_ntt[None] * u_ntt % qi
+                + ntt((e1_rns[i] + dm[i]) % qi, tb)
+            ) % qi
+            c1[:, i] = (a_ntt[None] * u_ntt % qi + ntt(e2_rns[i], tb)) % qi
+        return [
+            Ciphertext(c0=c0[b], c1=c1[b], is_ntt=True) for b in range(B)
+        ]
 
     def decrypt(self, sk: SecretKey, ct: Ciphertext) -> np.ndarray:
         """Returns plaintext [N] ints in [0, t).

@@ -79,6 +79,15 @@ class SecureRNG:
             filled += take
         return out
 
+    def binomial_half(self, k: int, size) -> np.ndarray:
+        """Binomial(k, 1/2) draws via popcount of k keystream bits each —
+        the vectorized sampler for centered-binomial HE noise."""
+        count = int(np.prod(size))
+        nbytes = (k + 7) // 8
+        raw = self._bytes(count * nbytes).reshape(count, nbytes)
+        bits = np.unpackbits(raw, axis=1, count=k)
+        return bits.sum(axis=1).astype(np.int64).reshape(size)
+
     def integers(self, low, high=None, size=None, dtype=np.int64):
         """Uniform integers in [low, high) — numpy Generator semantics
         (``endpoint`` unsupported; high required implicitly via the crypto

@@ -101,6 +101,154 @@ class HEComputeService:
         self.ctx = BFVContext(params)
         self.backend = backend
         self._qs = np.array(params.qs, np.int64)
+        self._base_host: np.ndarray | None = None
+        self._base_dev = None
+
+    # -- truncated-response device pipeline ------------------------------
+    def set_base(self, base: np.ndarray) -> None:
+        """Register the integer base matrix so requests upload only
+        candidate INDICES; packing/gather runs on-device. A zero row is
+        appended at index nbase for block padding."""
+        b = np.round(np.asarray(base)).astype(np.int32)
+        self._base_host = np.concatenate([b, np.zeros((1, b.shape[1]), np.int32)])
+        if self.backend == "tpu":
+            self._base_dev = jnp.asarray(self._base_host)
+
+    @functools.cached_property
+    def _trunc_mac_fn(self):
+        """jit: (c0q, c1q [nq,L,N] i32, idx [nq,npad] i32) →
+        (c1_ntt [nq,nb,L,N] i32, c0_ip [nq,nb,L,B] i32).
+
+        Response layout (the truncated wire, ~4× smaller than full cts):
+        - c1 of each result ct stays in NTT domain (the client multiplies by
+          NTT(s) anyway, so this SAVES it a forward NTT);
+        - c0 is inverse-NTT'd on device and only the B inner-product
+          coefficients (positions j·d + d−1) are kept."""
+        from prefhetch_tpu.ops.ntt_mxu import (
+            build_mxu_tables, intt_mxu, modmul, ntt_mxu,
+        )
+
+        tables = [build_mxu_tables(q, self.params.n) for q in self.params.qs]
+        n = self.params.n
+
+        def trunc_mac(base_pad, fdigs, gdigs, ctq, idx):
+            # ctq: [nq, 2, L, N] i32 (c0, c1 bundled — ONE relay upload);
+            # returns ONE bundled [nq, nb, L, N+B] i32 (c1_ntt ‖ c0_ip) so
+            # the relay pays a single download round trip.
+            nq, npad = idx.shape
+            d = base_pad.shape[1]
+            B = n // d
+            nb = npad // B
+            c0q, c1q = ctq[:, 0], ctq[:, 1]
+            rows = base_pad[idx]                        # [nq, npad, d] i32
+            polys = rows[:, :, ::-1].reshape(nq * nb, n)  # reversed windows
+            out = []
+            for i, tb in enumerate(tables):
+                q = tb.q
+                lifted = jnp.where(polys < 0, polys + q, polys)
+                pt = ntt_mxu(lifted, tb, fdigs[i]).reshape(nq, nb, n)
+                o1 = modmul(c1q[:, None, i], pt, q, tb.delta)   # [nq,nb,N]
+                o0 = modmul(c0q[:, None, i], pt, q, tb.delta)
+                o0c = intt_mxu(
+                    o0.reshape(nq * nb, n), tb, gdigs[i]
+                ).reshape(nq, nb, B, d)[..., d - 1]      # [nq, nb, B]
+                out.append(
+                    jnp.concatenate(
+                        [o1.astype(jnp.int32), o0c.astype(jnp.int32)], axis=-1
+                    )
+                )
+            return jnp.stack(out, axis=2)                # [nq, nb, L, N+B]
+
+        return jax.jit(trunc_mac)
+
+    @functools.cached_property
+    def _dev_digit_mats(self):
+        """Device-resident NTT matrix digits (args, not jit constants)."""
+        from prefhetch_tpu.ops.ntt_mxu import build_mxu_tables
+
+        tables = [build_mxu_tables(q, self.params.n) for q in self.params.qs]
+        fdigs = [jnp.asarray(tb.f_digits) for tb in tables]
+        gdigs = [jnp.asarray(tb.g_digits) for tb in tables]
+        return fdigs, gdigs
+
+    def _trunc_mac_numpy(self, c0q, c1q, idx):
+        """Host-path equivalent of _trunc_mac_fn (tests / CPU serving)."""
+        from prefhetch_tpu.crypto.ntt import intt
+
+        p = self.params
+        n = p.n
+        nq, npad = idx.shape
+        d = self._base_host.shape[1]
+        B = n // d
+        nb = npad // B
+        rows = self._base_host[idx].astype(np.int64)     # [nq, npad, d]
+        polys = rows[:, :, ::-1].reshape(nq * nb, n)
+        c1_out = np.empty((nq, nb, len(p.qs), n), np.int32)
+        c0ip_out = np.empty((nq, nb, len(p.qs), B), np.int32)
+        for i, tb in enumerate(self.ctx.tables):
+            q = tb.q
+            pt = ntt(polys % q, tb).reshape(nq, nb, n)
+            o1 = c1q[:, None, i].astype(np.int64) * pt % q
+            o0 = c0q[:, None, i].astype(np.int64) * pt % q
+            o0c = intt(o0.reshape(nq * nb, n), tb).reshape(nq, nb, B, d)
+            c1_out[:, :, i] = o1
+            c0ip_out[:, :, i] = o0c[..., d - 1]
+        return c1_out, c0ip_out
+
+    def encrypted_scores_trunc(
+        self,
+        cts: List[Ciphertext],        # [nq] NTT-domain encrypted queries
+        cand_idx: np.ndarray,         # [nq, P] int candidate row indices
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Batched truncated-response MACs over the registered base matrix.
+
+        Returns (c1_ntt [nq,nb,L,N] i32, c0_ip [nq,nb,L,B] i32,
+        norms [nq,P] i64). Uploads only query cts + indices; the candidate
+        gather, packing, NTTs, MACs, and c0 truncation all run on-device
+        (backend='tpu') or vectorized on host."""
+        bundled, norms = self.encrypted_scores_trunc_async(cts, cand_idx)
+        return self.trunc_unbundle(np.asarray(bundled), norms)
+
+    def encrypted_scores_trunc_async(
+        self, cts: List[Ciphertext], cand_idx: np.ndarray
+    ):
+        """Launch the truncated MAC; returns (bundled result, norms).
+
+        On the 'tpu' backend the bundled result is an UNFETCHED device array
+        ([nq, nb, L, N+B] i32) — callers can overlap the download with the
+        next batch's host work, then call trunc_unbundle(np.asarray(r))."""
+        assert self._base_host is not None, "call set_base() first"
+        p = self.params
+        nq, P = cand_idx.shape
+        d = self._base_host.shape[1]
+        B = p.n // d
+        nb = -(-P // B)
+        pad_idx = np.full((nq, nb * B), self._base_host.shape[0] - 1, np.int32)
+        pad_idx[:, :P] = cand_idx
+        cts = [self.ctx.to_ntt(c) if not c.is_ntt else c for c in cts]
+        ctq = np.stack(
+            [np.stack([c.c0 for c in cts]), np.stack([c.c1 for c in cts])],
+            axis=1,
+        ).astype(np.int32)                                # [nq, 2, L, N]
+        gathered = self._base_host[cand_idx.astype(np.int64)].astype(np.int64)
+        norms = (gathered ** 2).sum(-1)                   # [nq, P]
+        if self.backend == "tpu":
+            fdigs, gdigs = self._dev_digit_mats
+            bundled = self._trunc_mac_fn(
+                self._base_dev, fdigs, gdigs, jnp.asarray(ctq),
+                jnp.asarray(pad_idx),
+            )
+        else:
+            c1_ntt, c0_ip = self._trunc_mac_numpy(
+                ctq[:, 0], ctq[:, 1], pad_idx
+            )
+            bundled = np.concatenate([c1_ntt, c0_ip], axis=-1)
+        return bundled, norms
+
+    def trunc_unbundle(self, bundled: np.ndarray, norms: np.ndarray):
+        """[nq, nb, L, N+B] → (c1_ntt [nq,nb,L,N], c0_ip [nq,nb,L,B], norms)."""
+        n = self.params.n
+        return bundled[..., :n], bundled[..., n:], norms
 
     @functools.cached_property
     def _mac_fn_jax(self):
@@ -146,6 +294,7 @@ class HEComputeService:
         if self.backend == "tpu":
             # nq=1 case of the batch kernel (one shared jitted program)
             o0, o1 = self._mac_batch_fn_mxu(
+                self._dev_digit_mats[0],
                 jnp.asarray(ct.c0)[None], jnp.asarray(ct.c1)[None],
                 jnp.asarray(polys),
             )
@@ -169,24 +318,31 @@ class HEComputeService:
         """Device path for the multi-query MAC: forward NTT of ALL
         (query, block) plaintexts as one int8-MXU matmul batch + pointwise
         modular multiply — one jit dispatch per request batch."""
-        from prefhetch_tpu.ops.ntt_mxu import build_mxu_tables, ntt_mxu
+        from prefhetch_tpu.ops.ntt_mxu import build_mxu_tables, modmul, ntt_mxu
 
         tables = [build_mxu_tables(q, self.params.n) for q in self.params.qs]
 
-        def mac(c0q, c1q, flat_polys):
-            # c0q/c1q: [nq, L, N]; flat_polys: [nq·B, N] — group sizes are
-            # static at trace time from the array shapes
+        def mac(fdigs, c0q, c1q, flat_polys):
+            # c0q/c1q: [nq, L, N]; flat_polys: [nq·B, N] small SIGNED ints —
+            # group sizes are static at trace time from the array shapes.
+            # All modular arithmetic is division-free (shift_mod_reduce):
+            # int64 `%` lowers to an emulated long-division loop on TPU that
+            # dominated this kernel by ~20×.
             nq = c0q.shape[0]
             n_blocks = flat_polys.shape[0] // nq
             outs0, outs1 = [], []
             for i, tb in enumerate(tables):
                 q = tb.q
-                pt = ntt_mxu(flat_polys % q, tb).reshape(
+                lifted = jnp.where(flat_polys < 0, flat_polys + q, flat_polys)
+                pt = ntt_mxu(lifted, tb, fdigs[i]).reshape(
                     nq, n_blocks, -1
                 )                                       # [nq, B, N]
-                outs0.append(c0q[:, None, i] * pt % q)
-                outs1.append(c1q[:, None, i] * pt % q)
-            return jnp.stack(outs0, axis=2), jnp.stack(outs1, axis=2)
+                outs0.append(modmul(c0q[:, None, i], pt, q, tb.delta))
+                outs1.append(modmul(c1q[:, None, i], pt, q, tb.delta))
+            return (
+                jnp.stack(outs0, axis=2).astype(jnp.int32),
+                jnp.stack(outs1, axis=2).astype(jnp.int32),
+            )
 
         return jax.jit(mac)
 
@@ -209,7 +365,8 @@ class HEComputeService:
         c1q = np.stack([c.c1 for c in cts])
         if self.backend == "tpu":
             o0, o1 = self._mac_batch_fn_mxu(
-                jnp.asarray(c0q), jnp.asarray(c1q), jnp.asarray(flat)
+                self._dev_digit_mats[0],
+                jnp.asarray(c0q), jnp.asarray(c1q), jnp.asarray(flat),
             )
             out0, out1 = np.asarray(o0), np.asarray(o1)
         else:

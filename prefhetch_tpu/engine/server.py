@@ -284,17 +284,29 @@ class QueryEngine:
     # -- service 3b: POST /encryptedsearch --------------------------------
     @property
     def he_service(self):
-        """Lazily-built BFV homomorphic compute service (no keys held)."""
+        """Lazily-built BFV homomorphic compute service (no keys held).
+
+        Backend selection: the int8-MXU MAC kernel when a TPU is the default
+        jax backend, host numpy otherwise. Override with PFH_HE_BACKEND
+        (e.g. =tpu under a CPU jax to CI-cover the jitted path)."""
         if not hasattr(self, "_he_service"):
+            import jax as _jax
+
             from prefhetch_tpu.crypto.params import bfv_params_for
             from prefhetch_tpu.engine.hecompute import HEComputeService
 
             he = self.config.he
+            backend = os.environ.get("PFH_HE_BACKEND") or (
+                "tpu" if _jax.default_backend() == "tpu" else "numpy"
+            )
             with self._lock:
                 if not hasattr(self, "_he_service"):
-                    self._he_service = HEComputeService(
-                        bfv_params_for(he.n, he.t_bits, he.n_limbs)
+                    svc = HEComputeService(
+                        bfv_params_for(he.n, he.t_bits, he.n_limbs),
+                        backend=backend,
                     )
+                    svc.set_base(np.asarray(self.base))
+                    self._he_service = svc
         return self._he_service
 
     @property
@@ -325,8 +337,12 @@ class QueryEngine:
         The plaintext-query precise_search counterpart
         (reference: src/server/server_lib.cpp:140-167), upgraded to the
         encrypted path the reference reserved
-        (include/client/client_lib.h:28-36). Returns per query
-        (result ct wires per block, candidate norms)."""
+        (include/client/client_lib.h:28-36).
+
+        BFV returns the truncated-response wire dict
+        {"c1Ntt", "c0Ip", "candidateNorms"} (engine/hecompute.py
+        encrypted_scores_trunc — candidate gather/pack/NTT/MAC on device);
+        CKKS returns (ct wires per block per query, norms)."""
         base = np.asarray(self.base)
         out_cts, out_norms = [], []
         if scheme == "ckks":
@@ -345,15 +361,17 @@ class QueryEngine:
                 out_norms.append(norms.tolist())
         else:
             from prefhetch_tpu.crypto.bfv import Ciphertext
+            from prefhetch_tpu.utils.wire import pack_i32
 
             cts_in = [Ciphertext.from_wire(w) for w in encrypted_queries]
-            cands = base[np.asarray(nearest_coarse_vector_idx, np.int64)]
-            results, norms = self.he_service.encrypted_scores_batch(
-                cts_in, cands
+            c1_ntt, c0_ip, norms = self.he_service.encrypted_scores_trunc(
+                cts_in, np.asarray(nearest_coarse_vector_idx, np.int64)
             )
-            for i, blocks in enumerate(results):
-                out_cts.append([c.to_wire() for c in blocks])
-                out_norms.append(norms[i].tolist())
+            return {
+                "c1Ntt": pack_i32(c1_ntt),
+                "c0Ip": pack_i32(c0_ip),
+                "candidateNorms": norms.tolist(),
+            }
         return out_cts, out_norms
 
     # -- service 4b: POST /pir-fetch (real PIR) ----------------------------

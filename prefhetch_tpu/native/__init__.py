@@ -179,7 +179,9 @@ class NativeNTT:
         self.psi_sh = shoup(psi)
         self.bitrev = np.ascontiguousarray(tb.bitrev, np.int64)
 
-    def __call__(self, x: np.ndarray, n_threads: int = 4) -> np.ndarray:
+    def __call__(self, x: np.ndarray, n_threads: int | None = None) -> np.ndarray:
+        if n_threads is None:
+            n_threads = min(4, os.cpu_count() or 1)
         lib = get_lib()
         assert lib is not None
         x = np.ascontiguousarray(x.reshape(-1, self.n), np.int64).copy()

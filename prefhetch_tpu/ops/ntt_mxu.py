@@ -10,8 +10,18 @@ Exact integer matmul on the MXU via balanced base-256 digits:
     a = Σ_d A_d·2^{8d},  F = Σ_e F_e·2^{8e},   A_d, F_e ∈ [-128, 127]
 so  a @ F = Σ_{d,e} 2^{8(d+e)} (A_d @ F_e)
 with every A_d @ F_e an int8×int8→int32 MXU matmul whose accumulators stay
-< N·128² ≤ 2^26 (exact). Partial sums are grouped by digit weight s = d+e
-(< 2^29) and recombined with 2^{8s} mod q in 64-bit lanes.
+< N·128² ≤ 2^26 (exact).
+
+The modular recombination deliberately avoids 64-bit division (TPU int64 is
+emulated in 32-bit lanes, and a generic `mod` lowers to a long-division
+loop that dominated the whole kernel). The RNS primes are chosen just below
+2^30 (crypto/params.find_ntt_primes), so with δ = 2^30 − q < 2^19:
+
+    x ≡ (x & (2^30−1)) + (x >> 30)·δ   (mod q)
+
+shrinks any 62-bit value to < q in 4 shift/multiply-small/add rounds —
+`shift_mod_reduce` below. Digit weights 2^{8s} recombine as pure shifts for
+s ≤ 3 and one small multiply for s ≥ 4.
 
 O(N²) instead of O(N log N), but N² int8 MACs is microseconds of MXU time
 at N≤8192, the program is tiny (16 matmuls — fast to compile), and there is
@@ -22,7 +32,7 @@ homomorphic MAC (SURVEY.md §7.4 hard-part #1: "lay out NTTs to hit the MXU").
 from __future__ import annotations
 
 import functools
-from typing import List, NamedTuple, Tuple
+from typing import List, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +42,8 @@ from prefhetch_tpu.crypto.params import root_of_unity
 
 N_DIGITS = 4  # 4 × 8-bit balanced digits cover q < 2^31
 
+_M30 = (1 << 30) - 1
+
 
 class MXUNTTTables(NamedTuple):
     q: int
@@ -39,6 +51,7 @@ class MXUNTTTables(NamedTuple):
     f_digits: np.ndarray    # [4, N, N] int8 — forward matrix digits
     g_digits: np.ndarray    # [4, N, N] int8 — inverse matrix digits
     weights: np.ndarray     # [7] int64 — 2^{8s} mod q for s = d+e
+    delta: int              # 2^30 − q  (small by prime construction)
 
 
 def _balanced_digits_int(mat: np.ndarray, q: int) -> np.ndarray:
@@ -68,12 +81,38 @@ def build_mxu_tables(q: int, n: int) -> MXUNTTTables:
     weights = np.array(
         [pow(2, 8 * s, q) for s in range(2 * N_DIGITS - 1)], np.int64
     )
+    assert (1 << 30) - q < (1 << 20), (
+        f"prime {q} too far below 2^30 for shift-based reduction"
+    )
     return MXUNTTTables(
         q=q, n=n,
         f_digits=_balanced_digits_int(F, q),
         g_digits=_balanced_digits_int(G, q),
         weights=weights,
+        delta=(1 << 30) - q,
     )
+
+
+def shift_mod_reduce(x: jax.Array, q: int, delta: int, bits: int = 62) -> jax.Array:
+    """Reduce non-negative int64 x < 2^bits to [0, q) without division.
+
+    Uses 2^30 ≡ δ (mod q): each round maps x → (x & M30) + (x>>30)·δ.
+    Requires δ = 2^30 − q (the prime-chain construction guarantees δ small;
+    asserted < 2^19 at table build)."""
+    # per round: x' ≤ 2^30 + 2^(b−30)·δ < 2^max(31, b−30+⌈log2δ⌉+1)
+    dbits = max(1, (delta - 1).bit_length())
+    b = bits
+    while b > 31:
+        x = (x & _M30) + (x >> 30) * delta
+        b = max(b - 30 + dbits + 1, 31)
+    x = jnp.where(x >= q, x - q, x)
+    x = jnp.where(x >= q, x - q, x)
+    return x
+
+
+def modmul(a: jax.Array, b: jax.Array, q: int, delta: int) -> jax.Array:
+    """Pointwise (a·b) mod q for residues in [0, q), division-free."""
+    return shift_mod_reduce(a.astype(jnp.int64) * b.astype(jnp.int64), q, delta, 60)
 
 
 def _digits_of(x: jax.Array) -> List[jax.Array]:
@@ -87,8 +126,14 @@ def _digits_of(x: jax.Array) -> List[jax.Array]:
     return outs
 
 
-def _matmul_mod(x: jax.Array, digit_mats: jax.Array, weights: jax.Array, q: int) -> jax.Array:
-    """x [B, N] int32 residues → x @ M mod q via 16 int8 MXU matmuls."""
+def _matmul_mod(x: jax.Array, digit_mats: jax.Array, weights, q: int,
+                delta: int) -> jax.Array:
+    """x [B, N] int32 residues → x @ M mod q via 16 int8 MXU matmuls.
+
+    Recombination: partials grouped by digit weight s = d+e; |P_s| < 4·2^26.
+    s ≤ 3 contributes P_s << 8s (shift only); s ≥ 4 contributes
+    P_s · (2^{8s} mod q) — one small int64 multiply. The signed sum is made
+    non-negative with a K·q offset, then shift-reduced."""
     xd = _digits_of(x)
     n_s = 2 * N_DIGITS - 1
     partial = [None] * n_s                       # grouped by s = d+e
@@ -103,21 +148,32 @@ def _matmul_mod(x: jax.Array, digit_mats: jax.Array, weights: jax.Array, q: int)
             partial[s] = p if partial[s] is None else partial[s] + p
     acc = jnp.zeros(x.shape, jnp.int64)
     for s in range(n_s):
-        acc = acc + partial[s].astype(jnp.int64) * weights[s]
-    return jnp.mod(acc, q)
+        p64 = partial[s].astype(jnp.int64)
+        if 8 * s < 30:
+            acc = acc + (p64 << (8 * s))         # exact power of two
+        else:
+            acc = acc + p64 * int(pow(2, 8 * s, q))
+    # |acc| < 7·2^28·2^30 < 2^61 signed → offset to non-negative
+    offset = ((1 << 61) // q + 1) * q
+    return shift_mod_reduce(acc + offset, q, delta, 62)
 
 
-def ntt_mxu(x: jax.Array, tables: MXUNTTTables) -> jax.Array:
-    """Forward negacyclic NTT of [B, N] int residues (returns int64 [B, N])."""
+def ntt_mxu(x: jax.Array, tables: MXUNTTTables, f_digits=None) -> jax.Array:
+    """Forward negacyclic NTT of [B, N] int residues (returns int64 [B, N]).
+
+    Pass ``f_digits`` as a traced/device array when calling under jit — the
+    matrix digits are 64+ MB at N=4096 and must travel as an ARGUMENT, not a
+    baked-in constant (constants blow past the remote compiler's program
+    size limit and defeat the compile cache)."""
+    mats = jnp.asarray(tables.f_digits) if f_digits is None else f_digits
     return _matmul_mod(
-        x.astype(jnp.int32), jnp.asarray(tables.f_digits),
-        jnp.asarray(tables.weights), tables.q,
+        x.astype(jnp.int32), mats, tables.weights, tables.q, tables.delta,
     )
 
 
-def intt_mxu(x: jax.Array, tables: MXUNTTTables) -> jax.Array:
+def intt_mxu(x: jax.Array, tables: MXUNTTTables, g_digits=None) -> jax.Array:
     """Inverse negacyclic NTT of [B, N] int residues."""
+    mats = jnp.asarray(tables.g_digits) if g_digits is None else g_digits
     return _matmul_mod(
-        x.astype(jnp.int32), jnp.asarray(tables.g_digits),
-        jnp.asarray(tables.weights), tables.q,
+        x.astype(jnp.int32), mats, tables.weights, tables.q, tables.delta,
     )

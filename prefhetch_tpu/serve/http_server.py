@@ -186,16 +186,21 @@ class _Handler(BaseHTTPRequestHandler):
         ntotal = self.engine.base.shape[0]
         if cand.min() < 0 or cand.max() >= ntotal:
             raise ValueError("vector index out of range")
-        cts, norms = self.engine.encrypted_precise_search(
+        result = self.engine.encrypted_precise_search(
             enc_queries,
             cand,
             scheme=body.get("scheme", "bfv"),
             key_id=body.get("keyId"),
             galois_keys=body.get("galoisKeys"),
         )
-        self._send_json(
-            {"encryptedScores": cts, "candidateNorms": norms}
-        )
+        if isinstance(result, dict):
+            # BFV truncated-response wire (c1 NTT-domain + c0 ip coeffs)
+            self._send_json(result)
+        else:
+            cts, norms = result
+            self._send_json(
+                {"encryptedScores": cts, "candidateNorms": norms}
+            )
 
     # net-new route: REAL single-server PIR (crypto/pir.py) — unlike
     # /precise-vector-pir (the reference's cleartext-index placeholder), the
