@@ -71,60 +71,84 @@ def get_index(data):
 
 
 def tpu_pipeline(index, base_j, queries_j):
-    """Multi-dispatch full query step; returns (top-K distances, ids).
+    """Multi-dispatch full query step on the TILED layout; returns
+    (step fn, args, stats dict).
 
     Three device programs (scan | top-k | gather+rerank): XLA's fast TPU
     top-k only pattern-matches a bare top_k program — fusing the scan, a
     select, or a gather into it falls back to a ~100× slower sort (see
     ops/topk.py). Dispatch overhead is negligible next to that.
+
+    The scan runs over fixed-size tiles (index/tiling.py) instead of the
+    global-lmax padded layout: k-means imbalance made lmax ≈ 3.5× the mean
+    list length at SIFT1M, so the padded scan paid 3.5× the necessary HBM
+    traffic. Probe→tile expansion is HOST work — faithful to the protocol,
+    where the client names the probed centroids in the request — and is
+    overlapped with device execution across batches.
     """
     import jax
     import jax.numpy as jnp
 
+    from prefhetch_tpu.index.tiling import build_tiled_view
     from prefhetch_tpu.ops.distances import rank_centroids
     from prefhetch_tpu.ops.pallas_scan import pallas_slab_distances
     from prefhetch_tpu.ops.rerank import exact_rerank
     from prefhetch_tpu.ops.topk import topk_select_segmented
 
-    # NOTE: the engine's HTTP serving path uses the TILED layout
-    # (index/tiling.py) because the client's probe ids arrive host-side
-    # anyway. This in-process pipeline stays fully device-resident (padded
-    # layout): a host round-trip per iteration to expand probes would
-    # serialize the async dispatch chain and measure link latency instead of
-    # chip throughput.
-    lmax = index.lmax
+    tile = int(os.environ.get("PFH_BENCH_TILE", 1728))
+    quant = os.environ.get("PFH_BENCH_QUANT", "none")
+    view = build_tiled_view(index, tile=tile, quant=quant)
+    T = view.tile
+
+    # stage 3 of the protocol is client work (it ranks the downloaded
+    # centroids); use the same kernel as the device path so probe sets are
+    # bit-identical across pipelines
+    _, probes = rank_centroids(queries_j, index.centroids, NPROBE)
+    probes = np.asarray(probes)
+    tiles_np, counts = view.expand_probes(probes)
+    tiles_j = jnp.asarray(tiles_np)
+    max_t = tiles_np.shape[1]
+
+    if quant == "sq8":
+        from prefhetch_tpu.ops.pallas_scan import pallas_slab_distances_sq8
+
+        @jax.jit
+        def prog_scan(payload, norms, sizes, q, tiles):
+            return pallas_slab_distances_sq8(
+                payload, norms, sizes, view.sq_vmin, view.sq_scale, q, tiles
+            )
+    else:
+        @jax.jit
+        def prog_scan(payload, norms, sizes, q, tiles):
+            return pallas_slab_distances(payload, norms, sizes, q, tiles)
 
     @jax.jit
-    def prog_scan(centroids, list_recon, list_norms, list_sizes, q):
-        _, probe = rank_centroids(q, centroids, NPROBE)
-        dist = pallas_slab_distances(
-            list_recon, list_norms, list_sizes, q, probe
-        )
-        return dist, probe
-
-    @jax.jit
-    def prog_tail(list_ids, probe, pos, base, q):
-        # resolve top positions → global ids with one tiny gather:
-        # pos = probe_slot·lmax + lane
-        probe_sel = jnp.take_along_axis(probe, pos // lmax, axis=1)
-        cand = list_ids[probe_sel, pos % lmax]
+    def prog_tail(tile_ids, tiles, pos, base, q):
+        # resolve top positions → global ids: pos = tile_slot·T + lane
+        tile_sel = jnp.take_along_axis(tiles, pos // T, axis=1)
+        cand = tile_ids[tile_sel, pos % T]
+        cand = jnp.maximum(cand, 0)      # PAD lanes (-1) never win the top-K
         pd = exact_rerank(base, q, cand)
         neg, order = jax.lax.top_k(-pd, K)
         return -neg, jnp.take_along_axis(cand, order, axis=1)
 
-    norms = index.list_norms
-    if norms is None:
-        norms = jnp.sum(index.list_recon.astype(jnp.float32) ** 2, axis=-1)
+    def step(payload, norms, sizes, ids, base, q, tiles):
+        dist = prog_scan(payload, norms, sizes, q, tiles)
+        _, pos = topk_select_segmented(dist, COARSE_PROBE, max_t)
+        return prog_tail(ids, tiles, pos, base, q)
 
-    def step(centroids, list_recon, list_norms, list_ids, list_sizes, base, q):
-        dist, probe = prog_scan(centroids, list_recon, list_norms,
-                                list_sizes, q)
-        _, pos = topk_select_segmented(dist, COARSE_PROBE, NPROBE)
-        return prog_tail(list_ids, probe, pos, base, q)
-
-    args = (index.centroids, index.list_recon, norms, index.list_ids,
-            index.list_sizes, base_j, queries_j)
-    return step, args
+    args = (view.payload, view.norms, view.sizes, view.ids, base_j,
+            queries_j, tiles_j)
+    itemsize = (
+        1 if quant == "sq8"
+        else 2 if view.payload.dtype == jnp.bfloat16 else 4
+    )
+    stats = {
+        "tiles_per_query": float(max_t),
+        # payload + norms read per query by the scan kernel
+        "scan_bytes_per_query": int(max_t * T * (D * itemsize + 4)),
+    }
+    return step, args, stats
 
 
 def numpy_pipeline(index, base, queries):
@@ -174,7 +198,7 @@ def main():
     queries = data["query"][:BATCH].astype(np.float32)
     q_j = jnp.asarray(queries)
 
-    step, args = tpu_pipeline(index, base_j, q_j)
+    step, args, scan_stats = tpu_pipeline(index, base_j, q_j)
     # warmup / compile
     d, ids = step(*args)
     ids.block_until_ready()
@@ -212,7 +236,10 @@ def main():
     dt_np = time.perf_counter() - t0
     np_qps = nq_base / dt_np
 
-    enc_qps, enc_mac_qps = encrypted_rerank_qps(data, np.asarray(ids))
+    if os.environ.get("PFH_BENCH_SKIP_ENC"):
+        enc_qps = enc_mac_qps = 0.0
+    else:
+        enc_qps, enc_mac_qps = encrypted_rerank_qps(data, np.asarray(ids))
 
     result = {
         "metric": "ivfpq_query_pipeline_qps",
@@ -225,6 +252,10 @@ def main():
             "recall_at_100": round(rep.recall_100, 4),
             "encrypted_rerank_qps": round(enc_qps, 2),
             "encrypted_mac_device_qps": round(enc_mac_qps, 2),
+            "scan_bytes_per_query": scan_stats["scan_bytes_per_query"],
+            "scan_effective_gbps": round(
+                scan_stats["scan_bytes_per_query"] * tpu_qps / 1e9, 1
+            ),
             "batch_p50_ms": round(p50, 2),
             "batch_p99_ms": round(p99, 2),
             "nbase": NBASE,

@@ -53,6 +53,76 @@ def assign_to_lists(
     return out
 
 
+def _topk_assign_chunk(x: jax.Array, centroids: jax.Array, k: int):
+    csq = jnp.sum(centroids * centroids, axis=-1)
+    cross = jax.lax.dot_general(
+        x, centroids,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    neg, idx = jax.lax.top_k(-(csq[None, :] - 2.0 * cross), k)
+    return -neg, idx
+
+
+def assign_to_lists_balanced(
+    x: np.ndarray,
+    centroids: np.ndarray,
+    cap_factor: float = 1.25,
+    n_cand: int = 4,
+    chunk: int = 65536,
+) -> np.ndarray:
+    """Capacity-bounded coarse assignment: list sizes ≤ cap_factor·(n/nlist).
+
+    Natural k-means clusters on real data are heavily imbalanced — at
+    SIFT1M-like scale the largest inverted list padded the device layout
+    ~3.5× past the mean, and the dense scan pays HBM bandwidth for every
+    padded lane. Greedy rounds: each point claims its r-th nearest centroid
+    (r = 0..n_cand−1); every list accepts its closest claimants up to
+    remaining capacity; spill-overs retry with their next candidate.
+    Points that exhaust all candidates (rare) go to the least-filled lists.
+
+    Spilled points live one centroid away from their Voronoi cell, so a
+    query probing nprobe ≫ 1 lists still finds them — recall at the bench
+    operating point is asserted unchanged (tests/test_index.py)."""
+    n = x.shape[0]
+    nlist = centroids.shape[0]
+    cap = int(np.ceil(cap_factor * n / nlist))
+    top_d = np.empty((n, n_cand), np.float32)
+    top_i = np.empty((n, n_cand), np.int32)
+    cj = jnp.asarray(centroids, jnp.float32)
+    for s in range(0, n, chunk):
+        dd, ii = _topk_assign_chunk(
+            jnp.asarray(x[s : s + chunk], jnp.float32), cj, n_cand
+        )
+        top_d[s : s + chunk] = np.asarray(dd)
+        top_i[s : s + chunk] = np.asarray(ii)
+
+    assign = np.full(n, -1, np.int64)
+    remaining = np.full(nlist, cap, np.int64)
+    pending = np.arange(n)
+    for r in range(n_cand):
+        if pending.size == 0:
+            break
+        lists_r = top_i[pending, r].astype(np.int64)
+        d_r = top_d[pending, r]
+        order = np.lexsort((d_r, lists_r))
+        sl = lists_r[order]
+        # rank of each claimant within its list group (groups contiguous)
+        starts = np.searchsorted(sl, np.arange(nlist))
+        rank = np.arange(order.size) - starts[sl]
+        accept = rank < remaining[sl]
+        chosen = order[accept]
+        assign[pending[chosen]] = sl[accept]
+        remaining -= np.bincount(sl[accept], minlength=nlist)
+        pending = pending[order[~accept]]
+    if pending.size:
+        # exhausted all candidates: fill least-loaded lists
+        fill_order = np.argsort(-remaining, kind="stable")
+        slots = np.repeat(fill_order, np.maximum(remaining[fill_order], 0))
+        assign[pending] = slots[: pending.size]
+    return assign.astype(np.int32)
+
+
 def train_pq_codebooks(
     train: np.ndarray,            # [nt, d] training vectors
     centroids: np.ndarray,        # [nlist, d] trained coarse quantizer
@@ -138,7 +208,12 @@ def build_ivf_index(
         seed=params.seed,
         spherical=(params.metric == "cosine"),
     )
-    assign = assign_to_lists(base, centroids)
+    if params.balance > 0:
+        assign = assign_to_lists_balanced(
+            base, centroids, cap_factor=params.balance
+        )
+    else:
+        assign = assign_to_lists(base, centroids)
 
     codebooks = codes = None
     if params.uses_pq:

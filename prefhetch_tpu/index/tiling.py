@@ -41,6 +41,10 @@ class TiledView:
     tile_start_np: np.ndarray   # [nlist] host — first tile of each list
     tile_count_np: np.ndarray   # [nlist] host — tiles per list
     tile: int = TILE
+    # SQ8-quantized payload: x̂ = vmin + (code + ½)·scale per dimension.
+    # None when payload is bf16/f32. Halves the scan's HBM traffic.
+    sq_vmin: Optional[jax.Array] = None      # [d] f32
+    sq_scale: Optional[jax.Array] = None     # [d] f32
 
     @property
     def empty_tile(self) -> int:
@@ -70,11 +74,17 @@ class TiledView:
         return out, cand_counts.astype(np.int64)
 
 
-def build_tiled_view(index: IVFIndex, tile: int = TILE) -> Optional[TiledView]:
+def build_tiled_view(
+    index: IVFIndex, tile: int = TILE, quant: str = "none"
+) -> Optional[TiledView]:
     """Derive the tiled view from a built index (host-side re-pack).
 
     Uses the dense scan payload (recon for PQ, raw vectors for flat);
-    returns None if the index has no dense payload."""
+    returns None if the index has no dense payload.
+
+    quant="sq8": per-dimension affine uint8 payload (x̂ = vmin+(code+½)·s) —
+    half the HBM bytes of bf16. Norms are computed from the DECODED values
+    so the scan's distances are exact for the quantized payload."""
     if index.list_recon is not None:
         payload_np = np.asarray(index.list_recon)
     elif index.list_vectors is not None:
@@ -85,6 +95,20 @@ def build_tiled_view(index: IVFIndex, tile: int = TILE) -> Optional[TiledView]:
     sizes_np = np.asarray(index.list_sizes)
     nlist, lmax, d = payload_np.shape
 
+    sq_vmin = sq_scale = None
+    if quant == "sq8":
+        flat = payload_np.reshape(-1, d).astype(np.float32)
+        vmin = flat.min(axis=0)
+        vmax = flat.max(axis=0)
+        scale = np.maximum(vmax - vmin, 1e-12) / 256.0
+        codes = np.clip(
+            np.floor((flat - vmin[None]) / scale[None]), 0, 255
+        ).astype(np.uint8)
+        decoded = vmin[None] + (codes.astype(np.float32) + 0.5) * scale[None]
+        payload_np = codes.reshape(nlist, lmax, d)
+        decoded_norms = (decoded ** 2).sum(-1).reshape(nlist, lmax)
+        sq_vmin, sq_scale = vmin, scale
+
     tile_count = -(-sizes_np // tile)                 # ⌈size/T⌉, 0 for empty
     tile_count = np.maximum(tile_count, 0)
     tile_start = np.zeros(nlist, np.int64)
@@ -94,7 +118,9 @@ def build_tiled_view(index: IVFIndex, tile: int = TILE) -> Optional[TiledView]:
     payload = np.zeros((ntiles + 1, tile, d), payload_np.dtype)
     tile_ids = np.full((ntiles + 1, tile), -1, np.int32)
     tile_sizes = np.zeros(ntiles + 1, np.int32)
-    if index.list_norms is not None:
+    if quant == "sq8":
+        norms_np = decoded_norms
+    elif index.list_norms is not None:
         norms_np = np.asarray(index.list_norms)
     else:
         norms_np = (payload_np.astype(np.float32) ** 2).sum(-1)
@@ -122,4 +148,6 @@ def build_tiled_view(index: IVFIndex, tile: int = TILE) -> Optional[TiledView]:
         tile_start_np=tile_start.astype(np.int64),
         tile_count_np=tile_count.astype(np.int64),
         tile=tile,
+        sq_vmin=None if sq_vmin is None else jnp.asarray(sq_vmin),
+        sq_scale=None if sq_scale is None else jnp.asarray(sq_scale),
     )

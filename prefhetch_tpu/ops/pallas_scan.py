@@ -34,21 +34,128 @@ def _kernel(flat_lists_ref,          # scalar-prefetch [B] int32
             out_ref):                # [1, 1, lmax] f32
     b = pl.program_id(0)
     lmax = out_ref.shape[2]
-    slab = payload_ref[0].astype(jnp.float32)            # [lmax, d]
-    q = q_ref[0]                                          # [1, d]
-    qsq = jnp.sum(q * q)
-    cross = jax.lax.dot_general(
-        slab, q,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(1, lmax)                                    # [1, lmax]
-    d2 = qsq + norms_ref[0] - 2.0 * cross
-    d2 = jnp.maximum(d2, 0.0)
     size = sizes_ref[flat_lists_ref[b]]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, lmax), 1)
     # literal pad value: module-level PAD_DISTANCE is a traced constant,
     # which pallas kernels may not capture
-    out_ref[0] = jnp.where(lane < size, d2, float(PAD_DISTANCE))
+    out_ref[0] = jnp.full((1, lmax), float(PAD_DISTANCE), jnp.float32)
+
+    # tiled probe expansions pad rows with an all-empty slab; skip its MXU
+    # work entirely (the DMA was already skipped by Mosaic's revisiting
+    # rule — consecutive identical block indices are fetched once)
+    @pl.when(size > 0)
+    def _():
+        slab = payload_ref[0].astype(jnp.float32)        # [lmax, d]
+        q = q_ref[0]                                      # [1, d]
+        qsq = jnp.sum(q * q)
+        cross = jax.lax.dot_general(
+            slab, q,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(1, lmax)                                # [1, lmax]
+        d2 = qsq + norms_ref[0] - 2.0 * cross
+        d2 = jnp.maximum(d2, 0.0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, lmax), 1)
+        out_ref[0] = jnp.where(lane < size, d2, float(PAD_DISTANCE))
+
+
+def _kernel_sq8(flat_lists_ref,      # scalar-prefetch [B] int32
+                sizes_ref,           # scalar-prefetch [nlist] int32
+                payload_ref,         # [1, lmax, d] uint8 — SQ8 codes
+                norms_ref,           # [1, 1, lmax] f32 (decoded-value norms)
+                q_ref,               # [1, 1, d] f32
+                aff_ref,             # [1, 2, d] f32 — (vmin, scale)
+                out_ref):            # [1, 1, lmax] f32
+    """SQ8 variant: decode x̂ = vmin + (code+½)·scale in VMEM, then the same
+    fused distance matmul — half the HBM bytes per candidate of bf16.
+
+    The affine decode folds into the matmul:
+        x̂·q = (code+½)·(scale⊙q) + vmin·q
+    so the MXU still sees one [lmax, d]×[d, 1] contraction and the decode
+    costs one elementwise add on the code matrix."""
+    b = pl.program_id(0)
+    lmax = out_ref.shape[2]
+    size = sizes_ref[flat_lists_ref[b]]
+    out_ref[0] = jnp.full((1, lmax), float(PAD_DISTANCE), jnp.float32)
+
+    @pl.when(size > 0)
+    def _():
+        # Mosaic has no direct uint8→f32 cast; widen to int32 first
+        codes = payload_ref[0].astype(jnp.int32).astype(jnp.float32) + 0.5
+        q = q_ref[0]                                        # [1, d]
+        vmin = aff_ref[0, 0:1]                              # [1, d]
+        scale = aff_ref[0, 1:2]                             # [1, d]
+        qs = q * scale                                      # [1, d]
+        qsq = jnp.sum(q * q)
+        cross = jax.lax.dot_general(
+            codes, qs,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(1, lmax) + jnp.sum(vmin * q)
+        d2 = qsq + norms_ref[0] - 2.0 * cross
+        d2 = jnp.maximum(d2, 0.0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, lmax), 1)
+        out_ref[0] = jnp.where(lane < size, d2, float(PAD_DISTANCE))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_slab_distances_sq8(
+    payload: jax.Array,      # [nlist, lmax, d] uint8 SQ8 codes
+    norms: jax.Array,        # [nlist, lmax] f32 (decoded-value norms)
+    sizes: jax.Array,        # [nlist] int32
+    vmin: jax.Array,         # [d] f32
+    scale: jax.Array,        # [d] f32
+    queries: jax.Array,      # [nq, d] f32
+    probe_ids: jax.Array,    # [nq, nprobe] int32
+    interpret: bool = False,
+) -> jax.Array:
+    """SQ8 distances [nq, nprobe·lmax], PAD at invalid lanes."""
+    nq, nprobe = probe_ids.shape
+    nlist, lmax, d = payload.shape
+    B = nq * nprobe
+    flat = probe_ids.reshape(-1).astype(jnp.int32)
+    qrep = jnp.repeat(queries.astype(jnp.float32), nprobe, axis=0)
+    norms3 = norms.reshape(nlist, 1, lmax)
+    qrep3 = qrep.reshape(B, 1, d)
+    aff = jnp.stack([vmin, scale]).reshape(1, 2, d).astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, lmax, d),
+                lambda b, flat_ref, sz_ref: (flat_ref[b], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, lmax),
+                lambda b, flat_ref, sz_ref: (flat_ref[b], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, d),
+                lambda b, flat_ref, sz_ref: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2, d),
+                lambda b, flat_ref, sz_ref: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, lmax),
+            lambda b, flat_ref, sz_ref: (b, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        _kernel_sq8,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 1, lmax), jnp.float32),
+        interpret=interpret,
+    )(flat, sizes.astype(jnp.int32), payload, norms3, qrep3, aff)
+    return out.reshape(nq, nprobe * lmax)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

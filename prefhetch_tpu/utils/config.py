@@ -35,6 +35,10 @@ class IndexParams:
     by_residual: bool = True    # FAISS IndexIVFPQ default: PQ encodes x - centroid
     metric: str = "l2"          # "l2" or "cosine" (angular — normalized L2)
     quantizer: str = "auto"     # "auto" (pq if pq_m>0 else flat) | "sq8"
+    # Capacity-bounded assignment: list sizes ≤ balance·(nbase/nlist).
+    # 0 = off (pure Voronoi, FAISS parity). ~1.25 kills the padded-layout
+    # HBM waste on the device scan (index/build.assign_to_lists_balanced).
+    balance: float = 0.0
 
     # Training knobs (FAISS Clustering defaults: 25 iterations, seed 1234).
     kmeans_iters: int = 25
@@ -76,7 +80,8 @@ class IndexParams:
         else:
             kind = "FLAT"
         metric = "" if self.metric == "l2" else f"_{self.metric.upper()}"
-        return f"D{self.d}_IVF{self.nlist}_{kind}{metric}.npz"
+        bal = "" if self.balance <= 0 else f"_BAL{self.balance:g}"
+        return f"D{self.d}_IVF{self.nlist}_{kind}{metric}{bal}.npz"
 
 
 @dataclasses.dataclass(frozen=True)
