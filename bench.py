@@ -57,16 +57,36 @@ def get_dataset():
     return data
 
 
-def get_index(data):
+def get_hard_dataset():
+    """Overlapping heavy-tailed workload where IVF recall is genuinely <1
+    (see data.synthetic.make_hard_dataset)."""
+    os.makedirs(CACHE, exist_ok=True)
+    npz = os.path.join(CACHE, f"ds_hard_{NBASE}_{D}.npz")
+    if os.path.exists(npz):
+        with np.load(npz) as z:
+            return {k: z[k] for k in z.files}
+    from prefhetch_tpu.data.synthetic import make_hard_dataset
+
+    data = make_hard_dataset(
+        nbase=NBASE, ntrain=NTRAIN, nquery=BATCH, d=D,
+        n_clusters=600, gt_k=100, seed=21,
+    )
+    np.savez(npz, **data)
+    return data
+
+
+def get_index(data, subdir=""):
     from prefhetch_tpu.index.build import build_ivf_index, load_index, save_index
     from prefhetch_tpu.utils.config import IndexParams
 
     params = IndexParams(d=D, nlist=NLIST, pq_m=PQ_M, pq_nbits=8)
-    path = os.path.join(CACHE, params.artifact_name())
+    cache = os.path.join(CACHE, subdir) if subdir else CACHE
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, params.artifact_name())
     if os.path.exists(path):
         return load_index(path)
     idx = build_ivf_index(data["train"], data["base"], params)
-    save_index(idx, CACHE)
+    save_index(idx, cache)
     return idx
 
 
@@ -241,6 +261,36 @@ def main():
     else:
         enc_qps, enc_mac_qps = encrypted_rerank_qps(data, np.asarray(ids))
 
+    # recall on the HARD workload (overlapping clusters, heavy-tailed list
+    # sizes — see data.synthetic.make_hard_dataset): the clustered set's
+    # recall@10=1.0 says nothing about triage quality; this one does. The
+    # exact-IVF oracle (full-precision scan of the same probed lists) is
+    # reported alongside, so PQ/bf16 loss is separable from probing loss.
+    if os.environ.get("PFH_BENCH_SKIP_HARD"):
+        hard = {}
+    else:
+        hard_data = get_hard_dataset()
+        hard_index = get_index(hard_data, subdir="hard")
+        hq = jnp.asarray(hard_data["query"][:BATCH].astype(np.float32))
+        hbase = jnp.asarray(hard_data["base"], jnp.float32)
+        hstep, hargs, _ = tpu_pipeline(hard_index, hbase, hq)
+        _, hids = hstep(*hargs)
+        hrep = benchmark_results(
+            np.asarray(hids), hard_data["groundtruth"][:BATCH], k=K
+        )
+        # oracle: exact L2 over the SAME probed lists (probing loss only),
+        # scored with the same reference metric as the pipeline
+        orep = benchmark_results(
+            _ivf_oracle_topk(hard_data, hard_index),
+            hard_data["groundtruth"][:BATCH], k=K,
+        )
+        hard = {
+            "hard_recall_at_10": round(hrep.recall_10, 4),
+            "hard_recall_at_100": round(hrep.recall_100, 4),
+            "hard_oracle_recall_at_10": round(orep.recall_10, 4),
+            "hard_oracle_recall_at_100": round(orep.recall_100, 4),
+        }
+
     result = {
         "metric": "ivfpq_query_pipeline_qps",
         "value": round(tpu_qps, 2),
@@ -256,6 +306,14 @@ def main():
             "scan_effective_gbps": round(
                 scan_stats["scan_bytes_per_query"] * tpu_qps / 1e9, 1
             ),
+            # Index memory per vector. Code memory matches FAISS IVFPQ
+            # (uint8 codes, M=32); the dense bf16 reconstruction payload is
+            # a deliberate memory-for-bandwidth trade (the LUT-gather ADC
+            # alternative measured ~100× slower on TPU) — FAISS IVFPQ
+            # serving memory is codes 32B + ids 8B = 40 B/vec.
+            "index_code_bytes_per_vec": PQ_M + 4,
+            "scan_payload_bytes_per_vec": 2 * D,
+            **hard,
             "batch_p50_ms": round(p50, 2),
             "batch_p99_ms": round(p99, 2),
             "nbase": NBASE,
@@ -264,6 +322,28 @@ def main():
         },
     }
     print(json.dumps(result))
+
+
+def _ivf_oracle_topk(data, index) -> np.ndarray:
+    """Exact-IVF oracle ids [nq, K]: full-precision L2 over the
+    client-probed lists — the recall ceiling imposed by probing alone
+    (numpy, no PQ/bf16/COARSE_PROBE loss). Scored with the same
+    reference-metric as the pipeline so the two are comparable."""
+    base = data["base"]
+    centroids = np.asarray(index.centroids)
+    list_ids = np.asarray(index.list_ids)
+    list_sizes = np.asarray(index.list_sizes)
+    queries = data["query"][:BATCH].astype(np.float32)
+    out = np.empty((len(queries), K), np.int64)
+    for qi, q in enumerate(queries):
+        d2c = ((centroids - q) ** 2).sum(-1)
+        probes = np.argsort(d2c)[:NPROBE]
+        cand = np.concatenate(
+            [list_ids[p, : list_sizes[p]] for p in probes]
+        )
+        d2 = ((base[cand] - q) ** 2).sum(-1)
+        out[qi] = cand[np.argsort(d2, kind="stable")[:K]]
+    return out
 
 
 def encrypted_rerank_qps(data, cand_ids, nq: int = 64):

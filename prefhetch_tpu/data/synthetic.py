@@ -53,6 +53,56 @@ def make_clustered_dataset(
     return {"train": train, "base": base, "query": query, "groundtruth": gt}
 
 
+def make_hard_dataset(
+    nbase: int = 10_000,
+    ntrain: int = 25_000,
+    nquery: int = 100,
+    d: int = 128,
+    n_clusters: int = 200,
+    gt_k: int = 100,
+    seed: int = 42,
+) -> Dict[str, np.ndarray]:
+    """Generate a HARD {train, base, query, groundtruth} workload.
+
+    The clustered generator produces well-separated clusters where IVF
+    probing is nearly free (recall@10 = 1.0 at nprobe=16 — too easy to
+    stress recall, see make_clustered_dataset). This variant makes the
+    nearest-neighbor structure genuinely cross cluster boundaries:
+
+    - heavy-tailed (Zipf) cluster weights — realistic list-size skew;
+    - cluster scales comparable to inter-center distances, so Voronoi
+      cells overlap and true neighbors spread over several lists;
+    - 5% uniform background points with no cluster affinity;
+    - queries perturbed off base points by ~one cluster radius, landing
+      near cell boundaries.
+
+    At the BASELINE SIFT1M operating point (nlist=1024, nprobe=16) the
+    exact-IVF oracle's recall@10 is measurably below 1.0 on this set.
+    """
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(30.0, 225.0, size=(n_clusters, d))
+    scales = rng.uniform(35.0, 80.0, size=(n_clusters, 1))
+    weights = 1.0 / np.arange(1, n_clusters + 1) ** 0.9
+    weights /= weights.sum()
+
+    def sample(n: int) -> np.ndarray:
+        which = rng.choice(n_clusters, size=n, p=weights)
+        x = centers[which] + rng.normal(size=(n, d)) * scales[which]
+        n_bg = n // 20
+        x[:n_bg] = rng.uniform(0.0, 255.0, size=(n_bg, d))
+        perm = rng.permutation(n)
+        return np.clip(np.round(x[perm]), 0, 255).astype(np.float32)
+
+    base = sample(nbase)
+    train = sample(ntrain)
+    pick = rng.choice(nbase, size=nquery, replace=False)
+    q = base[pick] + rng.normal(size=(nquery, d)) * 45.0
+    query = np.clip(np.round(q), 0, 255).astype(np.float32)
+
+    gt = brute_force_ground_truth(base, query, gt_k)
+    return {"train": train, "base": base, "query": query, "groundtruth": gt}
+
+
 def brute_force_ground_truth(
     base: np.ndarray, query: np.ndarray, k: int, block: int = 1024
 ) -> np.ndarray:
@@ -111,7 +161,7 @@ def make_angular_dataset(
 
 
 def write_sift_style_dataset(
-    out_dir: str, prefix: str = "synthetic", **kwargs
+    out_dir: str, prefix: str = "synthetic", hard: bool = False, **kwargs
 ) -> Dict[str, str]:
     """Generate and persist a dataset in the reference's file layout.
 
@@ -121,7 +171,8 @@ def write_sift_style_dataset(
     src/client/client_lib.cpp:12-14).
     """
     os.makedirs(out_dir, exist_ok=True)
-    data = make_clustered_dataset(**kwargs)
+    gen = make_hard_dataset if hard else make_clustered_dataset
+    data = gen(**kwargs)
     paths = {
         "train": os.path.join(out_dir, f"{prefix}_learn.fvecs"),
         "base": os.path.join(out_dir, f"{prefix}_base.fvecs"),

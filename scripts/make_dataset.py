@@ -25,6 +25,9 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--download", action="store_true",
                    help="fetch the real SIFT archive instead of generating")
+    p.add_argument("--hard", action="store_true",
+                   help="overlapping heavy-tailed workload (recall<1 at "
+                        "the BASELINE operating point)")
     args = p.parse_args()
 
     if args.download:
@@ -45,6 +48,7 @@ def main() -> None:
     paths = write_sift_style_dataset(
         args.out,
         prefix=args.prefix,
+        hard=args.hard,
         nbase=args.nbase,
         ntrain=args.ntrain,
         nquery=args.nquery,

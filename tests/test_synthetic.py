@@ -47,3 +47,34 @@ def test_write_reference_file_layout(tmp_path):
     assert paths["train"].endswith("syn_learn.fvecs")
     assert read_fvecs(paths["base"]).shape == (200, 8)
     assert read_ivecs(paths["groundtruth"]).shape == (4, 10)
+
+
+def test_hard_dataset_is_hard():
+    """Overlapping workload: exact-IVF probing recall must be < 1 while the
+    data still has usable cluster structure (recall well above random)."""
+    import numpy as np
+
+    from prefhetch_tpu.data.synthetic import make_hard_dataset
+    from prefhetch_tpu.index.build import build_ivf_index
+    from prefhetch_tpu.utils.config import IndexParams
+
+    data = make_hard_dataset(
+        nbase=20000, ntrain=20000, nquery=16, d=32, n_clusters=64,
+        gt_k=20, seed=5,
+    )
+    params = IndexParams(d=32, nlist=64, pq_m=0, kmeans_iters=8)
+    idx = build_ivf_index(data["train"], data["base"], params)
+    centroids = np.asarray(idx.centroids)
+    list_ids = np.asarray(idx.list_ids)
+    list_sizes = np.asarray(idx.list_sizes)
+    hits = 0
+    nprobe, k = 4, 10
+    for qi, q in enumerate(data["query"]):
+        d2c = ((centroids - q) ** 2).sum(-1)
+        probes = np.argsort(d2c)[:nprobe]
+        cand = np.concatenate([list_ids[p, : list_sizes[p]] for p in probes])
+        d2 = ((data["base"][cand] - q) ** 2).sum(-1)
+        top = cand[np.argsort(d2, kind="stable")[:k]]
+        hits += len(np.intersect1d(top, data["groundtruth"][qi, :k]))
+    r = hits / (k * len(data["query"]))
+    assert 0.3 < r < 0.999, f"hard-set oracle recall {r} out of expected band"
