@@ -312,13 +312,14 @@ class ClientPipeline:
         self, sorted_precise_ids: np.ndarray
     ) -> Tuple[np.ndarray, np.ndarray]:
         """POST /pir-fetch: genuinely private retrieval — each requested row
-        costs ONE uploaded BFV ciphertext Enc(X^{block}); the server
-        obliviously expands it (SealPIR-style, crypto/pir.expand_query) and
-        never learns which rows were fetched. Public Galois expansion keys
+        costs ONE uploaded BFV ciphertext carrying both hypercube-dimension
+        indicators; the server obliviously expands it (SealPIR-style,
+        crypto/pir.PIR2Server / engine/pir_device.DevicePIR2) and never
+        learns which rows were fetched. Public Galois expansion keys
         register once per client. Upgrades the reference's placeholder,
-        which sent indices in cleartext."""
+        which sent indices in cleartext (src/server/server_lib.cpp:169-196),
+        at the reference's own dataset scale."""
         from prefhetch_tpu.client.pir import get_pir_client
-        from prefhetch_tpu.crypto.pir import rows_per_block
 
         k = self.config.protocol.k
         top_ids = sorted_precise_ids[:, :k]
@@ -327,14 +328,14 @@ class ClientPipeline:
         d = self.config.index.d
         wires, rs = [], []
         for row in top_ids.reshape(-1):
-            w, r = client.build_query_packed(int(row), nbase, d)
+            w, r = client.build_query_2d(int(row), nbase, d)
             wires.append(w)
             rs.append(r)
         import urllib.error
 
-        payload = {"pirPacked": wires, "keyId": client.key_id}
+        payload = {"pirHypercube": wires, "keyId": client.key_id}
         if not getattr(client, "_keys_registered", False):
-            payload["galoisKeys"] = client.galois_keys_wire(nbase, d)
+            payload["galoisKeys"] = client.galois_keys_wire_2d(nbase, d)
         try:
             resp = self._post("pir-fetch", payload)
             client._keys_registered = True
@@ -343,14 +344,12 @@ class ClientPipeline:
                 raise
             # server lost/never had this key id (restart, different
             # replica): re-register and retry once
-            payload["galoisKeys"] = client.galois_keys_wire(nbase, d)
+            payload["galoisKeys"] = client.galois_keys_wire_2d(nbase, d)
             resp = self._post("pir-fetch", payload)
             client._keys_registered = True
-        R = rows_per_block(client.params, d)
-        n_blocks = -(-nbase // R)
         flat = np.stack(
             [
-                client.decode_block_response(w, d, rs[i], n_blocks)
+                client.decode_response_2d(w, d, rs[i])
                 for i, w in enumerate(resp["pirResults"])
             ]
         )

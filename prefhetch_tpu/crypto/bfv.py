@@ -179,6 +179,20 @@ class BFVContext:
     def ntt_fwd(self, x: np.ndarray) -> np.ndarray:
         return np.stack([ntt(x[i], tb) for i, tb in enumerate(self.tables)])
 
+    def ntt_fwd_batch(self, x: np.ndarray) -> np.ndarray:
+        """[M, L, N] coeff-domain → NTT domain, one batched NTT per limb."""
+        out = np.empty_like(x)
+        for i, tb in enumerate(self.tables):
+            out[:, i] = ntt(x[:, i], tb)
+        return out
+
+    def intt_batch(self, x: np.ndarray) -> np.ndarray:
+        """[M, L, N] NTT domain → coeff domain, one batched INTT per limb."""
+        out = np.empty_like(x)
+        for i, tb in enumerate(self.tables):
+            out[:, i] = intt(x[:, i], tb)
+        return out
+
     def ntt_inv(self, x: np.ndarray) -> np.ndarray:
         return np.stack([intt(x[i], tb) for i, tb in enumerate(self.tables)])
 
@@ -662,6 +676,62 @@ class BFVContext:
             out0[i] = (acc0[i] - cp0) % qi * inv_p % qi
             out1[i] = (acc1[i] - cp1) % qi * inv_p % qi
         return out0, out1
+
+    def _key_switch_batch(self, polys: np.ndarray, rk: "RelinKey"):
+        """Batched _key_switch: [M, L, N] polys → ([M, L, N], [M, L, N]).
+
+        One forward-NTT batch over ALL (ct, component) rows per ext prime —
+        the per-ct loop was the dominant cost of PIR query expansion."""
+        p = self.params
+        ext = rk.ext
+        ext_tables = [build_tables(q, p.n) for q in ext]
+        digit_bits = 15
+        n_digits = -(-30 // digit_bits)
+        mask = (1 << digit_bits) - 1
+        M = polys.shape[0]
+        L = len(p.qs)
+        n_comp = L * n_digits
+        digits = np.empty((M, n_comp, p.n), np.int64)
+        for i in range(L):
+            limb = polys[:, i]
+            for d in range(n_digits):
+                digits[:, i * n_digits + d] = (limb >> (d * digit_bits)) & mask
+        acc0 = np.empty((M, len(ext), p.n), np.int64)
+        acc1 = np.empty((M, len(ext), p.n), np.int64)
+        flat = digits.reshape(M * n_comp, p.n)
+        for e, q in enumerate(ext):
+            tb = ext_tables[e]
+            D = ntt(flat % q, tb).reshape(M, n_comp, p.n)
+            Kb = ntt(rk.b[:, e] % q, tb)                 # [n_comp, N]
+            Ka = ntt(rk.a[:, e] % q, tb)
+            # reduce each product mod q BEFORE summing (n_comp products of
+            # ~2^60 would overflow int64 for 3+ limbs if summed raw)
+            s0 = (D * Kb[None] % q).sum(axis=1) % q
+            s1 = (D * Ka[None] % q).sum(axis=1) % q
+            acc0[:, e] = intt(s0, tb)
+            acc1[:, e] = intt(s1, tb)
+        sp = rk.special_p
+        half = sp // 2
+        cp0 = np.where(acc0[:, -1] > half, acc0[:, -1] - sp, acc0[:, -1])
+        cp1 = np.where(acc1[:, -1] > half, acc1[:, -1] - sp, acc1[:, -1])
+        out0 = np.empty((M, L, p.n), np.int64)
+        out1 = np.empty_like(out0)
+        for i, qi in enumerate(p.qs):
+            inv_p = pow(sp, -1, qi)
+            out0[:, i] = (acc0[:, i] - cp0) % qi * inv_p % qi
+            out1[:, i] = (acc1[:, i] - cp1) % qi * inv_p % qi
+        return out0, out1
+
+    def apply_galois_batch(
+        self, c0s: np.ndarray, c1s: np.ndarray, g: int, gk: "RelinKey"
+    ):
+        """Batched apply_galois on coeff-domain ct arrays [M, L, N]."""
+        perm, sgn = self._automorphism_map(g)
+        qs = np.array(self.params.qs, np.int64)[None, :, None]
+        c0g = np.mod(c0s[:, :, perm] * sgn[None, None, :], qs)
+        c1g = np.mod(c1s[:, :, perm] * sgn[None, None, :], qs)
+        ks0, ks1 = self._key_switch_batch(c1g, gk)
+        return np.mod(c0g + ks0, qs), ks1
 
     # -- homomorphic ops -------------------------------------------------
     def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:

@@ -36,8 +36,18 @@ from typing import List, Tuple
 
 import numpy as np
 
-from prefhetch_tpu.crypto.bfv import BFVContext, Ciphertext
+from prefhetch_tpu.crypto.bfv import BFVContext, Ciphertext, RelinKey
+from prefhetch_tpu.crypto.ntt import intt, ntt
 from prefhetch_tpu.crypto.params import BFVParams
+
+
+def grid_dims(params: BFVParams, nbase: int, d: int) -> Tuple[int, int, int]:
+    """(G, G1, G2) for the 2-D hypercube layout of a packed database."""
+    R = params.n // d
+    G = -(-nbase // R)
+    g1 = int(np.ceil(np.sqrt(G)))
+    g2 = -(-G // g1)
+    return G, g1, g2
 
 
 def rows_per_block(params: BFVParams, d: int) -> int:
@@ -135,6 +145,67 @@ class PIRClient:
             )
         return {str(g): self._gks[g].to_wire() for g in elts}
 
+    # -- 2-D (hypercube) variant -----------------------------------------
+    def build_query_2d(self, row: int, nbase: int, d: int) -> Tuple[dict, int]:
+        """One ct carrying BOTH dimension indicators: coefficient i1 and
+        coefficient G1+i2 are 1. Returns (ct wire, row-within-block r)."""
+        p = self.params
+        R = rows_per_block(p, d)
+        _, g1, g2 = grid_dims(p, nbase, d)
+        b_star, r = divmod(row, R)
+        # grid layout is row-major [g1, g2]: block b ↔ (i1, i2) = (b//g2, b%g2)
+        i1, i2 = divmod(b_star, g2)
+        assert g1 + g2 <= p.n, "hypercube dims exceed ring degree"
+        poly = np.zeros(p.n, np.int64)
+        poly[i1] = 1
+        poly[g1 + i2] = 1           # always distinct: g1+i2 ≥ g1 > i1
+        ct = self.ctx.encrypt(self.pk, poly, self._rng)
+        return ct.to_wire(), r
+
+    def galois_keys_wire_2d(self, nbase: int, d: int) -> dict:
+        """Expansion keys for m = G1+G2 selectors (one-time registration)."""
+        p = self.params
+        _, g1, g2 = grid_dims(p, nbase, d)
+        elts = expansion_galois_elements(p.n, g1 + g2)
+        if not hasattr(self, "_gks"):
+            self._gks = {}
+        missing = [g for g in elts if g not in self._gks]
+        if missing:
+            self._gks.update(
+                self.ctx.galois_keygen(self.sk, missing, self._rng)
+            )
+        return {str(g): self._gks[g].to_wire() for g in elts}
+
+    def decode_response_2d(self, resp: dict, d: int, r: int) -> np.ndarray:
+        """2-D response → the retrieved row [d].
+
+        Two-stage decode: (1) decrypt the digit cts (each single-limb),
+        un-scale by F⁻¹ mod t, recombine base-t digits into the column
+        ciphertext C = (c0, c1) mod q1; (2) decrypt C (single-limb),
+        un-scale by F⁻¹ again, read row r's reversed window."""
+        from prefhetch_tpu.utils.wire import unpack_i32
+
+        p = self.params
+        q1 = p.qs[0]
+        t = p.t
+        nd = int(resp["nDigits"])
+        g1, g2 = int(resp["g1"]), int(resp["g2"])
+        logm = max(1, (g1 + g2 - 1).bit_length())
+        inv_f = pow(1 << logm, -1, t)
+        polys = []
+        for w in resp["cts"]:
+            c0 = unpack_i32(w["c0"]).astype(np.int64)
+            c1 = unpack_i32(w["c1"]).astype(np.int64)
+            m = decrypt_single_limb(self.ctx, self.sk, c0, c1)
+            polys.append(m * inv_f % t)
+        C = np.zeros((2, p.n), np.int64)
+        for which in range(2):
+            for k in reversed(range(nd)):
+                C[which] = (C[which] * t + polys[which * nd + k]) % q1
+        row_poly = decrypt_single_limb(self.ctx, self.sk, C[0], C[1])
+        row_poly = row_poly * inv_f % t
+        return row_poly[r * d : (r + 1) * d][::-1].astype(np.float32)
+
     def decode_block_response(
         self, wire: dict, d: int, r: int, n_blocks: int
     ) -> np.ndarray:
@@ -189,10 +260,204 @@ def expand_query(
     return [cts[bitrev(b)] for b in range(m)]
 
 
+def expand_query_batch(
+    ctx: BFVContext, ct: Ciphertext, m: int, gks: dict
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched expand_query: returns (c0s [m, L, N], c1s [m, L, N]).
+
+    Identical math to expand_query, but each doubling round runs ONE
+    batched automorphism + key switch over all current ciphertexts
+    (bfv.apply_galois_batch) instead of a per-ct Python loop — the
+    expansion is ~10× faster at G in the hundreds and is the shape the
+    device path consumes."""
+    p = ctx.params
+    n = p.n
+    ct = ctx.from_ntt(ct) if ct.is_ntt else ct
+    logm = max(1, (m - 1).bit_length())
+    qs = np.array(p.qs, np.int64)[None, :, None]
+    c0s = ct.c0[None].copy()                       # [1, L, N]
+    c1s = ct.c1[None].copy()
+    k = np.arange(n)
+    for j in range(logm):
+        g = (n >> j) + 1
+        gk = gks[g]
+        # monomial shift by −2^j (signed negacyclic rotation), batched
+        e = (-(1 << j)) % (2 * n)
+        dest = (k + e) % (2 * n)
+        sign = np.where(dest < n, 1, -1).astype(np.int64)
+        pos = dest % n
+        sh0 = np.zeros_like(c0s)
+        sh1 = np.zeros_like(c1s)
+        sh0[:, :, pos] = c0s * sign[None, None, :]
+        sh1[:, :, pos] = c1s * sign[None, None, :]
+        sh0 %= qs
+        sh1 %= qs
+        both0 = np.concatenate([c0s, sh0])          # [2M, L, N]
+        both1 = np.concatenate([c1s, sh1])
+        g0, g1 = ctx.apply_galois_batch(both0, both1, g, gk)
+        c0s = np.mod(both0 + g0, qs)
+        c1s = np.mod(both1 + g1, qs)
+    # breadth-first [all-even ‖ all-odd] concatenation puts round-j's
+    # choice at position bit j — which is exactly coefficient order, so
+    # (unlike depth-first expand_query) no bit-reversal is needed
+    return c0s[:m], c1s[:m]
+
+
 def expansion_galois_elements(n: int, m: int) -> List[int]:
     """Galois elements needed by expand_query for m selectors."""
     logm = max(1, (m - 1).bit_length())
     return [(n >> j) + 1 for j in range(logm)]
+
+
+def mod_switch_to_first(
+    params: BFVParams, c0: np.ndarray, c1: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """BFV modulus switch q=q1·q2 → q1 on coeff-domain ct arrays
+    [..., L, N] → [..., N]: c' = (c − [c]_{q2,centered})·q2⁻¹ mod q1.
+    Divides the noise by q2 (+ small rounding) — the response-size lever:
+    one limb crosses the wire instead of L."""
+    assert len(params.qs) == 2, "mod_switch_to_first expects 2 limbs"
+    q1, q2 = params.qs
+    inv_q2 = pow(q2, -1, q1)
+
+    def down(c):
+        r2 = c[..., 1, :]
+        r2c = np.where(r2 > q2 // 2, r2 - q2, r2)        # centered mod q2
+        return (c[..., 0, :] - r2c) % q1 * inv_q2 % q1
+
+    return down(c0), down(c1)
+
+
+def decrypt_single_limb(
+    ctx: BFVContext, sk, c0: np.ndarray, c1: np.ndarray
+) -> np.ndarray:
+    """Decrypt a mod-switched (single-limb) ct: round(t·(c0+c1·s)/q1) mod t."""
+    p = ctx.params
+    tb = ctx.tables[0]
+    q1 = p.qs[0]
+    cs = intt(ntt(c1 % q1, tb) * ntt(sk.s_rns[0], tb) % q1, tb)
+    v = (c0 + cs) % q1
+    return (
+        (v.astype(np.float64) * p.t / q1).round().astype(np.int64) % p.t
+    )
+
+
+class PIR2Server:
+    """SealPIR-style 2-D PIR: the database packs into a G1×G2 hypercube of
+    plaintext polys; ONE uploaded ciphertext expands obliviously into
+    G1+G2 selectors; dim-1 folds the cube to G2 column ciphertexts; their
+    coefficients are base-t decomposed into plaintexts and folded again by
+    dim-2. Upload O(1) ct; response 2·L·⌈30/log₂t⌉ single-limb cts; server
+    work O(G) MACs + O(√G) expansion key-switches — vs the 1-D scheme's
+    O(G) host key-switches that made 1M-row fetches unusable
+    (upgrades reference: src/server/server_lib.cpp:169-196 at full scale).
+
+    The server holds NO secret material (expansion keys are public)."""
+
+    def __init__(self, base: np.ndarray, params: BFVParams):
+        self.params = params
+        self.ctx = BFVContext(params)
+        self.d = base.shape[1]
+        self.nbase = base.shape[0]
+        polys = pack_database(base, params)              # [G, N]
+        G = polys.shape[0]
+        self.g1 = int(np.ceil(np.sqrt(G)))
+        self.g2 = -(-G // self.g1)
+        padded = np.zeros((self.g1 * self.g2, params.n), np.int64)
+        padded[:G] = polys
+        # dim-1 operand in NTT domain: [G1, G2, L, N]
+        self.db_ntt = np.stack(
+            [self.ctx.plain_to_ntt(p_) for p_ in padded]
+        ).reshape(self.g1, self.g2, len(params.qs), params.n)
+        self._galois: dict = {}
+        self._n_digits = 1
+        while (params.t ** self._n_digits) < params.qs[0]:
+            self._n_digits += 1
+
+    @property
+    def n_selectors(self) -> int:
+        return self.g1 + self.g2
+
+    def register_galois_keys(self, key_id: str, gks_wire: dict) -> None:
+        self._galois[key_id] = {
+            int(g): RelinKey.from_wire(w) for g, w in gks_wire.items()
+        }
+
+    def has_keys(self, key_id: str) -> bool:
+        return key_id in self._galois
+
+    def answer_2d(self, query_wire: dict, key_id: str) -> dict:
+        """ONE query ct → the 2·L·n_digits single-limb response cts."""
+        p = self.params
+        gks = self._galois[key_id]
+        ct = Ciphertext.from_wire(query_wire)
+        sel0, sel1 = expand_query_batch(
+            self.ctx, ct, self.n_selectors, gks
+        )                                                # [m, L, N] coeff
+        sel0_ntt = self.ctx.ntt_fwd_batch(sel0)
+        sel1_ntt = self.ctx.ntt_fwd_batch(sel1)
+        qs = np.array(p.qs, np.int64)[:, None]
+
+        # dim 1: fold rows — C_j = Σ_i sel_i ⊗ p_{i,j}   [G2, L, N] each.
+        # Products are < 2^60; at most 8 may accumulate in int64 before a
+        # modular reduction, hence the chunked sum.
+        s0 = sel0_ntt[: self.g1]
+        s1 = sel1_ntt[: self.g1]
+        C0 = np.zeros((self.g2, len(p.qs), p.n), np.int64)
+        C1 = np.zeros_like(C0)
+        CH = 4
+        for i in range(0, self.g1, CH):                 # bounded: √G terms
+            sl = slice(i, min(i + CH, self.g1))
+            C0 = (C0 + (s0[sl, None] * self.db_ntt[sl]).sum(0)) % qs
+            C1 = (C1 + (s1[sl, None] * self.db_ntt[sl]).sum(0)) % qs
+        C0 = self.ctx.intt_batch(C0)
+        C1 = self.ctx.intt_batch(C1)
+
+        # mod-switch columns to q1, then base-t digit decomposition
+        c0d, c1d = mod_switch_to_first(p, C0, C1)        # [G2, N] each
+        t = p.t
+        nd = self._n_digits
+        digs = np.empty((2, nd, self.g2, p.n), np.int64)
+        for which, poly in enumerate((c0d, c1d)):
+            x = poly.copy()
+            for k in range(nd):
+                digs[which, k] = x % t
+                x //= t
+
+        # dim 2: fold columns with the second selector block (NTT the
+        # digit plaintexts once per (which, k))
+        w0 = sel0_ntt[self.g1 : self.g1 + self.g2]       # [G2, L, N]
+        w1 = sel1_ntt[self.g1 : self.g1 + self.g2]
+        out = []
+        CH = 4
+        for which in range(2):
+            for k in range(nd):
+                flat = digs[which, k]                    # [G2, N] small
+                pt_ntt = np.empty((self.g2, len(p.qs), p.n), np.int64)
+                for li, tb in enumerate(self.ctx.tables):
+                    pt_ntt[:, li] = ntt(flat % tb.q, tb)
+                r0 = np.zeros((len(p.qs), p.n), np.int64)
+                r1 = np.zeros_like(r0)
+                for j in range(0, self.g2, CH):
+                    sl = slice(j, min(j + CH, self.g2))
+                    r0 = (r0 + (w0[sl] * pt_ntt[sl]).sum(0)) % qs
+                    r1 = (r1 + (w1[sl] * pt_ntt[sl]).sum(0)) % qs
+                r0 = self.ctx.intt_batch(r0[None])[0]
+                r1 = self.ctx.intt_batch(r1[None])[0]
+                o0, o1 = mod_switch_to_first(p, r0, r1)  # [N] each
+                out.append((o0, o1))
+        from prefhetch_tpu.utils.wire import pack_i32
+
+        return {
+            "cts": [
+                {"c0": pack_i32(o0.astype(np.int32)),
+                 "c1": pack_i32(o1.astype(np.int32))}
+                for o0, o1 in out
+            ],
+            "nDigits": nd,
+            "g1": self.g1,
+            "g2": self.g2,
+        }
 
 
 class PIRServer:

@@ -1,0 +1,388 @@
+"""Device-resident 2-D PIR answering: the full SealPIR-style pipeline —
+oblivious query expansion (Galois key switches), dim-1 hypercube fold,
+modulus switch + base-t decomposition, dim-2 fold — as ONE jitted program.
+
+The host path (crypto/pir.py PIR2Server.answer_2d) is the correctness
+oracle; this module reproduces it on the accelerator so a 1M-row fetch
+answers in well under a second: per fetch the host uploads one query
+ciphertext (~64 KB) and downloads 2·L·n_digits single-limb response
+ciphertexts (~256 KB) — everything else stays in HBM.
+
+All modular arithmetic is division-free (ops/ntt_mxu.shift_mod_reduce);
+NTTs are the int8-MXU digit-decomposed matmuls (ops/ntt_mxu).
+
+Upgrades reference: src/server/server_lib.cpp:169-196 ("PIR" that gathered
+raw rows for cleartext indices) into real single-server PIR at the
+reference's own dataset scale.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prefhetch_tpu.crypto.bfv import BFVContext, Ciphertext, RelinKey
+from prefhetch_tpu.crypto.params import BFVParams
+from prefhetch_tpu.crypto.pir import (
+    expansion_galois_elements,
+    grid_dims,
+    pack_database,
+)
+from prefhetch_tpu.ops.ntt_mxu import (
+    build_mxu_tables,
+    intt_mxu,
+    modmul,
+    ntt_mxu,
+    shift_mod_reduce,
+)
+
+DIGIT_BITS = 15
+N_KS_DIGITS = 2          # 30-bit limbs → two 15-bit key-switch digits
+
+
+class DevicePIR2:
+    """Device twin of crypto/pir.PIR2Server (same wire contract)."""
+
+    def __init__(self, base: np.ndarray, params: BFVParams):
+        assert len(params.qs) == 2, "device PIR expects 2 RNS limbs"
+        self.params = params
+        self.ctx = BFVContext(params)
+        self.d = base.shape[1]
+        self.nbase = base.shape[0]
+        _, self.g1, self.g2 = grid_dims(params, self.nbase, self.d)
+        self.m = self.g1 + self.g2
+        self.logm = max(1, (self.m - 1).bit_length())
+        self.m_pad = 1 << self.logm
+        self._n_digits = 1
+        while (params.t ** self._n_digits) < params.qs[0]:
+            self._n_digits += 1
+
+        polys = pack_database(base, params)              # [G, N]
+        padded = np.zeros((self.g1 * self.g2, params.n), np.int64)
+        padded[: polys.shape[0]] = polys
+        db = np.stack([self.ctx.plain_to_ntt(p_) for p_ in padded])
+        self.db = jnp.asarray(
+            db.reshape(self.g1, self.g2, len(params.qs), params.n)
+            .astype(np.int32)
+        )
+
+        # per-level monomial/automorphism tables [logm, N]
+        n = params.n
+        k = np.arange(n)
+        mono_perm = np.empty((self.logm, n), np.int32)
+        mono_sign = np.empty((self.logm, n), np.int8)
+        gal_perm = np.empty((self.logm, n), np.int32)
+        gal_sign = np.empty((self.logm, n), np.int8)
+        self._gal_elts = []
+        for j in range(self.logm):
+            e = (-(1 << j)) % (2 * n)
+            dest = (k + e) % (2 * n)
+            pos = dest % n
+            # out[pos[k]] = sign[k]·in[k]  →  out[i] = sg[i]·in[pm[i]]
+            pm = np.empty(n, np.int64)
+            sg = np.empty(n, np.int64)
+            pm[pos] = k
+            sg[pos] = np.where(dest < n, 1, -1)
+            mono_perm[j] = pm
+            mono_sign[j] = sg
+            g = (n >> j) + 1
+            self._gal_elts.append(g)
+            kg = (k * g) % (2 * n)
+            dpos = kg % n
+            pm2 = np.empty(n, np.int64)
+            sg2 = np.empty(n, np.int64)
+            pm2[dpos] = k
+            sg2[dpos] = np.where(kg < n, 1, -1)
+            gal_perm[j] = pm2
+            gal_sign[j] = sg2
+        self.mono_perm = jnp.asarray(mono_perm)
+        self.mono_sign = jnp.asarray(mono_sign)
+        self.gal_perm = jnp.asarray(gal_perm)
+        self.gal_sign = jnp.asarray(gal_sign)
+        self._keys: Dict[str, tuple] = {}
+        self._ks_meta = None     # (ext primes, inv_p per limb) — key-indep
+
+    @property
+    def n_selectors(self) -> int:
+        return self.m
+
+    def has_keys(self, key_id: str) -> bool:
+        return key_id in self._keys
+
+    def register_galois_keys(self, key_id: str, gks_wire: dict) -> None:
+        """Pre-NTT the key components per ext prime; stack per level."""
+        gks = {int(g): RelinKey.from_wire(w) for g, w in gks_wire.items()}
+        first = gks[self._gal_elts[0]]
+        ext = first.ext
+        sp = first.special_p
+        kb = np.empty(
+            (self.logm, first.b.shape[0], len(ext), self.params.n), np.int64
+        )
+        ka = np.empty_like(kb)
+        for j, g in enumerate(self._gal_elts):
+            rk = gks[g]
+            assert rk.ext == ext and rk.special_p == sp
+            for e, q in enumerate(ext):
+                from prefhetch_tpu.crypto.ntt import build_tables, ntt
+
+                tb = build_tables(q, self.params.n)
+                kb[j, :, e] = ntt(rk.b[:, e] % q, tb)
+                ka[j, :, e] = ntt(rk.a[:, e] % q, tb)
+        inv_p = np.array(
+            [pow(sp, -1, qi) for qi in self.params.qs], np.int64
+        )
+        self._keys[key_id] = (
+            jnp.asarray(kb.astype(np.int32)), jnp.asarray(ka.astype(np.int32)),
+        )
+        self._ks_meta = (tuple(ext), sp, inv_p)
+
+    # ------------------------------------------------------------------
+    @functools.cached_property
+    def _answer_fn(self):
+        p = self.params
+        n = p.n
+        q1, q2 = p.qs
+        t = p.t
+        nd = self._n_digits
+        g1, g2, logm, m_pad = self.g1, self.g2, self.logm, self.m_pad
+        ext, sp, inv_p_np = self._ks_meta
+        L = len(p.qs)
+        n_comp = L * N_KS_DIGITS
+        tabs = [build_mxu_tables(q, n) for q in ext]
+        tabs_q = [build_mxu_tables(q, n) for q in p.qs]
+        inv_q2_mod_q1 = pow(q2, -1, q1)
+
+        def lift_sign(x, sign, q):
+            """x·sign mod q for residues x ∈ [0, q), sign ∈ {−1, 1}."""
+            return jnp.where(sign[None, None, :] > 0, x,
+                             jnp.where(x == 0, 0, q - x))
+
+        def apply_perm(x, perm, sign):
+            """[M, L, N] per-limb signed permutation (out[i]=sg[i]·in[pm[i]])."""
+            y = x[:, :, perm]
+            out = []
+            for i, q in enumerate(p.qs):
+                out.append(lift_sign(y[:, i : i + 1], sign, q))
+            return jnp.concatenate(out, axis=1)
+
+        def key_switch_batch(c1g, kb_l, ka_l, fdigs, gdigs):
+            """[M, L, N] int32 → (ks0, ks1) [M, L, N] int32.
+
+            kb_l/ka_l: [n_comp, n_ext, N] int32 NTT-domain key components."""
+            M = c1g.shape[0]
+            digs = []
+            for i in range(L):
+                limb = c1g[:, i].astype(jnp.int32)
+                digs.append(limb & ((1 << DIGIT_BITS) - 1))
+                digs.append(limb >> DIGIT_BITS)
+            D = jnp.stack(digs, axis=1)                  # [M, n_comp, N]
+            flat = D.reshape(M * n_comp, n)
+            acc = []                                     # per ext prime
+            for e, q in enumerate(ext):
+                tb = tabs[e]
+                Dn = ntt_mxu(flat, tb, fdigs[e]).reshape(M, n_comp, n)
+                s0 = jnp.zeros((M, n), jnp.int64)
+                s1 = jnp.zeros((M, n), jnp.int64)
+                for c in range(n_comp):
+                    s0 = s0 + modmul(Dn[:, c], kb_l[c, e][None], q, tb.delta)
+                    s1 = s1 + modmul(Dn[:, c], ka_l[c, e][None], q, tb.delta)
+                # sums of n_comp values < q: reduce with conditional subs
+                s0 = shift_mod_reduce(s0, q, tb.delta, 34)
+                s1 = shift_mod_reduce(s1, q, tb.delta, 34)
+                acc.append((
+                    intt_mxu(s0, tb, gdigs[e]),
+                    intt_mxu(s1, tb, gdigs[e]),
+                ))
+            half = sp // 2
+            cp0 = acc[-1][0]
+            cp1 = acc[-1][1]
+            cp0 = jnp.where(cp0 > half, cp0 - sp, cp0)   # centered, signed
+            cp1 = jnp.where(cp1 > half, cp1 - sp, cp1)
+            outs0, outs1 = [], []
+            for i, qi in enumerate(p.qs):
+                tb = tabs_q[i]
+                # make the small-range difference non-negative (+2q covers
+                # cp ≤ sp/2 < 2q), then divide by the special prime — no
+                # int64 division anywhere (emulated long division on TPU)
+                d0 = shift_mod_reduce(acc[i][0] - cp0 + 2 * qi, qi, tb.delta, 33)
+                d1 = shift_mod_reduce(acc[i][1] - cp1 + 2 * qi, qi, tb.delta, 33)
+                outs0.append(modmul(d0, jnp.int64(int(inv_p_np[i])), qi, tb.delta))
+                outs1.append(modmul(d1, jnp.int64(int(inv_p_np[i])), qi, tb.delta))
+            return (
+                jnp.stack(outs0, axis=1).astype(jnp.int32),
+                jnp.stack(outs1, axis=1).astype(jnp.int32),
+            )
+
+        def expand(c0, c1, kb, ka, fdigs, gdigs):
+            """[L, N] query ct → [m_pad, L, N] selectors (breadth-first)."""
+            c0s = jnp.zeros((m_pad, L, n), jnp.int32).at[0].set(c0)
+            c1s = jnp.zeros((m_pad, L, n), jnp.int32).at[0].set(c1)
+            for j in range(logm):                       # static unroll
+                half_m = 1 << j
+                sh0 = apply_perm(c0s, self.mono_perm[j], self.mono_sign[j])
+                sh1 = apply_perm(c1s, self.mono_perm[j], self.mono_sign[j])
+                both0 = jnp.concatenate([c0s[:half_m], sh0[:half_m]])
+                both1 = jnp.concatenate([c1s[:half_m], sh1[:half_m]])
+                gb0 = apply_perm(both0, self.gal_perm[j], self.gal_sign[j])
+                gb1 = apply_perm(both1, self.gal_perm[j], self.gal_sign[j])
+                ks0, ks1 = key_switch_batch(gb1, kb[j], ka[j], fdigs, gdigs)
+                qs_b = jnp.array(p.qs, jnp.int64)[None, :, None]
+
+                def red3q(x):
+                    # x < 3q: two conditional subtracts beat emulated mod
+                    x = jnp.where(x >= qs_b, x - qs_b, x)
+                    return jnp.where(x >= qs_b, x - qs_b, x)
+
+                nc0 = red3q(
+                    both0.astype(jnp.int64) + gb0.astype(jnp.int64)
+                    + ks0.astype(jnp.int64)
+                ).astype(jnp.int32)
+                nc1 = red3q(
+                    both1.astype(jnp.int64) + ks1.astype(jnp.int64)
+                ).astype(jnp.int32)
+                c0s = jax.lax.dynamic_update_slice(
+                    c0s, nc0, (0, 0, 0)
+                )
+                c1s = jax.lax.dynamic_update_slice(
+                    c1s, nc1, (0, 0, 0)
+                )
+            return c0s, c1s
+
+        def mod_down(x):
+            """[..., L, N] int → [..., N] mod q1 (RNS mod switch)."""
+            r2 = x[..., 1, :].astype(jnp.int64)
+            r2c = jnp.where(r2 > q2 // 2, r2 - q2, r2)
+            tb = tabs_q[0]
+            diff = shift_mod_reduce(
+                x[..., 0, :].astype(jnp.int64) - r2c + 2 * q1, q1, tb.delta, 33
+            )
+            return modmul(diff, jnp.int64(inv_q2_mod_q1), q1, tb.delta)
+
+        def answer(db, c0, c1, kb, ka, fdigs, gdigs):
+            sel0, sel1 = expand(c0, c1, kb, ka, fdigs, gdigs)
+            # NTT the needed selectors once per limb
+            sel = jnp.stack([sel0[: self.m], sel1[: self.m]], axis=1)
+            sel_ntt = []
+            for i, q in enumerate(p.qs):
+                tb = tabs_q[i]
+                sel_ntt.append(
+                    ntt_mxu(sel.reshape(-1, L, n)[:, i], tb, fdigs[i])
+                )                                        # [m·2, N]
+            sel_ntt = jnp.stack(sel_ntt, axis=1).reshape(self.m, 2, L, n)
+
+            # dim 1: fold rows over the [g1, g2] cube — scan over g1
+            s1sel = sel_ntt[:g1]                          # [g1, 2, L, N]
+
+            def fold_row(acc, inp):
+                srow, dbrow = inp                         # [2, L, N], [g2, L, N]
+                term0 = []
+                term1 = []
+                for i, q in enumerate(p.qs):
+                    tb = tabs_q[i]
+                    term0.append(
+                        modmul(srow[0, i][None], dbrow[:, i], q, tb.delta)
+                    )
+                    term1.append(
+                        modmul(srow[1, i][None], dbrow[:, i], q, tb.delta)
+                    )
+                t0 = jnp.stack(term0, axis=1)             # [g2, L, N]
+                t1 = jnp.stack(term1, axis=1)
+                a0, a1 = acc
+                qs_b = jnp.array(p.qs, jnp.int64)[None, :, None]
+                a0 = jnp.where(
+                    (a0 + t0) >= qs_b, a0 + t0 - qs_b, a0 + t0
+                )
+                a1 = jnp.where(
+                    (a1 + t1) >= qs_b, a1 + t1 - qs_b, a1 + t1
+                )
+                return (a0, a1), None
+
+            z = jnp.zeros((g2, L, n), jnp.int64)
+            (C0n, C1n), _ = jax.lax.scan(fold_row, (z, z), (s1sel, db))
+            # back to coeff domain
+            C0 = jnp.stack(
+                [intt_mxu(C0n[:, i], tabs_q[i], gdigs[i]) for i in range(L)],
+                axis=1,
+            )
+            C1 = jnp.stack(
+                [intt_mxu(C1n[:, i], tabs_q[i], gdigs[i]) for i in range(L)],
+                axis=1,
+            )
+            c0d = mod_down(C0)                            # [g2, N] mod q1
+            c1d = mod_down(C1)
+
+            # base-t digits → dim-2 fold with selectors g1..g1+g2
+            s2 = sel_ntt[g1 : g1 + g2]                    # [g2, 2, L, N]
+            outs = []
+            for which, poly in enumerate((c0d, c1d)):
+                x = poly
+                for k in range(nd):
+                    dig = x % t
+                    x = x // t
+                    r0 = jnp.zeros((L, n), jnp.int64)
+                    r1 = jnp.zeros((L, n), jnp.int64)
+                    for i, q in enumerate(p.qs):
+                        tb = tabs_q[i]
+                        dn = ntt_mxu(dig, tb, fdigs[i])   # [g2, N]
+                        p0 = modmul(s2[:, 0, i], dn, q, tb.delta)
+                        p1 = modmul(s2[:, 1, i], dn, q, tb.delta)
+                        # sum over g2 with staged reduction (each < q)
+                        s0_ = shift_mod_reduce(
+                            jnp.sum(p0, axis=0), q, tb.delta,
+                            30 + (g2 - 1).bit_length() + 1,
+                        )
+                        s1_ = shift_mod_reduce(
+                            jnp.sum(p1, axis=0), q, tb.delta,
+                            30 + (g2 - 1).bit_length() + 1,
+                        )
+                        r0 = r0.at[i].set(s0_)
+                        r1 = r1.at[i].set(s1_)
+                    r0c = jnp.stack(
+                        [intt_mxu(r0[i][None], tabs_q[i], gdigs[i])[0]
+                         for i in range(L)]
+                    )
+                    r1c = jnp.stack(
+                        [intt_mxu(r1[i][None], tabs_q[i], gdigs[i])[0]
+                         for i in range(L)]
+                    )
+                    o0 = mod_down(r0c[None])[0]
+                    o1 = mod_down(r1c[None])[0]
+                    outs.append(jnp.stack([o0, o1]).astype(jnp.int32))
+            return jnp.stack(outs)                        # [2·nd, 2, N]
+
+        return jax.jit(answer)
+
+    @functools.cached_property
+    def _dev_digit_mats(self):
+        ext, _, _ = self._ks_meta
+        fdigs = [jnp.asarray(build_mxu_tables(q, self.params.n).f_digits)
+                 for q in ext]
+        gdigs = [jnp.asarray(build_mxu_tables(q, self.params.n).g_digits)
+                 for q in ext]
+        return fdigs, gdigs
+
+    def answer_2d(self, query_wire: dict, key_id: str) -> dict:
+        from prefhetch_tpu.utils.wire import pack_i32
+
+        ct = Ciphertext.from_wire(query_wire)
+        if ct.is_ntt:
+            ct = self.ctx.from_ntt(ct)
+        kb, ka = self._keys[key_id]
+        fdigs, gdigs = self._dev_digit_mats
+        outs = np.asarray(self._answer_fn(
+            self.db, jnp.asarray(ct.c0.astype(np.int32)),
+            jnp.asarray(ct.c1.astype(np.int32)), kb, ka, fdigs, gdigs,
+        ))                                               # [2·nd, 2, N]
+        return {
+            "cts": [
+                {"c0": pack_i32(outs[i, 0]), "c1": pack_i32(outs[i, 1])}
+                for i in range(outs.shape[0])
+            ],
+            "nDigits": self._n_digits,
+            "g1": self.g1,
+            "g2": self.g2,
+        }

@@ -391,18 +391,63 @@ class QueryEngine:
                     )
         return self._pir_service
 
+    @property
+    def pir2_service(self):
+        """2-D hypercube PIR (SealPIR-style): upload O(1) ct, server work
+        O(G) device MACs + O(√G) expansion key switches — the form that
+        scales to the full dataset. Device-backed when a TPU is the default
+        backend (PFH_PIR_BACKEND overrides)."""
+        if not hasattr(self, "_pir2_service"):
+            import jax as _jax
+
+            from prefhetch_tpu.crypto.params import pir_params_for
+
+            he = self.config.he
+            backend = os.environ.get("PFH_PIR_BACKEND") or (
+                "tpu" if _jax.default_backend() == "tpu" else "numpy"
+            )
+            with self._lock:
+                if not hasattr(self, "_pir2_service"):
+                    params = pir_params_for(
+                        he.n, he.pir_plain_modulus, he.n_limbs
+                    )
+                    if backend == "tpu":
+                        from prefhetch_tpu.engine.pir_device import DevicePIR2
+
+                        self._pir2_service = DevicePIR2(
+                            np.asarray(self.base), params
+                        )
+                    else:
+                        from prefhetch_tpu.crypto.pir import PIR2Server
+
+                        self._pir2_service = PIR2Server(
+                            np.asarray(self.base), params
+                        )
+        return self._pir2_service
+
     def pir_fetch(
         self,
         pir_queries: list | None = None,
         packed: list | None = None,
+        hypercube: list | None = None,
         key_id: str | None = None,
         galois_keys: dict | None = None,
     ) -> list:
         """Answer PIR queries; the server never learns the row indices.
 
-        Two forms: `pir_queries` = naive (G selector cts per row);
-        `packed` = oblivious expansion (ONE ct per row + one-time public
-        Galois keys registered under key_id)."""
+        Three forms: `pir_queries` = naive (G selector cts per row);
+        `packed` = 1-D oblivious expansion (ONE ct per row, host);
+        `hypercube` = 2-D SealPIR-style (ONE ct per row, device-backed —
+        the production path at large nbase)."""
+        if hypercube is not None:
+            svc = self.pir2_service
+            if galois_keys:
+                svc.register_galois_keys(key_id, galois_keys)
+            if not svc.has_keys(key_id):
+                raise ValueError(
+                    "unknown PIR keyId — register Galois keys first"
+                )
+            return [svc.answer_2d(w, key_id) for w in hypercube]
         svc = self.pir_service
         if packed is not None:
             if galois_keys:

@@ -206,7 +206,16 @@ class _Handler(BaseHTTPRequestHandler):
     # /precise-vector-pir (the reference's cleartext-index placeholder), the
     # request carries only selector ciphertexts.
     def _pir_fetch(self, body):
-        if "pirPacked" in body:
+        if "pirHypercube" in body:
+            hyper = body["pirHypercube"]
+            if not isinstance(hyper, list) or not hyper:
+                raise ValueError("pirHypercube must be a non-empty list")
+            results = self.engine.pir_fetch(
+                hypercube=hyper,
+                key_id=body.get("keyId"),
+                galois_keys=body.get("galoisKeys"),
+            )
+        elif "pirPacked" in body:
             packed = body["pirPacked"]
             if not isinstance(packed, list) or not packed:
                 raise ValueError("pirPacked must be a non-empty list")

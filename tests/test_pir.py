@@ -93,3 +93,70 @@ def test_oblivious_expansion_correctness():
         assert val == a[b], f"selector {b}: got {val}, want {a[b]}"
         # all other coefficients must decode to zero
         assert np.all((dec[1:] * inv) % params.t == 0)
+
+
+def test_pir2d_roundtrip_and_grid():
+    """2-D hypercube PIR: exact retrieval; server sees only ciphertexts."""
+    from prefhetch_tpu.crypto.params import pir_params_for
+    from prefhetch_tpu.crypto.pir import PIR2Server, PIRClient
+
+    p = pir_params_for(256, 257, 2)
+    rng = np.random.default_rng(4)
+    nbase, d = 300, 32          # R=8, G=38, g1=7, g2=6
+    base = rng.integers(0, 256, (nbase, d)).astype(np.float32)
+    client = PIRClient(p, seed=6)
+    server = PIR2Server(base, p)
+    server.register_galois_keys(
+        client.key_id, client.galois_keys_wire_2d(nbase, d)
+    )
+    for row in (0, 37, 299):
+        w, r = client.build_query_2d(row, nbase, d)
+        resp = server.answer_2d(w, client.key_id)
+        got = client.decode_response_2d(resp, d, r)
+        np.testing.assert_array_equal(got, base[row])
+    # upload is ONE ct regardless of G; response is 2·n_digits cts
+    assert len(resp["cts"]) == 2 * resp["nDigits"]
+
+
+def test_pir2d_device_matches_host():
+    """The jitted device pipeline (CPU backend here) equals the host oracle
+    bit-for-bit and decodes to the exact row."""
+    from prefhetch_tpu.crypto.params import pir_params_for
+    from prefhetch_tpu.crypto.pir import PIR2Server, PIRClient
+    from prefhetch_tpu.engine.pir_device import DevicePIR2
+
+    p = pir_params_for(256, 257, 2)
+    rng = np.random.default_rng(4)
+    nbase, d = 300, 32
+    base = rng.integers(0, 256, (nbase, d)).astype(np.float32)
+    client = PIRClient(p, seed=6)
+    host = PIR2Server(base, p)
+    dev = DevicePIR2(base, p)
+    gw = client.galois_keys_wire_2d(nbase, d)
+    host.register_galois_keys(client.key_id, gw)
+    dev.register_galois_keys(client.key_id, gw)
+    w, r = client.build_query_2d(123, nbase, d)
+    rh = host.answer_2d(w, client.key_id)
+    rd = dev.answer_2d(w, client.key_id)
+    for ch, cd in zip(rh["cts"], rd["cts"]):
+        np.testing.assert_array_equal(
+            np.asarray(ch["c0"]["b64"]), np.asarray(cd["c0"]["b64"])
+        )
+    got = client.decode_response_2d(rd, d, r)
+    np.testing.assert_array_equal(got, base[123])
+
+
+def test_pir2d_query_hides_index():
+    """Two queries for different rows are fresh encryptions — the wire
+    bytes share no structure the server could exploit (distinct ct values,
+    same shape/metadata)."""
+    from prefhetch_tpu.crypto.params import pir_params_for
+    from prefhetch_tpu.crypto.pir import PIRClient
+
+    p = pir_params_for(256, 257, 2)
+    client = PIRClient(p, seed=9)
+    w1, _ = client.build_query_2d(5, 300, 32)
+    w2, _ = client.build_query_2d(250, 300, 32)
+    w3, _ = client.build_query_2d(5, 300, 32)   # same row, fresh randomness
+    assert w1["c0"] != w2["c0"] and w1["c0"] != w3["c0"]
+    assert set(w1.keys()) == set(w2.keys())

@@ -76,9 +76,9 @@ def test_pir_request_contains_no_indices(served):
     client.run()
     assert "pir-fetch" in captured
     body = captured["pir-fetch"]
-    assert "pirPacked" in body and "keyId" in body
+    assert "pirHypercube" in body and "keyId" in body
     # exactly one uploaded ct per retrieved row
-    assert len(body["pirPacked"]) == cfg.protocol.nquery * cfg.protocol.k
+    assert len(body["pirHypercube"]) == cfg.protocol.nquery * cfg.protocol.k
     s = json.dumps(body)
     assert "nearestPreciseVectorIndexes" not in s
 
