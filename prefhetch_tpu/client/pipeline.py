@@ -162,6 +162,24 @@ class ClientPipeline:
         if sorted_centroid_ids.shape[1] < nprobe:
             raise RuntimeError("Centroids count is not equal to NPROBE")
         probes = sorted_centroid_ids[:, :nprobe]
+        if self.config.protocol.encrypted_rerank:
+            codes = self._pq_encode_query(query, probes[:, 0])
+            if codes is not None:
+                # quantized coarse query: the full-precision query never
+                # travels on this route in encrypted mode (the reserved
+                # compute_encrypted_coarse_query — client_lib.h:28-36)
+                resp = self._post(
+                    "coarsesearch",
+                    {
+                        "coarseQueryCodes": codes.tolist(),
+                        "nearestCentroidIndexes": probes.tolist(),
+                    },
+                )
+                return (
+                    np.asarray(resp["coarseDistanceScores"], np.float32),
+                    np.asarray(resp["coarseVectorIndexes"], np.int64),
+                    np.asarray(resp["listSizesPerQuery"], np.int64),
+                )
         resp = self._post(
             "coarsesearch",
             {
@@ -270,6 +288,33 @@ class ClientPipeline:
                 query,
             )
         return scores, cand
+
+    def _pq_encode_query(
+        self, query: np.ndarray, anchor_ids: np.ndarray
+    ):
+        """PQ-encode (q − centroid[anchor]) with the server's PUBLIC
+        codebooks (GET /codebooks) — the quantized coarse query leaks only
+        the query's PQ cell (M bytes), like any stored vector. Returns
+        None when the index has no PQ codebooks (flat/SQ8)."""
+        if not hasattr(self, "_codebooks"):
+            meta = self._get("codebooks")
+            self._codebooks = (
+                None if meta.get("codebooks") is None
+                else np.asarray(meta["codebooks"], np.float32)
+            )
+        cb = self._codebooks
+        if cb is None:
+            return None
+        if not hasattr(self, "_centroids_cache"):
+            self._centroids_cache = self.get_centroids()
+        M, ksub, dsub = cb.shape
+        r = query - self._centroids_cache[anchor_ids]       # [nq, d]
+        rs = r.reshape(r.shape[0], M, dsub)
+        # argmin over codewords per subspace
+        d2 = (
+            (rs[:, :, None, :] - cb[None]) ** 2
+        ).sum(-1)                                           # [nq, M, ksub]
+        return np.argmin(d2, axis=-1).astype(np.int64)
 
     def _he_client(self):
         from prefhetch_tpu.client.he import HEClient

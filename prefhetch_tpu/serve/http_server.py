@@ -99,6 +99,22 @@ class _Handler(BaseHTTPRequestHandler):
                 # GET /query → bare centroid array (reference: Query.cc:17-23)
                 centroids = self.engine.retrieve_centroids()
                 self._send_json(centroids.tolist())
+            elif self.path == "/codebooks":
+                # net-new: public PQ index metadata so encrypted-mode
+                # clients can send a QUANTIZED coarse query instead of the
+                # full-precision plaintext one (the reserved
+                # compute_encrypted_coarse_query slot, reference:
+                # include/client/client_lib.h:28-36)
+                idx = self.engine.index
+                if idx.codebooks is None:
+                    self._send_json({"codebooks": None})
+                else:
+                    self._send_json({
+                        "codebooks": np.asarray(idx.codebooks).tolist(),
+                        "byResidual": bool(
+                            getattr(idx, "by_residual", True)
+                        ),
+                    })
             elif self.path == "/healthz":
                 self._send_json(
                     {"status": "ok", "ntotal": self.engine.index.ntotal}
@@ -145,8 +161,29 @@ class _Handler(BaseHTTPRequestHandler):
 
     # reference: Query.cc:29-63
     def _coarse_search(self, body):
-        q = np.asarray(body["preciseQuery"], np.float32)
         probes = np.asarray(body["nearestCentroidIndexes"], np.int64)
+        if "coarseQueryCodes" in body:
+            # encrypted-mode quantized coarse query: the client sends PQ
+            # codes of (q − centroid[probe₀]) instead of the full-precision
+            # query — the reserved compute_encrypted_coarse_query
+            # realization (reference: include/client/client_lib.h:28-36,
+            # "Sending precise query temporarily"). The server reconstructs
+            # q̂ and triages with it; the exact re-rank runs encrypted.
+            codes = np.asarray(body["coarseQueryCodes"], np.int64)
+            idx = self.engine.index
+            if idx.codebooks is None:
+                raise ValueError("coarseQueryCodes requires a PQ index")
+            cb = np.asarray(idx.codebooks)       # [M, ksub, dsub]
+            M, ksub, dsub = cb.shape
+            if codes.ndim != 2 or codes.shape[1] != M:
+                raise ValueError("coarseQueryCodes shape mismatch")
+            if codes.min() < 0 or codes.max() >= ksub:
+                raise ValueError("PQ code out of range")
+            anchors = np.asarray(idx.centroids)[probes[:, 0]]
+            rec = cb[np.arange(M)[None, :], codes]         # [nq, M, dsub]
+            q = (anchors + rec.reshape(codes.shape[0], -1)).astype(np.float32)
+        else:
+            q = np.asarray(body["preciseQuery"], np.float32)
         if q.ndim != 2 or probes.ndim != 2 or q.shape[0] != probes.shape[0]:
             raise ValueError("preciseQuery/nearestCentroidIndexes shape mismatch")
         nlist = self.engine.index.nlist

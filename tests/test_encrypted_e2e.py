@@ -142,3 +142,59 @@ def test_ckks_encrypted_scores_close_to_plaintext(served):
     client._post = spy
     client.get_encrypted_precise_scores(sorted_coarse, q)
     assert "galoisKeys" not in captured["encryptedsearch"]
+
+
+def test_encrypted_mode_precise_query_never_travels(served):
+    """VERDICT-closing privacy contract: in encrypted mode, NO request on
+    ANY route carries the full-precision query — /coarsesearch gets only
+    PQ codes of the query (the reserved compute_encrypted_coarse_query,
+    reference: include/client/client_lib.h:28-36)."""
+    cfg, engine, addr = served
+    client = ClientPipeline(cfg, server_addr=addr)
+
+    posted = []
+    orig = client._post
+
+    def spy(route, payload):
+        posted.append((route, payload))
+        return orig(route, payload)
+
+    client._post = spy
+    query = client.get_query()
+    client.run()
+
+    routes = [r for r, _ in posted]
+    assert "coarsesearch" in routes
+    for route, payload in posted:
+        body = json.dumps(payload)
+        assert "preciseQuery" not in body, route
+        # the raw query vector must not appear in any request body
+        for qrow in query:
+            frag = json.dumps(qrow.tolist())[1:40]
+            assert frag not in body, route
+    coarse = dict(posted)["coarsesearch"]
+    codes = np.asarray(coarse["coarseQueryCodes"])
+    assert codes.shape == (cfg.protocol.nquery, cfg.index.pq_m)
+
+
+def test_quantized_coarse_query_recall_close_to_plaintext(served):
+    """Triage with the PQ-quantized query + exact encrypted re-rank must
+    recover (nearly) the plaintext pipeline's candidates."""
+    cfg, engine, addr = served
+    enc = ClientPipeline(cfg, server_addr=addr)
+    import dataclasses
+
+    plain_cfg = dataclasses.replace(
+        cfg, protocol=dataclasses.replace(
+            cfg.protocol, encrypted_rerank=False
+        )
+    )
+    plain = ClientPipeline(plain_cfg, server_addr=addr)
+    _, ids_enc = enc.run()
+    _, ids_plain = plain.run()
+    k = cfg.protocol.k
+    overlap = np.mean([
+        len(np.intersect1d(ids_enc[i][:k], ids_plain[i][:k])) / k
+        for i in range(ids_enc.shape[0])
+    ])
+    assert overlap >= 0.9, f"quantized-coarse overlap too low: {overlap}"

@@ -160,3 +160,29 @@ def test_pir2d_query_hides_index():
     w3, _ = client.build_query_2d(5, 300, 32)   # same row, fresh randomness
     assert w1["c0"] != w2["c0"] and w1["c0"] != w3["c0"]
     assert set(w1.keys()) == set(w2.keys())
+
+
+def test_pir2d_at_100k_rows():
+    """VERDICT done-criterion: privacy contract at ≥100K rows. The query
+    wire is one ciphertext (no index anywhere); retrieval is exact."""
+    from prefhetch_tpu.crypto.params import pir_params_for
+    from prefhetch_tpu.crypto.pir import PIR2Server, PIRClient, grid_dims
+
+    p = pir_params_for(1024, 257, 2)     # N=1024 keeps host answering fast
+    rng = np.random.default_rng(11)
+    nbase, d = 100_000, 32               # R=32 → G=3125, 56×56 grid
+    base = rng.integers(0, 256, (nbase, d)).astype(np.float32)
+    client = PIRClient(p, seed=12)
+    server = PIR2Server(base, p)
+    G, g1, g2 = grid_dims(p, nbase, d)
+    assert g1 * g2 >= G
+    server.register_galois_keys(
+        client.key_id, client.galois_keys_wire_2d(nbase, d)
+    )
+    row = 73_219
+    wire, r = client.build_query_2d(row, nbase, d)
+    # privacy: the wire is ciphertext-only — no field encodes the row
+    assert set(wire.keys()) <= {"c0", "c1", "isNtt", "shape"}
+    resp = server.answer_2d(wire, client.key_id)
+    got = client.decode_response_2d(resp, d, r)
+    np.testing.assert_array_equal(got, base[row])
