@@ -95,6 +95,11 @@ class ClientPipeline:
         return self._with_retries(go)
 
     def _post(self, route: str, payload: dict):
+        return json.loads(self._post_raw(route, payload))
+
+    def _post_raw(self, route: str, payload: dict) -> bytes:
+        """POST returning the raw response body (the coarse-search response
+        is decoded by the native JSON codec straight from these bytes)."""
         data = json.dumps(payload).encode()
 
         def go():
@@ -104,9 +109,33 @@ class ClientPipeline:
                 headers={"Content-Type": "application/json"},
             )
             with urllib.request.urlopen(req, timeout=300) as r:
-                return json.loads(r.read())
+                return r.read()
 
         return self._with_retries(go)
+
+    @staticmethod
+    def _decode_coarse_response(body: bytes):
+        """coarseDistanceScores/coarseVectorIndexes/listSizesPerQuery out of
+        the raw /coarsesearch body — native number-array decode (the response
+        carries Σ list-sizes ≈ nprobe·nbase/nlist numbers per query, the
+        protocol's wire hotspot), stdlib json fallback."""
+        from prefhetch_tpu import native
+
+        scores = native.json_decode_field(body, "coarseDistanceScores")
+        indexes = native.json_decode_field(body, "coarseVectorIndexes")
+        sizes = native.json_decode_field(body, "listSizesPerQuery")
+        if scores is None or indexes is None or sizes is None:
+            resp = json.loads(body)
+            return (
+                np.asarray(resp["coarseDistanceScores"], np.float32),
+                np.asarray(resp["coarseVectorIndexes"], np.int64),
+                np.asarray(resp["listSizesPerQuery"], np.int64),
+            )
+        return (
+            scores.astype(np.float32),
+            indexes.astype(np.int64),
+            sizes.astype(np.int64),
+        )
 
     # -- stage 1 ----------------------------------------------------------
     def get_query(self) -> np.ndarray:
@@ -168,30 +197,22 @@ class ClientPipeline:
                 # quantized coarse query: the full-precision query never
                 # travels on this route in encrypted mode (the reserved
                 # compute_encrypted_coarse_query — client_lib.h:28-36)
-                resp = self._post(
+                body = self._post_raw(
                     "coarsesearch",
                     {
                         "coarseQueryCodes": codes.tolist(),
                         "nearestCentroidIndexes": probes.tolist(),
                     },
                 )
-                return (
-                    np.asarray(resp["coarseDistanceScores"], np.float32),
-                    np.asarray(resp["coarseVectorIndexes"], np.int64),
-                    np.asarray(resp["listSizesPerQuery"], np.int64),
-                )
-        resp = self._post(
+                return self._decode_coarse_response(body)
+        body = self._post_raw(
             "coarsesearch",
             {
                 "preciseQuery": query.tolist(),
                 "nearestCentroidIndexes": probes.tolist(),
             },
         )
-        return (
-            np.asarray(resp["coarseDistanceScores"], np.float32),
-            np.asarray(resp["coarseVectorIndexes"], np.int64),
-            np.asarray(resp["listSizesPerQuery"], np.int64),
-        )
+        return self._decode_coarse_response(body)
 
     # -- stage 5 ----------------------------------------------------------
     def compute_nearest_coarse_vectors(

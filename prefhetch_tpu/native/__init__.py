@@ -126,34 +126,88 @@ def read_vecs_native(path: str, dtype) -> Optional[np.ndarray]:
     return out
 
 
-def json_encode_f32(x: np.ndarray) -> Optional[str]:
+def json_encode_f32(x: np.ndarray) -> Optional[bytes]:
+    """Flat float array → JSON array bytes (f32 round-trip precision)."""
     lib = get_lib()
     if lib is None:
         return None
     x = np.ascontiguousarray(x, np.float32)
-    cap = x.size * 24 + 16
+    cap = x.size * 26 + 32
     buf = ctypes.create_string_buffer(cap)
     n = lib.pfh_json_encode_f32(
         x.ctypes.data_as(ctypes.c_void_p), x.size, buf, cap
     )
     if n < 0:
         return None
-    return buf.raw[:n].decode()
+    return buf.raw[:n]
 
 
-def json_encode_i64(x: np.ndarray) -> Optional[str]:
+def json_encode_i64(x: np.ndarray) -> Optional[bytes]:
     lib = get_lib()
     if lib is None:
         return None
     x = np.ascontiguousarray(x, np.int64)
-    cap = x.size * 24 + 16
+    cap = x.size * 26 + 32
     buf = ctypes.create_string_buffer(cap)
     n = lib.pfh_json_encode_i64(
         x.ctypes.data_as(ctypes.c_void_p), x.size, buf, cap
     )
     if n < 0:
         return None
-    return buf.raw[:n].decode()
+    return buf.raw[:n]
+
+
+def json_encode_f32_nested(x: np.ndarray) -> Optional[bytes]:
+    """N-D float array → nested JSON array bytes: the trailing axis is
+    encoded natively per row, outer axes become JSON nesting."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    if x.ndim == 1:
+        return json_encode_f32(x)
+    rows = [json_encode_f32_nested(r) for r in x]
+    if any(r is None for r in rows):
+        return None
+    return b"[" + b",".join(rows) + b"]"
+
+
+def json_decode_array(buf: bytes, start: int = 0) -> Optional[np.ndarray]:
+    """Decode the JSON number array beginning at buf[start] ('[...]') into
+    float64. None if the library is unavailable or the input is malformed."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    seg = buf[start:]
+    # every element costs ≥2 bytes (digit + separator) → safe count bound
+    cap = len(seg) // 2 + 2
+    out = np.empty(cap, np.float64)
+    n = lib.pfh_json_decode_f64(
+        seg, len(seg), out.ctypes.data_as(ctypes.c_void_p), cap
+    )
+    if n < 0:
+        return None
+    return out[:n]
+
+
+def json_decode_field(body: bytes, key: str) -> Optional[np.ndarray]:
+    """Decode the flat JSON number array at `"key": [...]` inside a JSON
+    object body, without parsing the rest of the object. None when the key
+    is absent, the library is unavailable, or the structure is unexpected
+    (callers fall back to stdlib json)."""
+    marker = b'"' + key.encode() + b'"'
+    pos = body.find(marker)
+    if pos < 0:
+        return None
+    pos = body.find(b":", pos + len(marker))
+    if pos < 0:
+        return None
+    pos += 1
+    while pos < len(body) and body[pos : pos + 1] in b" \t\r\n":
+        pos += 1
+    if pos >= len(body) or body[pos : pos + 1] != b"[":
+        return None
+    return json_decode_array(body, pos)
 
 
 class NativeNTT:

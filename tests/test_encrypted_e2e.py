@@ -153,13 +153,14 @@ def test_encrypted_mode_precise_query_never_travels(served):
     client = ClientPipeline(cfg, server_addr=addr)
 
     posted = []
-    orig = client._post
+    orig = client._post_raw          # the single transport primitive —
+                                     # every POST (raw or parsed) goes here
 
     def spy(route, payload):
         posted.append((route, payload))
         return orig(route, payload)
 
-    client._post = spy
+    client._post_raw = spy
     query = client.get_query()
     client.run()
 

@@ -51,6 +51,42 @@ def test_json_encode_i64(rng):
     assert json.loads(s) == x.tolist()
 
 
+def test_json_encode_nested_matches_stdlib(rng):
+    x = rng.normal(size=(7, 5, 3)).astype(np.float32)
+    s = native.json_encode_f32_nested(x)
+    got = np.asarray(json.loads(s), np.float32)
+    np.testing.assert_array_equal(got, x)
+
+
+def test_json_decode_array_roundtrip(rng):
+    x = rng.normal(size=2000).astype(np.float32) * 1e4
+    body = native.json_encode_f32(x)
+    back = native.json_decode_array(body)
+    np.testing.assert_array_equal(back.astype(np.float32), x)
+
+
+def test_json_decode_field():
+    body = json.dumps(
+        {
+            "other": [9, 9],
+            "coarseDistanceScores": [1.5, -2.25, 3e7],
+            "listSizesPerQuery": [3],
+        }
+    ).encode()
+    got = native.json_decode_field(body, "coarseDistanceScores")
+    np.testing.assert_array_equal(got, [1.5, -2.25, 3e7])
+    sizes = native.json_decode_field(body, "listSizesPerQuery")
+    np.testing.assert_array_equal(sizes, [3])
+    assert native.json_decode_field(body, "missingKey") is None
+    # non-array value → fallback signal, not a crash
+    assert native.json_decode_field(b'{"k": 3}', "k") is None
+
+
+def test_json_decode_empty_array():
+    got = native.json_decode_field(b'{"a": []}', "a")
+    assert got is not None and got.size == 0
+
+
 def test_native_ntt_matches_reference():
     from prefhetch_tpu.crypto.ntt import build_tables, intt, ntt
     from prefhetch_tpu.crypto.params import find_ntt_primes
