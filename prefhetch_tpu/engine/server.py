@@ -191,12 +191,20 @@ class QueryEngine:
         # (index/tiling.py — no global-lmax padding), the Pallas fused scan
         # computes distances, and ids/mask resolve host-side from the static
         # tile tables. The wire contract (logical centroid ids in, ragged
-        # candidates out) is unchanged.
+        # candidates out) is unchanged. force_tiled (or
+        # PFH_SERVE_FORCE_TILED=1) runs this branch on any backend with the
+        # Pallas kernel in interpret mode — CI covers the production
+        # composition on the CPU suite.
         import jax as _jax
 
+        on_tpu = _jax.default_backend() == "tpu"
+        force_tiled = (
+            getattr(self, "force_tiled", False)
+            or os.environ.get("PFH_SERVE_FORCE_TILED") == "1"
+        )
         if (
             not self.is_sharded
-            and _jax.default_backend() == "tpu"
+            and (on_tpu or force_tiled)
             and self._tiled_view is not None
         ):
             from prefhetch_tpu.ops.pallas_scan import pallas_slab_distances
@@ -208,6 +216,7 @@ class QueryEngine:
                 pallas_slab_distances(
                     view.payload, view.norms, view.sizes, q,
                     jnp.asarray(tile_idx),
+                    interpret=not on_tpu,
                 )
             )
             ids_np = view.tile_ids_np[tile_idx]            # [nq, mt, T]

@@ -116,3 +116,27 @@ def test_precise_vector_pir_gathers_raw(engine):
     ids = np.array([[0, 5, 7], [1999, 3, 3]])
     out = engine.precise_vector_pir(ids)
     np.testing.assert_array_equal(out, base[ids])
+
+
+def test_tiled_pallas_serving_branch_equivalent(engine):
+    """CI coverage of the production TPU serving composition
+    (engine.coarse_search tiled+Pallas branch): force_tiled runs the tile
+    expansion + Pallas fused scan (interpret mode on CPU) + host ragged
+    resolve, and the ragged wire output must match the padded-scan branch
+    candidate-for-candidate."""
+    q = read_fvecs(engine.config.query_path)[:4]
+    cent = engine.retrieve_centroids()
+    d2 = ((q[:, None, :] - cent[None]) ** 2).sum(-1)
+    probes = np.argsort(d2, axis=1)[:, :6]
+
+    ref_scores, ref_idx, ref_sizes = engine.coarse_search(q, probes)
+    try:
+        engine.force_tiled = True
+        got_scores, got_idx, got_sizes = engine.coarse_search(q, probes)
+    finally:
+        engine.force_tiled = False
+
+    assert engine._tiled_view is not None  # the branch actually ran
+    np.testing.assert_array_equal(got_sizes, ref_sizes)
+    np.testing.assert_array_equal(got_idx, ref_idx)
+    np.testing.assert_allclose(got_scores, ref_scores, rtol=1e-3, atol=0.5)
