@@ -291,6 +291,11 @@ def main():
             "hard_oracle_recall_at_100": round(orep.recall_100, 4),
         }
 
+    if os.environ.get("PFH_BENCH_SKIP_HTTP"):
+        http = {}
+    else:
+        http = http_serving_bench(data, index)
+
     result = {
         "metric": "ivfpq_query_pipeline_qps",
         "value": round(tpu_qps, 2),
@@ -314,6 +319,7 @@ def main():
             "index_code_bytes_per_vec": PQ_M + 4,
             "scan_payload_bytes_per_vec": 2 * D,
             **hard,
+            **http,
             "batch_p50_ms": round(p50, 2),
             "batch_p99_ms": round(p99, 2),
             "nbase": NBASE,
@@ -344,6 +350,164 @@ def _ivf_oracle_topk(data, index) -> np.ndarray:
         d2 = ((base[cand] - q) ** 2).sum(-1)
         out[qi] = cand[np.argsort(d2, kind="stable")[:K]]
     return out
+
+
+def http_serving_bench(
+    data, index, n_clients: int = 32, reqs_per_client: int = 8
+):
+    """BASELINE config 5: batched serving measured through the REAL wire.
+
+    Spins the stdlib HTTP server with the cross-request BatchScheduler
+    (serve/batcher.py, 64-way coalescing), then n_clients concurrent threads
+    each run the triage round trip (POST /coarsesearch → client top-CP select
+    → POST /precisesearch) for single-query requests. Reports the
+    client-observed end-to-end latency distribution and aggregate q/s —
+    JSON serialization, transport, batching wait, and device time included.
+    """
+    import socket
+    import time as _time
+
+    from prefhetch_tpu.engine.server import QueryEngine
+    from prefhetch_tpu.serve.http_server import serve_forever
+    from prefhetch_tpu.utils.config import (
+        IndexParams, PipelineConfig, ProtocolParams,
+    )
+
+    cfg = PipelineConfig(
+        index=IndexParams(d=D, nlist=NLIST, pq_m=PQ_M, pq_nbits=8),
+        protocol=ProtocolParams(
+            nprobe=NPROBE, coarse_probe=COARSE_PROBE, k=K, nquery=1
+        ),
+        nbase=NBASE,
+    )
+    engine = QueryEngine(cfg)
+    engine.set_index(index, data["base"])
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    srv = serve_forever(
+        engine, host="127.0.0.1", port=port, background=True, batching=True,
+        max_wait_ms=100.0,  # heavy-concurrency setting: window ≈ the
+                            # relay-bound batch turnaround (~110 ms)
+    )
+    addr = f"http://127.0.0.1:{port}/"
+
+    centroids = np.asarray(index.centroids)
+    queries = data["query"][: max(n_clients, 1)].astype(np.float32)
+
+    # warm: compile every bucketed batch shape the batcher can produce
+    # (engine pads rows to powers of two — see engine/server._next_pow2)
+    wq = queries[: min(len(queries), 64)]
+    d2w = ((wq[:, None, :] - centroids[None]) ** 2).sum(-1)
+    wprobes = np.argsort(d2w, axis=1)[:, :NPROBE].astype(np.int64)
+    wcand = np.tile(
+        np.arange(COARSE_PROBE, dtype=np.int64)[None], (len(wq), 1)
+    )  # any valid ids — warming compiles shapes, not results
+    nqp = 1
+    while nqp <= min(64, len(wq)):
+        engine.coarse_search(wq[:nqp], wprobes[:nqp])
+        engine.precise_search(wq[:nqp], wcand[:nqp])
+        nqp *= 2
+
+    # clients run OUT of process (one stdlib-only subprocess driving
+    # n_clients concurrent threads — IO-bound, so threads are the right
+    # concurrency on this single-core host): in-process client threads
+    # would measure GIL contention against the server's host work, not
+    # serving latency
+    probes_by_client = np.argsort(d2w, axis=1)[:, :NPROBE]
+    import subprocess
+    import sys as _sys
+    import tempfile
+
+    worker_src = _HTTP_CLIENT_WORKER_SRC
+    with tempfile.TemporaryDirectory() as td:
+        script = os.path.join(td, "client_worker.py")
+        with open(script, "w") as f:
+            f.write(worker_src)
+        np.save(os.path.join(td, "queries.npy"), queries)
+        np.save(os.path.join(td, "probes.npy"), probes_by_client)
+        proc = subprocess.Popen(
+            [_sys.executable, script, addr, td, str(n_clients),
+             str(reqs_per_client), str(COARSE_PROBE)],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        )
+        out, _ = proc.communicate(timeout=600)
+        vals = out.split()
+        wall = float(vals[1]) - float(vals[0])
+        lat = [float(x) for x in vals[2:]]
+    srv.shutdown()
+
+    lat_ms = sorted(x * 1e3 for x in lat)
+    return {
+        "http_qps": round(len(lat) / wall, 2),
+        "http_p50_ms": round(lat_ms[len(lat_ms) // 2], 2),
+        "http_p99_ms": round(
+            lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))], 2
+        ),
+        "http_clients": n_clients,
+    }
+
+
+# standalone client worker (no prefhetch imports — pure stdlib + numpy):
+# n_clients concurrent threads each run the triage round trip
+# (coarse → top-CP select → precise) n_reqs times; prints
+# "<t_start> <t_end> <lat0> <lat1> …" (request window excludes warmup)
+_HTTP_CLIENT_WORKER_SRC = '''
+import json, os, sys, threading, time, urllib.request
+import numpy as np
+
+addr, td, n_clients, n_reqs, cp = (
+    sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4]),
+    int(sys.argv[5]),
+)
+queries = np.load(os.path.join(td, "queries.npy"))
+probes = np.load(os.path.join(td, "probes.npy"))
+
+def post(route, payload):
+    req = urllib.request.Request(
+        addr + route, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        return json.loads(r.read())
+
+def one_round(ci):
+    q = queries[ci % len(queries)]
+    p = probes[ci % len(probes)]
+    resp = post("coarsesearch", {
+        "preciseQuery": [q.tolist()],
+        "nearestCentroidIndexes": [p.tolist()],
+    })
+    scores = np.asarray(resp["coarseDistanceScores"])
+    idxs = np.asarray(resp["coarseVectorIndexes"], dtype=np.int64)
+    top = np.argsort(scores)[:cp]
+    post("precisesearch", {
+        "preciseQuery": [q.tolist()],
+        "nearestCoarseVectorIndexes": [idxs[top].tolist()],
+    })
+
+one_round(0)                                   # warm the wire
+lats = []
+lock = threading.Lock()
+
+def client(ci):
+    mine = []
+    for _ in range(n_reqs):
+        t0 = time.perf_counter()
+        one_round(ci)
+        mine.append(time.perf_counter() - t0)
+    with lock:
+        lats.extend(mine)
+
+threads = [
+    threading.Thread(target=client, args=(i,)) for i in range(n_clients)
+]
+t_start = time.time()
+for t in threads: t.start()
+for t in threads: t.join()
+t_end = time.time()
+print(f"{t_start:.6f} {t_end:.6f} " + " ".join(f"{x:.6f}" for x in lats))
+'''
 
 
 def encrypted_rerank_qps(data, cand_ids, nq: int = 64):

@@ -33,6 +33,36 @@ Subpackages
 
 __version__ = "0.1.0"
 
+
+def _enable_persistent_compile_cache() -> None:
+    """Point XLA's persistent compilation cache at a repo-local directory.
+
+    In this deployment XLA compiles remotely at 1-2 min/program; without the
+    persistent cache EVERY process (server boot, bench run, client driver)
+    re-pays that for each jitted program. Must run before the first
+    compilation; importing this package anywhere does it. Override the
+    location with PFH_JAX_CACHE_DIR; disable with PFH_JAX_CACHE_DIR=off."""
+    import os
+
+    loc = os.environ.get("PFH_JAX_CACHE_DIR")
+    if loc == "off":
+        return
+    if not loc:
+        loc = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache",
+        )
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # cache is an optimization — never block import
+        pass
+
+
+_enable_persistent_compile_cache()
+
 from prefhetch_tpu.utils.config import (  # noqa: F401
     IndexParams,
     ProtocolParams,

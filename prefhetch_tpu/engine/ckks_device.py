@@ -1,0 +1,328 @@
+"""Device CKKS: slot-packed encrypted scoring with on-device key-switching.
+
+Replaces the host-numpy rotate-accumulate of CKKSComputeService
+(engine/hecompute.py) for the server path — BASELINE config 3 (N=8192,
+slot packing). This realizes the reference's reserved encrypted scoring
+capability (reference: include/client/client_lib.h:28-36, SEAL slot
+CMakeLists.txt:33-38) as one jitted TPU program per request:
+
+- ct×pt multiply: forward MXU NTTs (ops/ntt_mxu — int8 digit matmuls),
+  pointwise division-free modmul, inverse NTT, exact RNS rescale.
+- slot rotations: the Galois automorphism X → X^{5^s} is a precomputed
+  permutation+sign gather; key-switching digit-decomposes c1 into 15-bit
+  digits (VPU shifts), forward-NTTs ALL (block, component) digit polys as
+  one MXU batch per RNS prime, multiplies against the pre-NTT'd Galois key,
+  inverse-NTTs the two accumulated sums, and divides by the special
+  modulus p — the standard hybrid key-switch, laid out so every heavy op
+  is an int8 MXU matmul.
+
+The server holds only PUBLIC key material (client-registered Galois keys).
+Numerics are exact integer RNS arithmetic — device outputs equal the host
+CKKSContext bit-for-bit (tests/test_ckks_device.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prefhetch_tpu.crypto.ckks import (
+    DIGIT_BITS, CKKSCiphertext, CKKSContext, GaloisKey,
+)
+from prefhetch_tpu.crypto.ntt import ntt as host_ntt
+from prefhetch_tpu.crypto.params import CKKSParams
+from prefhetch_tpu.ops.ntt_mxu import (
+    build_mxu_tables, intt_mxu, modmul, ntt_mxu, shift_mod_reduce,
+)
+
+
+def _mod_sub(a: jax.Array, b: jax.Array, q: int) -> jax.Array:
+    """(a − b) mod q for residues already in [0, q)."""
+    d = a - b
+    return jnp.where(d < 0, d + q, d)
+
+
+def _mod_add(a: jax.Array, b: jax.Array, q: int) -> jax.Array:
+    s = a + b
+    return jnp.where(s >= q, s - q, s)
+
+
+class DeviceCKKS:
+    """Server-side CKKS scoring service, device key-switching backend.
+
+    Same interface as engine.hecompute.CKKSComputeService: register_keys /
+    has_keys / encrypted_scores. Slot layout identical (query replicated
+    across slots; per_ct = (N/2)/d candidates per plaintext; log2(d)
+    rotate-accumulate steps leave ⟨q, x_j⟩ in slot j·d + d − 1)."""
+
+    def __init__(self, params: CKKSParams):
+        self.params = params
+        self.ctx = CKKSContext(params)          # host ops: encode, tables
+        n = params.n
+        self.L = len(params.qs)
+        self.ext: Tuple[int, ...] = self.ctx.ext          # qs + (p,)
+        self.mxu = [build_mxu_tables(q, n) for q in self.ext]
+        self.n_digits = -(-30 // DIGIT_BITS)
+        # device-resident NTT matrix digits (args, not constants)
+        self._fdig = [jnp.asarray(t.f_digits) for t in self.mxu]
+        self._gdig = [jnp.asarray(t.g_digits) for t in self.mxu]
+        # per-key-id: step -> (Kb_ntt, Ka_ntt) [n_comp, n_ext_all, N] i32 dev
+        self._keys: Dict[str, Dict[int, Tuple[jax.Array, jax.Array]]] = {}
+        # rotation schedule for inner products of dimension d (set lazily)
+        self._steps_cache: Dict[int, List[int]] = {}
+
+    # ------------------------------------------------------------------
+    def register_keys(self, key_id: str, gks_wire: dict) -> None:
+        """Pre-NTT every Galois key component over the full extended basis
+        (host, once per client) and park the result on device."""
+        out = {}
+        for step_s, wire in gks_wire.items():
+            gk = GaloisKey.from_wire(wire)
+            n_comp = gk.b.shape[0]
+            kb = np.empty_like(gk.b)
+            ka = np.empty_like(gk.a)
+            for e, q in enumerate(self.ext):
+                tb = self.ctx.tables[e]
+                kb[:, e] = host_ntt(gk.b[:, e] % q, tb)
+                ka[:, e] = host_ntt(gk.a[:, e] % q, tb)
+            out[int(step_s)] = (
+                jnp.asarray(kb.astype(np.int32)),
+                jnp.asarray(ka.astype(np.int32)),
+            )
+            assert n_comp == self.L * self.n_digits
+        self._keys[key_id] = out
+
+    def has_keys(self, key_id: str) -> bool:
+        return key_id in self._keys
+
+    # ------------------------------------------------------------------
+    def _auto_tables(self, steps: Tuple[int, ...]):
+        """[n_steps, N] permutation / sign arrays for the schedule."""
+        perms, signs = [], []
+        for s in steps:
+            perm, sgn = self.ctx._automorphism_map(s)
+            perms.append(perm)
+            signs.append(sgn)
+        return (
+            jnp.asarray(np.stack(perms).astype(np.int32)),
+            jnp.asarray(np.stack(signs).astype(np.int32)),
+        )
+
+    @functools.lru_cache(maxsize=8)
+    def _score_fn(self, level_in: int, n_steps: int):
+        """jit: (fdigs…, gdigs…, ct [2, L, N], pt_rns [B, L, N],
+        keys_b [n_steps, n_comp, n_ext_all, N], keys_a …,
+        perms [n_steps, N], signs [n_steps, N]) → [B, 2, level, N].
+
+        level_in = limbs of the incoming ct; the ct×pt rescale drops one, so
+        rotations run at level = level_in − 1."""
+        qs_in = self.ext[:level_in]
+        level = level_in - 1
+        primes = self.ext[:level]
+        p = self.ext[-1]                          # special modulus
+        p_idx = len(self.ext) - 1
+        tabs = self.mxu
+        n_digits = self.n_digits
+        mask = (1 << DIGIT_BITS) - 1
+        inv_ql = [
+            int(pow(qs_in[-1] % q, -1, q)) for q in primes
+        ]
+        inv_p = [int(pow(p % q, -1, q)) for q in primes]
+        half_p = p // 2
+
+        def keyswitch(c1r, keys_b, keys_a):
+            """c1r [B, level, N] coeff residues → (ks0, ks1) [B, level, N].
+
+            keys_*: [n_comp_full, n_ext_all, N] — sliced to the active
+            level's components/primes statically."""
+            B, _, n = c1r.shape
+            # 15-bit digits of each active limb: [B, level·n_digits, N]
+            digs = []
+            for i in range(level):
+                limb = c1r[:, i].astype(jnp.int32)
+                for d in range(n_digits):
+                    digs.append((limb >> (d * DIGIT_BITS)) & mask)
+            digits = jnp.stack(digs, axis=1)        # [B, n_comp, N]
+            n_comp = level * n_digits
+            flat = digits.reshape(B * n_comp, n)
+            acc0, acc1 = [], []
+            for e_prime in list(primes) + [p]:
+                e_all = self.ext.index(e_prime)
+                tb = tabs[e_all]
+                D = ntt_mxu(flat, tb, self._fdig[e_all]).reshape(
+                    B, n_comp, n
+                )
+                s0 = jnp.zeros((B, n), jnp.int64)
+                s1 = jnp.zeros((B, n), jnp.int64)
+                for c in range(n_comp):
+                    kb = keys_b[c, e_all]
+                    ka = keys_a[c, e_all]
+                    s0 = s0 + modmul(D[:, c], kb[None], tb.q, tb.delta)
+                    s1 = s1 + modmul(D[:, c], ka[None], tb.q, tb.delta)
+                # Σ of n_comp reduced residues < n_comp·2^30 — one reduce
+                s0 = shift_mod_reduce(s0, tb.q, tb.delta, 40)
+                s1 = shift_mod_reduce(s1, tb.q, tb.delta, 40)
+                acc0.append(intt_mxu(s0, tb, self._gdig[e_all]))
+                acc1.append(intt_mxu(s1, tb, self._gdig[e_all]))
+            # exact division by p: subtract the centered mod-p part
+            cp0 = acc0[-1]
+            cp1 = acc1[-1]
+            cp0s = jnp.where(cp0 > half_p, cp0 - p, cp0)
+            cp1s = jnp.where(cp1 > half_p, cp1 - p, cp1)
+            out0, out1 = [], []
+            for i, q in enumerate(primes):
+                tb = tabs[self.ext.index(q)]
+                d0 = acc0[i] - cp0s
+                d0 = jnp.where(d0 < 0, d0 + q, d0)
+                d0 = jnp.where(d0 >= q, d0 - q, d0)
+                d1 = acc1[i] - cp1s
+                d1 = jnp.where(d1 < 0, d1 + q, d1)
+                d1 = jnp.where(d1 >= q, d1 - q, d1)
+                out0.append(modmul(d0, jnp.int64(inv_p[i]), q, tb.delta))
+                out1.append(modmul(d1, jnp.int64(inv_p[i]), q, tb.delta))
+            return jnp.stack(out0, 1), jnp.stack(out1, 1)
+
+        def score(ct, pt_rns, keys_b, keys_a, perms, signs, *mats):
+            # ct: [2, level_in, N] i32; pt_rns: [B, level_in, N] i32
+            B, _, n = pt_rns.shape
+            # --- ct×pt in NTT domain, per input prime ------------------
+            prod0, prod1 = [], []
+            for i, q in enumerate(qs_in):
+                e_all = self.ext.index(q)
+                tb = tabs[e_all]
+                ctn0 = ntt_mxu(ct[0, i][None], tb, self._fdig[e_all])
+                ctn1 = ntt_mxu(ct[1, i][None], tb, self._fdig[e_all])
+                ptn = ntt_mxu(pt_rns[:, i], tb, self._fdig[e_all])
+                m0 = modmul(ctn0, ptn, q, tb.delta)        # [B, N]
+                m1 = modmul(ctn1, ptn, q, tb.delta)
+                prod0.append(intt_mxu(m0, tb, self._gdig[e_all]))
+                prod1.append(intt_mxu(m1, tb, self._gdig[e_all]))
+            # --- exact RNS rescale: drop prime level_in−1 ---------------
+            ql = qs_in[-1]
+            c0, c1 = [], []
+            for i, q in enumerate(primes):
+                tb = tabs[self.ext.index(q)]
+                last0 = prod0[-1]
+                last1 = prod1[-1]
+                l0 = jnp.where(last0 >= q, last0 - q, last0)  # mod q (ql<2q)
+                l1 = jnp.where(last1 >= q, last1 - q, last1)
+                d0 = _mod_sub(prod0[i], l0, q)
+                d1 = _mod_sub(prod1[i], l1, q)
+                c0.append(modmul(d0, jnp.int64(inv_ql[i]), q, tb.delta))
+                c1.append(modmul(d1, jnp.int64(inv_ql[i]), q, tb.delta))
+            acc0 = jnp.stack(c0, 1)                  # [B, level, N]
+            acc1 = jnp.stack(c1, 1)
+            # --- rotate-accumulate ------------------------------------
+            for si in range(n_steps):
+                perm = perms[si]
+                sign = signs[si]
+                r0s, r1s = [], []
+                for i, q in enumerate(primes):
+                    v0 = acc0[:, i, :][:, perm]
+                    v1 = acc1[:, i, :][:, perm]
+                    r0s.append(
+                        jnp.where(
+                            sign[None, :] > 0, v0,
+                            jnp.where(v0 == 0, 0, q - v0),
+                        )
+                    )
+                    r1s.append(
+                        jnp.where(
+                            sign[None, :] > 0, v1,
+                            jnp.where(v1 == 0, 0, q - v1),
+                        )
+                    )
+                c0r = jnp.stack(r0s, 1)
+                c1r = jnp.stack(r1s, 1)
+                ks0, ks1 = keyswitch(c1r, keys_b[si], keys_a[si])
+                rot0 = jnp.stack(
+                    [
+                        _mod_add(c0r[:, i], ks0[:, i], q)
+                        for i, q in enumerate(primes)
+                    ],
+                    1,
+                )
+                rot1 = ks1
+                acc0 = jnp.stack(
+                    [
+                        _mod_add(acc0[:, i], rot0[:, i], q)
+                        for i, q in enumerate(primes)
+                    ],
+                    1,
+                )
+                acc1 = jnp.stack(
+                    [
+                        _mod_add(acc1[:, i], rot1[:, i], q)
+                        for i, q in enumerate(primes)
+                    ],
+                    1,
+                )
+            return jnp.stack(
+                [acc0.astype(jnp.int32), acc1.astype(jnp.int32)], axis=1
+            )                                        # [B, 2, level, N]
+
+        return jax.jit(score)
+
+    # ------------------------------------------------------------------
+    def encrypted_scores(
+        self, ct: CKKSCiphertext, candidates: np.ndarray, key_id: str
+    ):
+        """Enc(⟨q, x_j⟩) for every candidate row; returns
+        ([n_blocks] result CKKSCiphertexts, norms [P]) — wire-compatible
+        with CKKSComputeService.encrypted_scores."""
+        gks = self._keys[key_id]
+        ctx = self.ctx
+        P, d = candidates.shape
+        slots = self.params.n // 2
+        per_ct = slots // d
+        n_blocks = -(-P // per_ct)
+        padded = np.zeros((n_blocks * per_ct, d), np.float64)
+        padded[:P] = candidates
+
+        steps = []
+        r = d // 2
+        while r >= 1:
+            steps.append(r)
+            r //= 2
+        for s in steps:
+            if s not in gks:
+                raise ValueError(f"missing Galois key for step {s}")
+
+        level_in = ct.level
+        # plaintext blocks → scaled coeffs → RNS residues [B, L_in, N]
+        pt_rns = np.empty(
+            (n_blocks, level_in, self.params.n), np.int64
+        )
+        qs_in = np.array(self.ext[:level_in], np.int64)
+        for b in range(n_blocks):
+            coeffs = ctx.encode(
+                padded[b * per_ct : (b + 1) * per_ct].reshape(-1)
+            )
+            pt_rns[b] = np.mod(coeffs[None, :], qs_in[:, None])
+
+        perms, signs = self._auto_tables(tuple(steps))
+        keys_b = jnp.stack([gks[s][0] for s in steps])
+        keys_a = jnp.stack([gks[s][1] for s in steps])
+        ct_dev = jnp.asarray(
+            np.stack([ct.c0, ct.c1]).astype(np.int32)
+        )
+        fn = self._score_fn(level_in, len(steps))
+        out = np.asarray(
+            fn(ct_dev, jnp.asarray(pt_rns.astype(np.int32)),
+               keys_b, keys_a, perms, signs)
+        ).astype(np.int64)                          # [B, 2, level, N]
+
+        out_scale = ct.scale * ctx.scale / self.ext[level_in - 1]
+        cts = [
+            CKKSCiphertext(
+                c0=out[b, 0], c1=out[b, 1],
+                level=level_in - 1, scale=out_scale,
+            )
+            for b in range(n_blocks)
+        ]
+        norms = (np.round(candidates).astype(np.int64) ** 2).sum(-1)
+        return cts, norms

@@ -38,6 +38,10 @@ from prefhetch_tpu.utils.config import PipelineConfig
 logger = logging.getLogger("prefhetch.engine")
 
 
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
 class QueryEngine:
     """Holds the trained index + raw base matrix; serves the 4 query services."""
 
@@ -211,14 +215,38 @@ class QueryEngine:
 
             view = self._tiled_view
             probes_np = np.asarray(nearest_centroid_idx, np.int64)
-            tile_idx, counts = view.expand_probes(probes_np)
+            # fixed tile-axis size per nprobe: one compiled shape per
+            # (row-bucket, nprobe) regardless of batch composition
+            if not hasattr(self, "_serve_mt"):
+                self._serve_mt = {}
+            nprobe = probes_np.shape[1]
+            if nprobe not in self._serve_mt:
+                self._serve_mt[nprobe] = view.serving_max_tiles(nprobe)
+            tile_idx, counts = view.expand_probes(
+                probes_np, min_t=self._serve_mt[nprobe]
+            )
+            nq = tile_idx.shape[0]
+            # bucket the row count to the next power of two so the cross-
+            # request batcher's variable batch sizes map to O(log max_batch)
+            # compiled programs, not one per size (remote XLA compiles are
+            # minutes each); pad rows scan only the reserved empty tile
+            nq_pad = _next_pow2(nq)
+            if nq_pad != nq:
+                tile_idx = np.concatenate(
+                    [tile_idx, np.full((nq_pad - nq, tile_idx.shape[1]),
+                                       view.empty_tile, np.int32)]
+                )
+                q = jnp.concatenate(
+                    [q, jnp.zeros((nq_pad - nq, q.shape[1]), q.dtype)]
+                )
             dist = np.asarray(
                 pallas_slab_distances(
                     view.payload, view.norms, view.sizes, q,
                     jnp.asarray(tile_idx),
                     interpret=not on_tpu,
                 )
-            )
+            )[:nq]
+            tile_idx = tile_idx[:nq]
             ids_np = view.tile_ids_np[tile_idx]            # [nq, mt, T]
             tsz = view.tile_sizes_np[tile_idx]             # [nq, mt]
             lane = np.arange(view.tile)
@@ -282,13 +310,22 @@ class QueryEngine:
                     jnp.asarray(nearest_coarse_vector_idx, jnp.int32),
                 )
             )
+        q = np.asarray(precise_query, np.float32)
+        cand = np.asarray(nearest_coarse_vector_idx, np.int64)
+        nq = q.shape[0]
+        nq_pad = _next_pow2(nq)     # bucket rows: see coarse_search
+        if nq_pad != nq:
+            q = np.concatenate([q, np.zeros((nq_pad - nq, q.shape[1]), q.dtype)])
+            cand = np.concatenate(
+                [cand, np.zeros((nq_pad - nq, cand.shape[1]), cand.dtype)]
+            )
         return np.asarray(
             exact_rerank(
                 self.base,
-                jnp.asarray(precise_query, jnp.float32),
-                jnp.asarray(nearest_coarse_vector_idx, jnp.int32),
+                jnp.asarray(q, jnp.float32),
+                jnp.asarray(cand, jnp.int32),
             )
-        )
+        )[:nq]
 
     # -- service 3b: POST /encryptedsearch --------------------------------
     @property

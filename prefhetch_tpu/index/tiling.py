@@ -51,17 +51,24 @@ class TiledView:
         return self.payload.shape[0] - 1
 
     def expand_probes(
-        self, probe_ids: np.ndarray, bucket: int = 8
+        self, probe_ids: np.ndarray, bucket: int = 8,
+        min_t: int | None = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Logical probes [nq, nprobe] → (tile ids [nq, max_t],
         candidate counts [nq] — the protocol's listSizesPerQuery).
 
         max_t is the per-batch max tile count rounded up to `bucket` (bounds
-        jit-shape churn); rows are padded with the empty tile."""
+        jit-shape churn); rows are padded with the empty tile. Serving
+        callers pass min_t = the worst case over ANY probe set (see
+        serving_max_tiles) so every batch hits ONE compiled shape — padding
+        tiles cost ~nothing on device (the kernel skips empty tiles and
+        Mosaic dedups their consecutive DMAs)."""
         nq, nprobe = probe_ids.shape
         tcounts = self.tile_count_np[probe_ids]               # [nq, nprobe]
         t_totals = tcounts.sum(axis=1)
         max_t = int(-(-int(t_totals.max()) // bucket) * bucket)
+        if min_t is not None:
+            max_t = max(max_t, int(min_t))
         out = np.full((nq, max_t), self.empty_tile, np.int32)
         for qi in range(nq):
             pos = 0
@@ -72,6 +79,15 @@ class TiledView:
                 pos += c
         cand_counts = self.tile_sizes_np[out].sum(axis=1)
         return out, cand_counts.astype(np.int64)
+
+    def serving_max_tiles(self, nprobe: int, bucket: int = 8) -> int:
+        """Fixed tile-axis size covering any nprobe-probe set: the sum of
+        the nprobe largest per-list tile counts, bucket-rounded. Using this
+        as expand_probes(min_t=…) pins the serving scan to one compiled
+        shape per (batch-rows-bucket, nprobe)."""
+        counts = np.sort(self.tile_count_np)[::-1]
+        worst = int(counts[: min(nprobe, len(counts))].sum())
+        return int(-(-max(worst, 1) // bucket) * bucket)
 
 
 def build_tiled_view(

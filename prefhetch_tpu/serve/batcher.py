@@ -43,17 +43,26 @@ class _Service:
         return f
 
     def _loop(self):
+        import time as _time
+
         carry = None
         while True:
             payload, fut = carry if carry is not None else self.q.get()
             carry = None
             batch = [(payload, fut)]
             rows = payload[0].shape[0]
-            deadline = None
+            # full-window collect: keep draining until max_wait has elapsed
+            # since the batch opened (or max_batch rows arrive). Draining
+            # only-until-momentarily-empty dispatched ~5-row batches under
+            # dribbling concurrent arrivals, paying a full device round trip
+            # each; the window amortizes it across every in-flight client.
+            t_open = _time.perf_counter()
             while rows < self.max_batch:
-                timeout = self.max_wait if deadline is None else deadline
+                remaining = self.max_wait - (_time.perf_counter() - t_open)
+                if remaining <= 0:
+                    break
                 try:
-                    p2, f2 = self.q.get(timeout=timeout)
+                    p2, f2 = self.q.get(timeout=remaining)
                 except queue.Empty:
                     break
                 # only coalesce shape-compatible payloads (same trailing
@@ -65,7 +74,6 @@ class _Service:
                     break
                 batch.append((p2, f2))
                 rows += p2[0].shape[0]
-                deadline = 0  # after one wait window, drain non-blocking
             args = tuple(
                 np.concatenate([b[0][i] for b in batch], axis=0)
                 for i in range(len(payload))

@@ -322,17 +322,29 @@ def make_server(
     port: int = 8080,
     batching: bool = False,
     max_batch: int = 64,
+    max_wait_ms: float = 8.0,
 ) -> ThreadingHTTPServer:
     """batching=True interposes the cross-request BatchScheduler
-    (serve/batcher.py) so concurrent requests share device batches."""
+    (serve/batcher.py) so concurrent requests share device batches.
+    max_wait_ms is the coalescing window: requests arriving within it join
+    the same device batch (raise it for throughput under heavy concurrency,
+    lower it for isolated-request latency)."""
     if batching:
         from prefhetch_tpu.serve.batcher import BatchScheduler
 
-        engine = BatchScheduler(engine, max_batch=max_batch)
+        engine = BatchScheduler(
+            engine, max_batch=max_batch, max_wait_ms=max_wait_ms
+        )
     handler = type(
         "BoundHandler", (_Handler,), {"engine": engine, "stats": ServerStats()}
     )
-    return ThreadingHTTPServer((host, port), handler)
+    srv = ThreadingHTTPServer((host, port), handler, bind_and_activate=False)
+    # stdlib default listen backlog is 5 — bursts of concurrent clients get
+    # connection resets under batched serving; raise it
+    srv.request_queue_size = 128
+    srv.server_bind()
+    srv.server_activate()
+    return srv
 
 
 def serve_forever(
@@ -341,11 +353,13 @@ def serve_forever(
     port: int = 8080,
     background: bool = False,
     batching: bool = False,
+    max_wait_ms: float = 8.0,
 ) -> Optional[ThreadingHTTPServer]:
     """Run the web server (reference: Server::run_webserver,
     src/server/server_lib.cpp:48-53). background=True returns the server
     with a daemon thread (for tests)."""
-    srv = make_server(engine, host, port, batching=batching)
+    srv = make_server(engine, host, port, batching=batching,
+                      max_wait_ms=max_wait_ms)
     logger.info("Server listening on %s:%d", host, port)
     if background:
         t = threading.Thread(target=srv.serve_forever, daemon=True)
