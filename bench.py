@@ -75,6 +75,38 @@ def get_hard_dataset():
     return data
 
 
+def get_angular_dataset():
+    """Unit-normalized heavy-tailed workload (GloVe-like angular search):
+    the hard clustered generator, rows projected to the unit sphere, ground
+    truth recomputed as exact angular (max cosine) neighbors."""
+    os.makedirs(CACHE, exist_ok=True)
+    npz = os.path.join(CACHE, f"ds_ang_{NBASE}_{D}.npz")
+    if os.path.exists(npz):
+        with np.load(npz) as z:
+            return {k: z[k] for k in z.files}
+    from prefhetch_tpu.data.synthetic import (
+        make_hard_dataset, normalize_rows,
+    )
+
+    data = make_hard_dataset(
+        nbase=NBASE, ntrain=NTRAIN, nquery=BATCH, d=D,
+        n_clusters=600, gt_k=100, seed=22,
+    )
+    out = {
+        "base": normalize_rows(data["base"]),
+        "train": normalize_rows(data["train"]),
+        "query": normalize_rows(data["query"]),
+    }
+    # exact angular ground truth (on the sphere, max cosine == min L2)
+    gt = np.empty((len(out["query"]), 100), np.int32)
+    for i, q in enumerate(out["query"]):
+        sims = out["base"] @ q
+        gt[i] = np.argsort(-sims, kind="stable")[:100]
+    out["groundtruth"] = gt
+    np.savez(npz, **out)
+    return out
+
+
 def get_index(data, subdir=""):
     from prefhetch_tpu.index.build import build_ivf_index, load_index, save_index
     from prefhetch_tpu.utils.config import IndexParams
@@ -291,10 +323,46 @@ def main():
             "hard_oracle_recall_at_100": round(orep.recall_100, 4),
         }
 
+    # ANGULAR workload (BASELINE "GloVe-1.2M with PQ lists" family):
+    # unit-normalized vectors — cosine ranking == L2 ranking on the unit
+    # sphere, so the identical pipeline serves it; recall is scored against
+    # exact angular ground truth on the normalized set.
+    if os.environ.get("PFH_BENCH_SKIP_ANGULAR"):
+        angular = {}
+    else:
+        ang_data = get_angular_dataset()
+        ang_index = get_index(ang_data, subdir="angular")
+        aq = jnp.asarray(ang_data["query"][:BATCH].astype(np.float32))
+        abase = jnp.asarray(ang_data["base"], jnp.float32)
+        astep, aargs, _ = tpu_pipeline(ang_index, abase, aq)
+        _, aids = astep(*aargs)
+        t0 = time.perf_counter()
+        for _ in range(N_BATCHES):
+            _, aids = astep(*aargs)
+        aids.block_until_ready()
+        ang_qps = BATCH * N_BATCHES / (time.perf_counter() - t0)
+        arep = benchmark_results(
+            np.asarray(aids), ang_data["groundtruth"][:BATCH], k=K
+        )
+        angular = {
+            "angular_qps": round(ang_qps, 2),
+            "angular_recall_at_10": round(arep.recall_10, 4),
+            "angular_recall_at_100": round(arep.recall_100, 4),
+        }
+
     if os.environ.get("PFH_BENCH_SKIP_HTTP"):
         http = {}
     else:
         http = http_serving_bench(data, index)
+
+    if os.environ.get("PFH_BENCH_SKIP_CKKS"):
+        ckks = {}
+    else:
+        ckks_qps, ckks_err = ckks_scoring_qps(data, np.asarray(ids))
+        ckks = {
+            "ckks_scoring_qps": round(ckks_qps, 2),
+            "ckks_max_rel_err": round(ckks_err, 6),
+        }
 
     result = {
         "metric": "ivfpq_query_pipeline_qps",
@@ -319,7 +387,9 @@ def main():
             "index_code_bytes_per_vec": PQ_M + 4,
             "scan_payload_bytes_per_vec": 2 * D,
             **hard,
+            **angular,
             **http,
+            **ckks,
             "batch_p50_ms": round(p50, 2),
             "batch_p99_ms": round(p99, 2),
             "nbase": NBASE,
@@ -508,6 +578,88 @@ for t in threads: t.join()
 t_end = time.time()
 print(f"{t_start:.6f} {t_end:.6f} " + " ".join(f"{x:.6f}" for x in lats))
 '''
+
+
+def ckks_scoring_qps(data, cand_ids, nq: int = 4):
+    """BASELINE config 3: CKKS slot-packed encrypted scoring, N=8192.
+
+    Client CKKS-encrypts the query replicated across slots; the server
+    (DeviceCKKS on TPU — MXU-NTT key-switching; host service on CPU) packs
+    COARSE_PROBE candidates 32/ciphertext and rotate-accumulates log2(d)=7
+    key-switched rotations so slot j·d carries ⟨q, x_j⟩. Returns
+    (server_scoring_qps, max relative distance error vs plaintext)."""
+    import time as _time
+
+    import jax
+
+    from prefhetch_tpu.crypto.ckks import CKKSContext
+    from prefhetch_tpu.crypto.params import ckks_params_for
+
+    params = ckks_params_for(8192, 26, 3)
+    ctx = CKKSContext(params)
+    rng = np.random.default_rng(13)   # pinned: bench must be reproducible
+    sk, pk = ctx.keygen(rng)
+    steps = []
+    r = D // 2
+    while r >= 1:
+        steps.append(r)
+        r //= 2
+    gks = ctx.galois_keygen(sk, steps, rng)
+    gks_wire = {str(s): k.to_wire() for s, k in gks.items()}
+
+    if jax.default_backend() == "tpu":
+        from prefhetch_tpu.engine.ckks_device import DeviceCKKS
+
+        svc = DeviceCKKS(params)
+    else:
+        from prefhetch_tpu.engine.hecompute import CKKSComputeService
+
+        svc = CKKSComputeService(params)
+    svc.register_keys("bench", gks_wire)
+
+    queries = data["query"][:nq].astype(np.float64)
+    slots = params.n // 2
+    cands = data["base"][cand_ids[:nq].astype(np.int64)]
+    P = cands.shape[1]
+    cts = [
+        ctx.encrypt(pk, ctx.encode(np.tile(q, slots // D)), rng)
+        for q in queries
+    ]
+
+    # warm (compile + key upload)
+    if hasattr(svc, "encrypted_scores_batch"):
+        # warm at the TIMED shape — a different nq is a different program
+        svc.encrypted_scores_batch(cts, cands, "bench")
+        t0 = _time.perf_counter()
+        res_b, norms_b = svc.encrypted_scores_batch(cts, cands, "bench")
+        qps = nq / (_time.perf_counter() - t0)
+        results = [(res_b[i], norms_b[i]) for i in range(nq)]
+    else:
+        svc.encrypted_scores(cts[0], cands[0], "bench")
+        t0 = _time.perf_counter()
+        results = [
+            svc.encrypted_scores(cts[i], cands[i], "bench")
+            for i in range(nq)
+        ]
+        qps = nq / (_time.perf_counter() - t0)
+
+    # accuracy: decrypt → assemble distances, compare to plaintext
+    per_ct = slots // D
+    max_rel = 0.0
+    for i in range(nq):
+        out_cts, norms = results[i]
+        ips = []
+        for c in out_cts:
+            vals = np.real(ctx.decrypt(sk, c))
+            ips.extend(vals[np.arange(per_ct) * D])
+        ips = np.array(ips[:P])
+        qsq = (queries[i] ** 2).sum()
+        got = qsq + (cands[i].astype(np.float64) ** 2).sum(-1) - 2 * ips
+        ref = ((cands[i] - queries[i]) ** 2).sum(-1)
+        max_rel = max(
+            max_rel, float(np.abs(got - ref).max() / max(ref.max(), 1.0))
+        )
+    return qps, max_rel
 
 
 def encrypted_rerank_qps(data, cand_ids, nq: int = 64):

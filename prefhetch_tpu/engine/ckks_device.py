@@ -36,7 +36,7 @@ from prefhetch_tpu.crypto.ckks import (
 from prefhetch_tpu.crypto.ntt import ntt as host_ntt
 from prefhetch_tpu.crypto.params import CKKSParams
 from prefhetch_tpu.ops.ntt_mxu import (
-    build_mxu_tables, intt_mxu, modmul, ntt_mxu, shift_mod_reduce,
+    build_ntt4_tables, intt4, modmul, ntt4, shift_mod_reduce,
 )
 
 
@@ -57,7 +57,7 @@ class DeviceCKKS:
     Same interface as engine.hecompute.CKKSComputeService: register_keys /
     has_keys / encrypted_scores. Slot layout identical (query replicated
     across slots; per_ct = (N/2)/d candidates per plaintext; log2(d)
-    rotate-accumulate steps leave ⟨q, x_j⟩ in slot j·d + d − 1)."""
+    rotate-left-accumulate steps leave ⟨q, x_j⟩ in slot j·d)."""
 
     def __init__(self, params: CKKSParams):
         self.params = params
@@ -65,11 +65,17 @@ class DeviceCKKS:
         n = params.n
         self.L = len(params.qs)
         self.ext: Tuple[int, ...] = self.ctx.ext          # qs + (p,)
-        self.mxu = [build_mxu_tables(q, n) for q in self.ext]
+        # four-step NTT (N = N1·N2): N·(N1+N2) MACs per transform and
+        # kilobyte-scale matrices — the dense N² digit matrix at N=8192 is
+        # 268 MB and its HBM read dominated the whole key-switch
+        self.mxu = [build_ntt4_tables(q, n) for q in self.ext]
         self.n_digits = -(-30 // DIGIT_BITS)
-        # device-resident NTT matrix digits (args, not constants)
-        self._fdig = [jnp.asarray(t.f_digits) for t in self.mxu]
-        self._gdig = [jnp.asarray(t.g_digits) for t in self.mxu]
+        t0 = self.mxu[0]
+        j1, j2 = np.meshgrid(
+            np.arange(t0.n1), np.arange(t0.n2), indexing="ij"
+        )
+        # natural NTT order → four-step order (slot j1·N2+j2 holds true j2·N1+j1)
+        self._four_perm = (j2 * t0.n1 + j1).reshape(-1)
         # per-key-id: step -> (Kb_ntt, Ka_ntt) [n_comp, n_ext_all, N] i32 dev
         self._keys: Dict[str, Dict[int, Tuple[jax.Array, jax.Array]]] = {}
         # rotation schedule for inner products of dimension d (set lazily)
@@ -87,8 +93,9 @@ class DeviceCKKS:
             ka = np.empty_like(gk.a)
             for e, q in enumerate(self.ext):
                 tb = self.ctx.tables[e]
-                kb[:, e] = host_ntt(gk.b[:, e] % q, tb)
-                ka[:, e] = host_ntt(gk.a[:, e] % q, tb)
+                # four-step order (matches ntt4's private domain layout)
+                kb[:, e] = host_ntt(gk.b[:, e] % q, tb)[:, self._four_perm]
+                ka[:, e] = host_ntt(gk.a[:, e] % q, tb)[:, self._four_perm]
             out[int(step_s)] = (
                 jnp.asarray(kb.astype(np.int32)),
                 jnp.asarray(ka.astype(np.int32)),
@@ -153,9 +160,7 @@ class DeviceCKKS:
             for e_prime in list(primes) + [p]:
                 e_all = self.ext.index(e_prime)
                 tb = tabs[e_all]
-                D = ntt_mxu(flat, tb, self._fdig[e_all]).reshape(
-                    B, n_comp, n
-                )
+                D = ntt4(flat, tb).reshape(B, n_comp, n)
                 s0 = jnp.zeros((B, n), jnp.int64)
                 s1 = jnp.zeros((B, n), jnp.int64)
                 for c in range(n_comp):
@@ -166,8 +171,11 @@ class DeviceCKKS:
                 # Σ of n_comp reduced residues < n_comp·2^30 — one reduce
                 s0 = shift_mod_reduce(s0, tb.q, tb.delta, 40)
                 s1 = shift_mod_reduce(s1, tb.q, tb.delta, 40)
-                acc0.append(intt_mxu(s0, tb, self._gdig[e_all]))
-                acc1.append(intt_mxu(s1, tb, self._gdig[e_all]))
+                # one INTT call for s0‖s1: the [4, N, N] matrix read from
+                # HBM dominates at small batch — halve it
+                i01 = intt4(jnp.concatenate([s0, s1], 0), tb)
+                acc0.append(i01[:B])
+                acc1.append(i01[B:])
             # exact division by p: subtract the centered mod-p part
             cp0 = acc0[-1]
             cp1 = acc1[-1]
@@ -186,21 +194,32 @@ class DeviceCKKS:
                 out1.append(modmul(d1, jnp.int64(inv_p[i]), q, tb.delta))
             return jnp.stack(out0, 1), jnp.stack(out1, 1)
 
-        def score(ct, pt_rns, keys_b, keys_a, perms, signs, *mats):
-            # ct: [2, level_in, N] i32; pt_rns: [B, level_in, N] i32
+        def score(ct, pt_rns, keys_b, keys_a, perms, signs):
+            # four-step NTT tables are jit constants (kilobytes) — the
+            # dense form's 268 MB matrices needed argument plumbing
+            # ct: [nq, 2, level_in, N] i32 — one per query;
+            # pt_rns: [nq·blocks, level_in, N] i32, query-major
+            nq = ct.shape[0]
             B, _, n = pt_rns.shape
+            blocks = B // nq
             # --- ct×pt in NTT domain, per input prime ------------------
             prod0, prod1 = [], []
             for i, q in enumerate(qs_in):
                 e_all = self.ext.index(q)
                 tb = tabs[e_all]
-                ctn0 = ntt_mxu(ct[0, i][None], tb, self._fdig[e_all])
-                ctn1 = ntt_mxu(ct[1, i][None], tb, self._fdig[e_all])
-                ptn = ntt_mxu(pt_rns[:, i], tb, self._fdig[e_all])
-                m0 = modmul(ctn0, ptn, q, tb.delta)        # [B, N]
+                # ONE forward NTT call per prime: 2·nq ct rows + B pt rows
+                rows = jnp.concatenate(
+                    [ct[:, 0, i], ct[:, 1, i], pt_rns[:, i]], 0
+                )
+                nt = ntt4(rows, tb)
+                ctn0 = jnp.repeat(nt[:nq], blocks, axis=0)        # [B, N]
+                ctn1 = jnp.repeat(nt[nq : 2 * nq], blocks, axis=0)
+                ptn = nt[2 * nq :]
+                m0 = modmul(ctn0, ptn, q, tb.delta)               # [B, N]
                 m1 = modmul(ctn1, ptn, q, tb.delta)
-                prod0.append(intt_mxu(m0, tb, self._gdig[e_all]))
-                prod1.append(intt_mxu(m1, tb, self._gdig[e_all]))
+                i01 = intt4(jnp.concatenate([m0, m1], 0), tb)
+                prod0.append(i01[:B])
+                prod1.append(i01[B:])
             # --- exact RNS rescale: drop prime level_in−1 ---------------
             ql = qs_in[-1]
             c0, c1 = [], []
@@ -274,14 +293,30 @@ class DeviceCKKS:
         """Enc(⟨q, x_j⟩) for every candidate row; returns
         ([n_blocks] result CKKSCiphertexts, norms [P]) — wire-compatible
         with CKKSComputeService.encrypted_scores."""
+        res, norms = self.encrypted_scores_batch(
+            [ct], candidates[None], key_id
+        )
+        return res[0], norms[0]
+
+    def encrypted_scores_batch(
+        self,
+        cts: List[CKKSCiphertext],       # [nq] encrypted queries
+        candidates: np.ndarray,          # [nq, P, d]
+        key_id: str,
+    ):
+        """Multi-query scoring in ONE device program: all (query, block)
+        plaintexts share each per-prime NTT call, amortizing the digit-
+        matrix HBM reads that dominate at small batch.
+
+        Returns ([nq][n_blocks] result cts, norms [nq, P])."""
         gks = self._keys[key_id]
         ctx = self.ctx
-        P, d = candidates.shape
+        nq, P, d = candidates.shape
         slots = self.params.n // 2
         per_ct = slots // d
         n_blocks = -(-P // per_ct)
-        padded = np.zeros((n_blocks * per_ct, d), np.float64)
-        padded[:P] = candidates
+        padded = np.zeros((nq, n_blocks * per_ct, d), np.float64)
+        padded[:, :P] = candidates
 
         steps = []
         r = d // 2
@@ -292,37 +327,47 @@ class DeviceCKKS:
             if s not in gks:
                 raise ValueError(f"missing Galois key for step {s}")
 
-        level_in = ct.level
-        # plaintext blocks → scaled coeffs → RNS residues [B, L_in, N]
+        level_in = cts[0].level
+        assert all(c.level == level_in for c in cts)
+        # plaintext blocks → scaled coeffs → RNS residues, query-major
         pt_rns = np.empty(
-            (n_blocks, level_in, self.params.n), np.int64
+            (nq * n_blocks, level_in, self.params.n), np.int64
         )
         qs_in = np.array(self.ext[:level_in], np.int64)
-        for b in range(n_blocks):
-            coeffs = ctx.encode(
-                padded[b * per_ct : (b + 1) * per_ct].reshape(-1)
-            )
-            pt_rns[b] = np.mod(coeffs[None, :], qs_in[:, None])
+        for qi in range(nq):
+            for b in range(n_blocks):
+                coeffs = ctx.encode(
+                    padded[qi, b * per_ct : (b + 1) * per_ct].reshape(-1)
+                )
+                pt_rns[qi * n_blocks + b] = np.mod(
+                    coeffs[None, :], qs_in[:, None]
+                )
 
         perms, signs = self._auto_tables(tuple(steps))
         keys_b = jnp.stack([gks[s][0] for s in steps])
         keys_a = jnp.stack([gks[s][1] for s in steps])
         ct_dev = jnp.asarray(
-            np.stack([ct.c0, ct.c1]).astype(np.int32)
-        )
+            np.stack(
+                [np.stack([c.c0, c.c1]) for c in cts]
+            ).astype(np.int32)
+        )                                            # [nq, 2, L_in, N]
         fn = self._score_fn(level_in, len(steps))
         out = np.asarray(
             fn(ct_dev, jnp.asarray(pt_rns.astype(np.int32)),
                keys_b, keys_a, perms, signs)
-        ).astype(np.int64)                          # [B, 2, level, N]
+        ).astype(np.int64)                          # [nq·blocks, 2, lvl, N]
 
-        out_scale = ct.scale * ctx.scale / self.ext[level_in - 1]
-        cts = [
-            CKKSCiphertext(
-                c0=out[b, 0], c1=out[b, 1],
-                level=level_in - 1, scale=out_scale,
-            )
-            for b in range(n_blocks)
+        out_scale = cts[0].scale * ctx.scale / self.ext[level_in - 1]
+        result = [
+            [
+                CKKSCiphertext(
+                    c0=out[qi * n_blocks + b, 0],
+                    c1=out[qi * n_blocks + b, 1],
+                    level=level_in - 1, scale=out_scale,
+                )
+                for b in range(n_blocks)
+            ]
+            for qi in range(nq)
         ]
         norms = (np.round(candidates).astype(np.int64) ** 2).sum(-1)
-        return cts, norms
+        return result, norms

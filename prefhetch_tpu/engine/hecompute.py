@@ -123,15 +123,28 @@ class HEComputeService:
         - c1 of each result ct stays in NTT domain (the client multiplies by
           NTT(s) anyway, so this SAVES it a forward NTT);
         - c0 is inverse-NTT'd on device and only the B inner-product
-          coefficients (positions j·d + d−1) are kept."""
+          coefficients (positions j·d + d−1) are kept.
+
+        Transforms run as four-step NTTs (N·(N1+N2) MACs, kilobyte
+        matrices — ops/ntt_mxu.ntt4); the wire stays NATURAL NTT order via
+        two device permutations, so clients are unaffected."""
         from prefhetch_tpu.ops.ntt_mxu import (
-            build_mxu_tables, intt_mxu, modmul, ntt_mxu,
+            build_ntt4_tables, intt4, modmul, ntt4,
         )
 
-        tables = [build_mxu_tables(q, self.params.n) for q in self.params.qs]
+        tables = [build_ntt4_tables(q, self.params.n) for q in self.params.qs]
         n = self.params.n
+        t0 = tables[0]
+        j1, j2 = np.meshgrid(
+            np.arange(t0.n1), np.arange(t0.n2), indexing="ij"
+        )
+        perm = (j2 * t0.n1 + j1).reshape(-1)   # natural → four-step
+        inv_perm = np.empty_like(perm)
+        inv_perm[perm] = np.arange(n)
+        perm_j = jnp.asarray(perm)
+        inv_perm_j = jnp.asarray(inv_perm)
 
-        def trunc_mac(base_pad, fdigs, gdigs, ctq, idx):
+        def trunc_mac(base_pad, ctq, idx):
             # ctq: [nq, 2, L, N] i32 (c0, c1 bundled — ONE relay upload);
             # returns ONE bundled [nq, nb, L, N+B] i32 (c1_ntt ‖ c0_ip) so
             # the relay pays a single download round trip.
@@ -139,22 +152,26 @@ class HEComputeService:
             d = base_pad.shape[1]
             B = n // d
             nb = npad // B
-            c0q, c1q = ctq[:, 0], ctq[:, 1]
+            # incoming ct is natural-order NTT; work in four-step order
+            c0q = ctq[:, 0][..., perm_j]
+            c1q = ctq[:, 1][..., perm_j]
             rows = base_pad[idx]                        # [nq, npad, d] i32
             polys = rows[:, :, ::-1].reshape(nq * nb, n)  # reversed windows
             out = []
             for i, tb in enumerate(tables):
                 q = tb.q
                 lifted = jnp.where(polys < 0, polys + q, polys)
-                pt = ntt_mxu(lifted, tb, fdigs[i]).reshape(nq, nb, n)
+                pt = ntt4(lifted, tb).reshape(nq, nb, n)
                 o1 = modmul(c1q[:, None, i], pt, q, tb.delta)   # [nq,nb,N]
                 o0 = modmul(c0q[:, None, i], pt, q, tb.delta)
-                o0c = intt_mxu(
-                    o0.reshape(nq * nb, n), tb, gdigs[i]
+                o0c = intt4(
+                    o0.reshape(nq * nb, n), tb
                 ).reshape(nq, nb, B, d)[..., d - 1]      # [nq, nb, B]
+                o1_nat = o1[..., inv_perm_j]             # wire: natural order
                 out.append(
                     jnp.concatenate(
-                        [o1.astype(jnp.int32), o0c.astype(jnp.int32)], axis=-1
+                        [o1_nat.astype(jnp.int32), o0c.astype(jnp.int32)],
+                        axis=-1,
                     )
                 )
             return jnp.stack(out, axis=2)                # [nq, nb, L, N+B]
@@ -233,10 +250,8 @@ class HEComputeService:
         gathered = self._base_host[cand_idx.astype(np.int64)].astype(np.int64)
         norms = (gathered ** 2).sum(-1)                   # [nq, P]
         if self.backend == "tpu":
-            fdigs, gdigs = self._dev_digit_mats
             bundled = self._trunc_mac_fn(
-                self._base_dev, fdigs, gdigs, jnp.asarray(ctq),
-                jnp.asarray(pad_idx),
+                self._base_dev, jnp.asarray(ctq), jnp.asarray(pad_idx),
             )
         else:
             c1_ntt, c0_ip = self._trunc_mac_numpy(

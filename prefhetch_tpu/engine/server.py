@@ -357,17 +357,35 @@ class QueryEngine:
 
     @property
     def ckks_service(self):
-        """Lazily-built CKKS slot-packed scoring service."""
+        """Lazily-built CKKS slot-packed scoring service.
+
+        Device key-switching backend (engine/ckks_device.py — automorphism
+        as permutation gather, digit key-switch through the MXU NTT) when a
+        TPU is the default jax backend; host numpy otherwise. Override with
+        PFH_CKKS_BACKEND=tpu|numpy (the device path is plain jnp, so =tpu
+        also runs — slowly — on the CPU suite)."""
         if not hasattr(self, "_ckks_service"):
+            import jax as _jax
+
             from prefhetch_tpu.crypto.params import ckks_params_for
-            from prefhetch_tpu.engine.hecompute import CKKSComputeService
 
             he = self.config.he
+            backend = os.environ.get("PFH_CKKS_BACKEND") or (
+                "tpu" if _jax.default_backend() == "tpu" else "numpy"
+            )
             with self._lock:
                 if not hasattr(self, "_ckks_service"):
-                    self._ckks_service = CKKSComputeService(
-                        ckks_params_for(he.n, he.scale_bits, he.n_limbs)
-                    )
+                    params = ckks_params_for(he.n, he.scale_bits, he.n_limbs)
+                    if backend == "tpu":
+                        from prefhetch_tpu.engine.ckks_device import DeviceCKKS
+
+                        self._ckks_service = DeviceCKKS(params)
+                    else:
+                        from prefhetch_tpu.engine.hecompute import (
+                            CKKSComputeService,
+                        )
+
+                        self._ckks_service = CKKSComputeService(params)
         return self._ckks_service
 
     def encrypted_precise_search(

@@ -177,3 +177,185 @@ def intt_mxu(x: jax.Array, tables: MXUNTTTables, g_digits=None) -> jax.Array:
     return _matmul_mod(
         x.astype(jnp.int32), mats, tables.weights, tables.q, tables.delta,
     )
+
+
+# ---------------------------------------------------------------------------
+# Four-step NTT: N = N1·N2 decomposition.
+#
+# The dense N×N formulation above costs N² MACs and a [4, N, N] int8 matrix
+# (268 MB at N=8192) per transform direction — at small batch the matrix
+# HBM read dominates. The classic four-step factorization
+#
+#   X[j2·N1 + j1] = Σ_{k2} ω2^{j2k2} · ω^{j1k2} · Σ_{k1} A[k1,k2] ω1^{j1k1}
+#
+# (ω1 = ω^{N2} of order N1, ω2 = ω^{N1} of order N2, A = input as [N1, N2])
+# is two small matmuls (N1² and N2²) plus one twiddle multiply:
+# N·(N1+N2) MACs (~42× fewer at N=8192) and kilobyte-scale matrices.
+#
+# The output lands in "four-step order" (j1-major instead of j-major). All
+# NTT-domain consumers here are POINTWISE (ct×pt MACs, key-switch inner
+# products), so the ordering is a private convention: ntt4/intt4 are exact
+# mutual inverses and pointwise products correspond to negacyclic
+# convolution exactly as with ntt_mxu — only cross-domain mixing with the
+# dense transform is disallowed.
+# ---------------------------------------------------------------------------
+
+
+class NTT4Tables(NamedTuple):
+    q: int
+    n: int
+    n1: int
+    n2: int
+    delta: int
+    # forward: twist ψ^k (input order), W1 [4, N1, N1], tw [N1, N2],
+    #          W2 [4, N2, N2]
+    f_psi: np.ndarray       # [N] int64 — ψ^k pre-twist
+    f_w1: np.ndarray        # [4, N1, N1] int8 digits of ω1^{j1·k1}
+    f_tw: np.ndarray        # [N1, N2] int64 — ω^{j1·k2}
+    f_w2: np.ndarray        # [4, N2, N2] int8 digits of ω2^{j2·k2}
+    # inverse: W2⁻¹, conj twiddles, W1⁻¹, post-twist ψ^{-k}·N⁻¹
+    g_w2: np.ndarray        # [4, N2, N2]
+    g_tw: np.ndarray        # [N1, N2] — ω^{-j1·k2}
+    g_w1: np.ndarray        # [4, N1, N1]
+    g_psi: np.ndarray       # [N] — ψ^{-k}·N⁻¹
+
+
+@functools.lru_cache(maxsize=None)
+def build_ntt4_tables(q: int, n: int, n1: int | None = None) -> NTT4Tables:
+    if n1 is None:
+        n1 = 1 << ((n.bit_length() - 1) // 2)      # ~√N, power of two
+    assert n % n1 == 0
+    n2 = n // n1
+    psi = root_of_unity(q, 2 * n)
+    inv_psi = pow(psi, -1, q)
+    w = pow(psi, 2, q)                             # ω of order N
+    inv_w = pow(w, -1, q)
+    inv_n = pow(n, -1, q)
+
+    def powvec(base, count):
+        out = np.empty(count, np.int64)
+        v = 1
+        for i in range(count):
+            out[i] = v
+            v = v * base % q
+        return out
+
+    psi_pows = powvec(psi, n)
+    ipsi_pows = powvec(inv_psi, n)
+
+    def mat(base, m):
+        row = powvec(base, m)
+        jj, kk = np.meshgrid(np.arange(m), np.arange(m), indexing="ij")
+        return row[(jj * kk) % m]
+
+    w1 = pow(w, n2, q)
+    w2 = pow(w, n1, q)
+    W1 = mat(w1, n1)                               # ω1^{j1·k1}
+    W2 = mat(w2, n2)
+    W1i = mat(pow(w1, -1, q), n1)
+    W2i = mat(pow(w2, -1, q), n2)
+    j1, k2 = np.meshgrid(np.arange(n1), np.arange(n2), indexing="ij")
+    wp = powvec(w, n)
+    iwp = powvec(inv_w, n)
+    f_tw = wp[(j1 * k2) % n]
+    g_tw = iwp[(j1 * k2) % n]
+    assert (1 << 30) - q < (1 << 20)
+    return NTT4Tables(
+        q=q, n=n, n1=n1, n2=n2, delta=(1 << 30) - q,
+        f_psi=psi_pows,
+        f_w1=_balanced_digits_int(W1, q),
+        f_tw=f_tw,
+        f_w2=_balanced_digits_int(W2, q),
+        g_w2=_balanced_digits_int(W2i, q),
+        g_tw=g_tw,
+        g_w1=_balanced_digits_int(W1i, q),
+        g_psi=(ipsi_pows * inv_n) % q,
+    )
+
+
+def _digits_of_nd(x: jax.Array) -> jax.Array:
+    """int32 residues → […, 4] int8 balanced digits (stacked last axis)."""
+    x = x.astype(jnp.int32)
+    outs = []
+    for _ in range(N_DIGITS):
+        r = ((x + 128) % 256) - 128
+        outs.append(r.astype(jnp.int8))
+        x = (x - r) >> 8
+    return jnp.stack(outs, axis=-1)
+
+
+def _small_matmul_mod(x: jax.Array, digit_mats: jax.Array, q: int,
+                      delta: int, axis: int) -> jax.Array:
+    """Exact (x @ M) mod q contracting `axis` of x [..., m, ...] against
+    M's first axis, via 16 int8 MXU matmuls (digit pairs)."""
+    m = digit_mats.shape[1]
+    # move the contraction axis last: x' [..., m]
+    xm = jnp.moveaxis(x, axis, -1)
+    xd = _digits_of_nd(xm)                          # [..., m, 4]
+    n_s = 2 * N_DIGITS - 1
+    partial = [None] * n_s
+    for d in range(N_DIGITS):
+        for e in range(N_DIGITS):
+            # contract m: out[..., j] = Σ_k xd[..., k, d] · M_e[j, k]
+            p = jax.lax.dot_general(
+                xd[..., d], digit_mats[e],
+                dimension_numbers=(
+                    ((xd.ndim - 2,), (1,)), ((), ())
+                ),
+                preferred_element_type=jnp.int32,
+            )
+            s = d + e
+            partial[s] = p if partial[s] is None else partial[s] + p
+    acc = jnp.zeros(partial[0].shape, jnp.int64)
+    for s in range(n_s):
+        p64 = partial[s].astype(jnp.int64)
+        if 8 * s < 30:
+            acc = acc + (p64 << (8 * s))
+        else:
+            acc = acc + p64 * int(pow(2, 8 * s, q))
+    # |partial| < 4·m·128² ≤ 2^27 for m ≤ 512 → |acc| < 7·2^27·2^30 < 2^60
+    offset = ((1 << 61) // q + 1) * q
+    out = shift_mod_reduce(acc + offset, q, delta, 62)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def ntt4(x: jax.Array, tb: NTT4Tables, consts=None) -> jax.Array:
+    """Forward negacyclic NTT of [B, N] residues, four-step order output.
+
+    `consts` (from ntt4_device_consts) passes the twist/twiddle vectors as
+    device args under jit; the small W matrices are jit constants (≤ 256 KB
+    — negligible program size, unlike the dense form)."""
+    q, delta = tb.q, tb.delta
+    B = x.shape[0]
+    psi, tw = consts[0:2] if consts is not None else (
+        jnp.asarray(tb.f_psi), jnp.asarray(tb.f_tw)
+    )
+    a = modmul(x, psi[None, :], q, delta)           # ψ-twist
+    a = a.reshape(B, tb.n1, tb.n2)
+    b = _small_matmul_mod(a, jnp.asarray(tb.f_w1), q, delta, axis=1)
+    c = modmul(b, tw[None], q, delta)
+    d = _small_matmul_mod(c, jnp.asarray(tb.f_w2), q, delta, axis=2)
+    return d.reshape(B, tb.n)
+
+
+def intt4(x: jax.Array, tb: NTT4Tables, consts=None) -> jax.Array:
+    """Inverse of ntt4 (consumes four-step order, emits natural order)."""
+    q, delta = tb.q, tb.delta
+    B = x.shape[0]
+    gpsi, gtw = consts[2:4] if consts is not None else (
+        jnp.asarray(tb.g_psi), jnp.asarray(tb.g_tw)
+    )
+    a = x.reshape(B, tb.n1, tb.n2)
+    b = _small_matmul_mod(a, jnp.asarray(tb.g_w2), q, delta, axis=2)
+    c = modmul(b, gtw[None], q, delta)
+    d = _small_matmul_mod(c, jnp.asarray(tb.g_w1), q, delta, axis=1)
+    out = d.reshape(B, tb.n)
+    return modmul(out, gpsi[None, :], q, delta)
+
+
+def ntt4_device_consts(tb: NTT4Tables):
+    """Device-arg bundle (f_psi, f_tw, g_psi, g_tw) for jit callers."""
+    return (
+        jnp.asarray(tb.f_psi), jnp.asarray(tb.f_tw),
+        jnp.asarray(tb.g_psi), jnp.asarray(tb.g_tw),
+    )

@@ -1,0 +1,117 @@
+"""Device CKKS scoring (engine/ckks_device.py) vs the host CKKSContext.
+
+All CKKS arithmetic is exact integer RNS work — the device pipeline must
+reproduce the host service BIT-FOR-BIT, not approximately. Small N keeps
+the O(N²) MXU-formulation NTT fast on the CPU test backend."""
+
+import numpy as np
+import pytest
+
+from prefhetch_tpu.crypto.ckks import CKKSContext
+from prefhetch_tpu.crypto.params import CKKSParams, find_ntt_primes
+from numpy.random import default_rng as insecure_rng
+from prefhetch_tpu.engine.ckks_device import DeviceCKKS
+from prefhetch_tpu.engine.hecompute import CKKSComputeService
+
+N = 256
+D = 32           # candidate dimension (slots/D = 4 per block)
+LIMBS = 3
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = CKKSParams(
+        n=N, scale_bits=20, qs=tuple(find_ntt_primes(N, 30, LIMBS))
+    )
+    rng = insecure_rng(7)
+    ctx = CKKSContext(params)
+    sk, pk = ctx.keygen(rng)
+    steps = []
+    r = D // 2
+    while r >= 1:
+        steps.append(r)
+        r //= 2
+    gks = ctx.galois_keygen(sk, steps, rng)
+    gks_wire = {str(s): k.to_wire() for s, k in gks.items()}
+    return params, ctx, sk, pk, gks_wire, rng
+
+
+def _encrypt_query(ctx, pk, q, rng):
+    slots = ctx.params.n // 2
+    rep = np.tile(q, slots // len(q))
+    return ctx.encrypt(pk, ctx.encode(rep), rng)
+
+
+def test_device_matches_host_service_bitexact(setup):
+    params, ctx, sk, pk, gks_wire, rng = setup
+    q = insecure_rng(1).integers(0, 30, size=D).astype(np.float64)
+    cands = insecure_rng(2).integers(0, 30, size=(10, D)).astype(np.float64)
+    ct = _encrypt_query(ctx, pk, q, rng)
+
+    host = CKKSComputeService(params)
+    host.register_keys("k", gks_wire)
+    host_cts, host_norms = host.encrypted_scores(ct, cands, "k")
+
+    dev = DeviceCKKS(params)
+    dev.register_keys("k", gks_wire)
+    dev_cts, dev_norms = dev.encrypted_scores(ct, cands, "k")
+
+    assert len(dev_cts) == len(host_cts)
+    np.testing.assert_array_equal(dev_norms, host_norms)
+    for hc, dc in zip(host_cts, dev_cts):
+        assert dc.level == hc.level
+        assert abs(dc.scale - hc.scale) < 1e-6 * hc.scale
+        np.testing.assert_array_equal(dc.c0, hc.c0)
+        np.testing.assert_array_equal(dc.c1, hc.c1)
+
+
+def test_device_scores_decrypt_to_inner_products(setup):
+    params, ctx, sk, pk, gks_wire, rng = setup
+    q = insecure_rng(3).integers(0, 30, size=D).astype(np.float64)
+    cands = insecure_rng(4).integers(0, 30, size=(7, D)).astype(np.float64)
+    ct = _encrypt_query(ctx, pk, q, rng)
+
+    dev = DeviceCKKS(params)
+    dev.register_keys("k", gks_wire)
+    out_cts, _ = dev.encrypted_scores(ct, cands, "k")
+
+    slots = params.n // 2
+    per_ct = slots // D
+    got = []
+    for c in out_cts:
+        vals = np.real(ctx.decrypt(sk, c))
+        for j in range(per_ct):
+            got.append(vals[j * D])     # rotate-left sum lands at slot j·d
+    got = np.array(got[: len(cands)])
+    ref = cands @ q
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=0.5)
+
+
+def test_device_batch_matches_per_query(setup):
+    """encrypted_scores_batch(nq=3) must equal three independent
+    single-query calls limb-for-limb."""
+    params, ctx, sk, pk, gks_wire, rng = setup
+    dev = DeviceCKKS(params)
+    dev.register_keys("k", gks_wire)
+    qs = insecure_rng(5).integers(0, 30, size=(3, D)).astype(np.float64)
+    cands = insecure_rng(6).integers(0, 30, size=(3, 6, D)).astype(np.float64)
+    cts = [_encrypt_query(ctx, pk, q, rng) for q in qs]
+
+    batch_res, batch_norms = dev.encrypted_scores_batch(cts, cands, "k")
+    for i in range(3):
+        solo_cts, solo_norms = dev.encrypted_scores(cts[i], cands[i], "k")
+        np.testing.assert_array_equal(batch_norms[i], solo_norms)
+        for bc, sc in zip(batch_res[i], solo_cts):
+            np.testing.assert_array_equal(bc.c0, sc.c0)
+            np.testing.assert_array_equal(bc.c1, sc.c1)
+
+
+def test_device_missing_key_raises(setup):
+    params, ctx, sk, pk, gks_wire, rng = setup
+    dev = DeviceCKKS(params)
+    partial = {k: v for k, v in gks_wire.items() if int(k) != 1}
+    dev.register_keys("k", partial)
+    q = np.ones(D)
+    ct = _encrypt_query(ctx, pk, q, rng)
+    with pytest.raises(ValueError, match="missing Galois key"):
+        dev.encrypted_scores(ct, np.ones((3, D)), "k")

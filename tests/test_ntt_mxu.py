@@ -57,3 +57,63 @@ def test_roundtrip(setup, rng):
     x = rng.integers(0, q, (2, n)).astype(np.int64)
     rt = np.asarray(intt_mxu(ntt_mxu(jnp.asarray(x), mt), mt))
     np.testing.assert_array_equal(rt, x)
+
+
+# ---------------------------------------------------------------------------
+# four-step NTT (N = N1·N2)
+
+def test_ntt4_roundtrip(setup, rng):
+    from prefhetch_tpu.ops.ntt_mxu import build_ntt4_tables, intt4, ntt4
+
+    q, n, _, _ = setup
+    t4 = build_ntt4_tables(q, n)
+    x = rng.integers(0, q, (3, n)).astype(np.int64)
+    rt = np.asarray(intt4(ntt4(jnp.asarray(x), t4), t4))
+    np.testing.assert_array_equal(rt, x)
+
+
+def test_ntt4_is_permutation_of_dense(setup, rng):
+    """Four-step output is the dense transform in j1-major order:
+    ntt4(x)[j1·N2+j2] == ntt_mxu(x)[j2·N1+j1]."""
+    from prefhetch_tpu.ops.ntt_mxu import build_ntt4_tables, ntt4
+
+    q, n, _, mt = setup
+    t4 = build_ntt4_tables(q, n)
+    x = rng.integers(0, q, (2, n)).astype(np.int64)
+    dense = np.asarray(ntt_mxu(jnp.asarray(x), mt))
+    four = np.asarray(ntt4(jnp.asarray(x), t4))
+    j1, j2 = np.meshgrid(
+        np.arange(t4.n1), np.arange(t4.n2), indexing="ij"
+    )
+    perm = (j2 * t4.n1 + j1).reshape(-1)     # four-step slot → true index
+    np.testing.assert_array_equal(four, dense[:, perm])
+
+
+def test_ntt4_pointwise_is_negacyclic_convolution(setup, rng):
+    """intt4(ntt4(a) ⊙ ntt4(b)) must equal a·b mod (X^N + 1, q)."""
+    from prefhetch_tpu.ops.ntt_mxu import (
+        build_ntt4_tables, intt4, modmul, ntt4,
+    )
+
+    q, n, _, _ = setup
+    t4 = build_ntt4_tables(q, n)
+    a = rng.integers(0, q, (1, n)).astype(np.int64)
+    b = rng.integers(0, q, (1, n)).astype(np.int64)
+    prod = modmul(
+        ntt4(jnp.asarray(a), t4), ntt4(jnp.asarray(b), t4), q, t4.delta
+    )
+    got = np.asarray(intt4(prod, t4))[0]
+
+    # reference negacyclic convolution via integer polynomial multiply
+    # (object dtype: coefficient sums exceed int64)
+    full = np.polymul(
+        a[0][::-1].astype(object), b[0][::-1].astype(object)
+    )[::-1]
+    ref = np.zeros(n, object)
+    for i, c in enumerate(full):
+        if i < n:
+            ref[i] += c
+        else:
+            ref[i - n] -= c
+    ref = np.array([int(v) % q for v in ref], np.int64)
+    np.testing.assert_array_equal(got, ref)
