@@ -161,6 +161,7 @@ def tpu_pipeline(index, base_j, queries_j):
     tiles_j = jnp.asarray(tiles_np)
     max_t = tiles_np.shape[1]
 
+    scan_mode = os.environ.get("PFH_BENCH_SCAN", "pallas")
     if quant == "sq8":
         from prefhetch_tpu.ops.pallas_scan import pallas_slab_distances_sq8
 
@@ -168,6 +169,22 @@ def tpu_pipeline(index, base_j, queries_j):
         def prog_scan(payload, norms, sizes, q, tiles):
             return pallas_slab_distances_sq8(
                 payload, norms, sizes, view.sq_vmin, view.sq_scale, q, tiles
+            )
+    elif scan_mode == "union":
+        # union-tile batched matmul scan (ops/union_scan.py): dedupe the
+        # batch's probed tiles host-side, score all queries against the
+        # union as ONE MXU matmul, extract per-query rows on device
+        from prefhetch_tpu.ops.union_scan import (
+            union_probe_tiles, union_scan_distances,
+        )
+
+        union_np, pos_np = union_probe_tiles(tiles_np, view.empty_tile)
+        union_j = jnp.asarray(union_np)
+        pos_j = jnp.asarray(pos_np)
+
+        def prog_scan(payload, norms, sizes, q, tiles):
+            return union_scan_distances(
+                payload, norms, sizes, q, union_j, pos_j
             )
     else:
         @jax.jit

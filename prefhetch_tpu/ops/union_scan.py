@@ -1,0 +1,99 @@
+"""Union-tile batched coarse scan: one MXU matmul for the whole batch.
+
+The Pallas slab kernel (ops/pallas_scan.py) walks a grid of nq·max_t
+(query, tile) pairs, each step a [T, d] × [d, 1] matvec — per-step grid
+latency and 1-wide MXU utilization cap it well below the HBM roofline,
+and tiles probed by several queries of a batch are re-read once per query.
+
+This formulation exploits what the MXU is actually good at:
+
+  1. host: dedupe the batch's probed tiles → union list U (clustered
+     query batches share most tiles, so |U| ≪ nq·max_t);
+  2. device: gather the union payload [U, T, d] (contiguous row blocks —
+     runs at HBM bandwidth), and score ALL queries against ALL union tiles
+     as ONE dense matmul  [U·T, d] × [d, nq]  (‖x‖² − 2x·q + ‖q‖²);
+  3. device: each query extracts its own tiles' rows from the distance
+     matrix by position (take_along_axis — the per-query candidate layout
+     and PAD semantics come out identical to the Pallas kernel's).
+
+Cross-query tile sharing makes the scan read each shared tile ONCE per
+batch instead of once per probing query. Exactness: bit-compatible
+distances up to f32 summation order (tests/test_union_scan.py asserts
+equality against the slab kernel within fp tolerance).
+
+Shapes are bucketed: |U| pads to a multiple of 128 (the reserved empty
+tile — its size-0 lanes emit PAD) so a serving batch hits a handful of
+compiled programs.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prefhetch_tpu.ops.topk import PAD_DISTANCE
+
+U_BUCKET = 128
+
+
+def union_probe_tiles(
+    tile_idx: np.ndarray,    # [nq, max_t] int — tile ids incl. empty pads
+    empty_tile: int,
+    bucket: int = U_BUCKET,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host side: (union tile ids [U_pad], positions [nq, max_t]).
+
+    positions[qi, k] = index into the union list of tile_idx[qi, k]; the
+    union is padded with the empty tile to a bucket multiple, and the empty
+    tile is always the union's LAST entry so pad positions point there."""
+    uniq, inv = np.unique(tile_idx, return_inverse=True)
+    # force the empty tile to the tail (np.unique sorts ascending and the
+    # empty tile has the largest id by construction — assert, don't assume)
+    if uniq[-1] != empty_tile:
+        uniq = np.append(uniq, empty_tile)
+    u_pad = -(-len(uniq) // bucket) * bucket
+    union = np.full(u_pad, empty_tile, tile_idx.dtype)
+    union[: len(uniq)] = uniq
+    pos = inv.reshape(tile_idx.shape).astype(np.int32)
+    return union, pos
+
+
+@jax.jit
+def union_scan_distances(
+    payload: jax.Array,      # [ntiles+1, T, d] f32/bf16
+    norms: jax.Array,        # [ntiles+1, T] f32
+    sizes: jax.Array,        # [ntiles+1] int32
+    queries: jax.Array,      # [nq, d] f32
+    union: jax.Array,        # [U] int32 tile ids
+    pos: jax.Array,          # [nq, max_t] int32 positions into union
+) -> jax.Array:
+    """Distances [nq, max_t·T] with PAD at invalid lanes — same contract
+    as pallas_slab_distances, computed as one union matmul."""
+    U = union.shape[0]
+    T = payload.shape[1]
+    nq = queries.shape[0]
+    slab = payload[union]                               # [U, T, d]
+    n = norms[union]                                    # [U, T]
+    sz = sizes[union]                                   # [U]
+    q = queries.astype(jnp.float32)
+    # follow the payload's precision (bf16 recon payload → bf16 MXU pass;
+    # f32 flat payload → f32), mirroring the slab kernel
+    qc = q.astype(slab.dtype) if slab.dtype == jnp.bfloat16 else q
+    cross = jax.lax.dot_general(
+        slab.reshape(U * T, -1), qc,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                   # [U·T, nq]
+    qsq = jnp.sum(q * q, axis=-1)                       # [nq]
+    d2 = qsq[None, :] + n.reshape(U * T, 1) - 2.0 * cross
+    d2 = jnp.maximum(d2, 0.0)
+    lane = jnp.arange(T, dtype=jnp.int32)
+    valid = (lane[None, :] < sz[:, None]).reshape(U * T)
+    d2 = jnp.where(valid[:, None], d2, PAD_DISTANCE)
+    # per-query extraction: out[qi, k, :] = d2m[qi, pos[qi, k], :]
+    d2m = d2.reshape(U, T, nq).transpose(2, 0, 1)       # [nq, U, T]
+    out = jnp.take_along_axis(d2m, pos[:, :, None], axis=1)
+    return out.reshape(nq, -1)                          # [nq, max_t·T]

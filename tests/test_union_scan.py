@@ -1,0 +1,79 @@
+"""Union-tile batched scan vs the Pallas slab kernel: identical ragged
+candidate distances (same PAD lanes, same ordering), tile dedupe logic."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from prefhetch_tpu.data.synthetic import make_clustered_dataset
+from prefhetch_tpu.index.build import build_ivf_index
+from prefhetch_tpu.index.tiling import build_tiled_view
+from prefhetch_tpu.ops.pallas_scan import pallas_slab_distances
+from prefhetch_tpu.ops.topk import PAD_DISTANCE
+from prefhetch_tpu.ops.union_scan import (
+    union_probe_tiles, union_scan_distances,
+)
+from prefhetch_tpu.utils.config import IndexParams
+
+
+@pytest.fixture(scope="module")
+def view_and_queries():
+    data = make_clustered_dataset(
+        nbase=3000, ntrain=3000, nquery=8, d=32, n_clusters=24,
+        gt_k=10, seed=3,
+    )
+    params = IndexParams(d=32, nlist=16, pq_m=8, pq_nbits=8,
+                         kmeans_iters=6, pq_kmeans_iters=6)
+    index = build_ivf_index(data["train"], data["base"], params)
+    view = build_tiled_view(index, tile=64)
+    q = jnp.asarray(data["query"][:8].astype(np.float32))
+    cent = np.asarray(index.centroids)
+    d2 = ((data["query"][:8, None, :] - cent[None]) ** 2).sum(-1)
+    probes = np.argsort(d2, axis=1)[:, :4]
+    tile_idx, counts = view.expand_probes(probes)
+    return view, q, tile_idx, counts
+
+
+def test_union_positions_roundtrip(view_and_queries):
+    view, q, tile_idx, _ = view_and_queries
+    union, pos = union_probe_tiles(tile_idx, view.empty_tile)
+    assert len(union) % 128 == 0
+    np.testing.assert_array_equal(union[pos], tile_idx)
+    # pad area of the union is the empty tile
+    uniq = np.unique(tile_idx)
+    assert (union[len(uniq):] == view.empty_tile).all()
+
+
+def test_union_scan_matches_pallas(view_and_queries):
+    view, q, tile_idx, _ = view_and_queries
+    ref = np.asarray(
+        pallas_slab_distances(
+            view.payload, view.norms, view.sizes, q,
+            jnp.asarray(tile_idx), interpret=True,
+        )
+    )
+    union, pos = union_probe_tiles(tile_idx, view.empty_tile)
+    got = np.asarray(
+        union_scan_distances(
+            view.payload, view.norms, view.sizes, q,
+            jnp.asarray(union), jnp.asarray(pos),
+        )
+    )
+    assert got.shape == ref.shape
+    pad_ref = ref >= PAD_DISTANCE / 2
+    pad_got = got >= PAD_DISTANCE / 2
+    np.testing.assert_array_equal(pad_got, pad_ref)
+    np.testing.assert_allclose(
+        got[~pad_got], ref[~pad_ref], rtol=2e-2, atol=0.5
+    )
+
+
+def test_union_dedupes_shared_tiles(view_and_queries):
+    view, q, tile_idx, _ = view_and_queries
+    union, _ = union_probe_tiles(tile_idx, view.empty_tile)
+    n_unique = len(np.unique(tile_idx))
+    assert n_unique <= tile_idx.size   # sharing exists on clustered queries
+    assert len(union) == -(-n_unique // 128) * 128 or (
+        union[-1] == view.empty_tile
+    )
