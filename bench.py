@@ -35,7 +35,8 @@ PQ_M = 32
 NPROBE = 16
 COARSE_PROBE = 256
 K = 100
-BATCH = 64
+BATCH = 64          # protocol/serving batch (recall scoring, HTTP bench)
+NQ_POOL = 512       # distinct query pool for throughput batching
 N_BATCHES = 20
 
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_cache")
@@ -43,14 +44,14 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_cache")
 
 def get_dataset():
     os.makedirs(CACHE, exist_ok=True)
-    npz = os.path.join(CACHE, f"ds_{NBASE}_{D}.npz")
+    npz = os.path.join(CACHE, f"ds_{NBASE}_{D}_q{NQ_POOL}.npz")
     if os.path.exists(npz):
         with np.load(npz) as z:
             return {k: z[k] for k in z.files}
     from prefhetch_tpu.data.synthetic import make_clustered_dataset
 
     data = make_clustered_dataset(
-        nbase=NBASE, ntrain=NTRAIN, nquery=BATCH, d=D,
+        nbase=NBASE, ntrain=NTRAIN, nquery=NQ_POOL, d=D,
         n_clusters=600, gt_k=100, seed=20,
     )
     np.savez(npz, **data)
@@ -161,7 +162,7 @@ def tpu_pipeline(index, base_j, queries_j):
     tiles_j = jnp.asarray(tiles_np)
     max_t = tiles_np.shape[1]
 
-    scan_mode = os.environ.get("PFH_BENCH_SCAN", "pallas")
+    scan_mode = os.environ.get("PFH_BENCH_SCAN", "union")
     if quant == "sq8":
         from prefhetch_tpu.ops.pallas_scan import pallas_slab_distances_sq8
 
@@ -212,10 +213,19 @@ def tpu_pipeline(index, base_j, queries_j):
         1 if quant == "sq8"
         else 2 if view.payload.dtype == jnp.bfloat16 else 4
     )
+    if scan_mode == "union" and quant != "sq8":
+        # union scan reads each deduped tile ONCE per batch
+        nq_run = queries_j.shape[0]
+        scan_bytes = int(
+            len(union_np) * T * (D * itemsize + 4) / max(nq_run, 1)
+        )
+    else:
+        scan_bytes = int(max_t * T * (D * itemsize + 4))
     stats = {
         "tiles_per_query": float(max_t),
-        # payload + norms read per query by the scan kernel
-        "scan_bytes_per_query": int(max_t * T * (D * itemsize + 4)),
+        # payload + norms read per query by the scan kernel (amortized
+        # across the batch for the union scan)
+        "scan_bytes_per_query": scan_bytes,
     }
     return step, args, stats
 
@@ -265,7 +275,15 @@ def main():
 
     base_j = jnp.asarray(data["base"], jnp.float32)
     queries = data["query"][:BATCH].astype(np.float32)
-    q_j = jnp.asarray(queries)
+    # device batch: per-batch dispatch overhead through this sandbox's
+    # host↔device relay (~2 ms/program) dominates at 64; larger batches
+    # amortize it. Queries tile cyclically — recall is scored on the first
+    # BATCH rows, which are the originals.
+    dev_batch = int(os.environ.get("PFH_BENCH_BATCH", 256))
+    pool = data["query"].astype(np.float32)
+    reps = -(-dev_batch // len(pool))
+    q_run = np.tile(pool, (reps, 1))[:dev_batch]     # distinct up to the pool
+    q_j = jnp.asarray(q_run)
 
     step, args, scan_stats = tpu_pipeline(index, base_j, q_j)
     # warmup / compile
@@ -279,7 +297,7 @@ def main():
         d, ids = step(*args)
     ids.block_until_ready()
     dt = time.perf_counter() - t0
-    tpu_qps = BATCH * N_BATCHES / dt
+    tpu_qps = dev_batch * N_BATCHES / dt
 
     # latency: synchronous per-batch round trips
     lat = []
@@ -295,7 +313,10 @@ def main():
     # recall sanity on the bench workload
     from prefhetch_tpu.metrics import benchmark_results
 
-    rep = benchmark_results(np.asarray(ids), data["groundtruth"][:BATCH], k=K)
+    n_score = min(len(data["groundtruth"]), dev_batch)
+    rep = benchmark_results(
+        np.asarray(ids)[:n_score], data["groundtruth"][:n_score], k=K
+    )
 
     # numpy baseline on a smaller slice, extrapolated per-query
     run_np = numpy_pipeline(index, data["base"], queries)

@@ -211,7 +211,9 @@ class QueryEngine:
             and (on_tpu or force_tiled)
             and self._tiled_view is not None
         ):
-            from prefhetch_tpu.ops.pallas_scan import pallas_slab_distances
+            from prefhetch_tpu.ops.union_scan import (
+                union_probe_tiles, union_scan_distances,
+            )
 
             view = self._tiled_view
             probes_np = np.asarray(nearest_centroid_idx, np.int64)
@@ -239,11 +241,22 @@ class QueryEngine:
                 q = jnp.concatenate(
                     [q, jnp.zeros((nq_pad - nq, q.shape[1]), q.dtype)]
                 )
+            # union-tile batched matmul scan (ops/union_scan.py): shared
+            # probed tiles are read/scored once per batch, and the scan is
+            # one MXU matmul instead of nq·max_t grid steps. |U| buckets to
+            # the next power of two (≥128) to bound compiled-shape count.
+            union_np, pos_np = union_probe_tiles(tile_idx, view.empty_tile)
+            u_pad = max(128, _next_pow2(len(union_np)))
+            if u_pad != len(union_np):
+                union_np = np.concatenate([
+                    union_np,
+                    np.full(u_pad - len(union_np), view.empty_tile,
+                            union_np.dtype),
+                ])
             dist = np.asarray(
-                pallas_slab_distances(
+                union_scan_distances(
                     view.payload, view.norms, view.sizes, q,
-                    jnp.asarray(tile_idx),
-                    interpret=not on_tpu,
+                    jnp.asarray(union_np), jnp.asarray(pos_np),
                 )
             )[:nq]
             tile_idx = tile_idx[:nq]
