@@ -243,10 +243,16 @@ class QueryEngine:
                 )
             # union-tile batched matmul scan (ops/union_scan.py): shared
             # probed tiles are read/scored once per batch, and the scan is
-            # one MXU matmul instead of nq·max_t grid steps. |U| buckets to
-            # the next power of two (≥128) to bound compiled-shape count.
+            # one MXU matmul instead of nq·max_t grid steps. |U| is PINNED
+            # per row bucket (worst case nq·max_t distinct tiles, capped at
+            # the whole index) — a data-dependent |U| compiled a fresh XLA
+            # program per batch composition, stalling serving for seconds.
             union_np, pos_np = union_probe_tiles(tile_idx, view.empty_tile)
-            u_pad = max(128, _next_pow2(len(union_np)))
+            ntiles_cap = int(view.payload.shape[0])          # incl. empty
+            u_pad = min(
+                _next_pow2(nq_pad * tile_idx.shape[1] + 1), ntiles_cap
+            )
+            u_pad = max(u_pad, len(union_np))    # never truncate
             if u_pad != len(union_np):
                 union_np = np.concatenate([
                     union_np,
