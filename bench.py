@@ -754,7 +754,8 @@ def encrypted_rerank_qps(data, cand_ids, nq: int = 64):
 
     def encrypt():
         wires = hc.encrypt_query_batch(queries)
-        return [Ciphertext.from_wire(w) for w in wires]
+        # seeded symmetric wires: the server expands c1 from the seed
+        return [svc.ctx.ct_from_wire(w) for w in wires]
 
     def fetch(pending):
         b, nm = pending

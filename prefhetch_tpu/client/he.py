@@ -83,18 +83,16 @@ class HEClient:
 
     # -- encrypt ----------------------------------------------------------
     def encrypt_query_batch(self, queries: np.ndarray) -> List[dict]:
-        """Encrypt a [nq, d] query batch (BFV: batched NTTs + one NTT-domain
-        conversion pass)."""
+        """Encrypt a [nq, d] query batch. BFV: seeded SYMMETRIC ciphertexts
+        (the client holds the secret key, so c1 travels as a 32-byte seed —
+        half the upload; crypto/bfv.py encrypt_symmetric_batch_ntt)."""
         if self.scheme != "bfv":
             return [self.encrypt_query(q) for q in queries]
         ms = np.stack([encode_query_poly(q, self.params) for q in queries])
-        cts = self.ctx.encrypt_batch_ntt(self.pk, ms, self._rng)
-        out = []
-        for ct in cts:
-            w = ct.to_wire()
+        wires = self.ctx.encrypt_symmetric_batch_ntt(self.sk, ms, self._rng)
+        for w in wires:
             w["scheme"] = self.scheme
-            out.append(w)
-        return out
+        return wires
 
     def encrypt_query(self, q: np.ndarray) -> dict:
         """Query vector [d] → ciphertext wire dict (scheme-tagged)."""

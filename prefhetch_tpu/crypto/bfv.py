@@ -292,6 +292,91 @@ class BFVContext:
             Ciphertext(c0=c0[b], c1=c1[b], is_ntt=True) for b in range(B)
         ]
 
+    # -- seeded symmetric encryption ------------------------------------
+    def expand_a(self, seed: bytes) -> np.ndarray:
+        """Deterministic uniform ring element mod q from a public seed:
+        SHAKE-256 stream, 16 bytes/coefficient (mod-q bias < 2^-68).
+        Client and server derive the identical `a`, so symmetric
+        ciphertexts travel as (c0, 32-byte seed) — HALF the upload of a
+        full (c0, c1) pair (the SEAL "seeded ciphertext" trick)."""
+        import hashlib
+
+        p = self.params
+        buf = hashlib.shake_256(seed).digest(16 * p.n)
+        words = np.frombuffer(buf, dtype="<u8").reshape(p.n, 2)
+        lo, hi = words[:, 0], words[:, 1]
+        out = np.empty((len(p.qs), p.n), np.int64)
+        for i, qi in enumerate(p.qs):
+            t64 = (1 << 64) % qi
+            # (hi·2^64 + lo) mod qi in uint64: products stay < 2^60
+            out[i] = (((hi % qi) * t64 + lo % qi) % qi).astype(np.int64)
+        return out
+
+    def encrypt_symmetric_batch_ntt(
+        self, sk: SecretKey, ms: np.ndarray, rng
+    ) -> List[dict]:
+        """Encrypt B plaintexts [B, N] under the SECRET key directly into
+        NTT domain, returning seeded wire dicts {c0, seed, shape, isNtt}.
+
+        c1 = a (uniform, derived from a fresh public seed), c0 = −a·s − e
+        + Δm, so decrypt(c0 + c1·s) works unchanged. Noise is a single
+        fresh error term — strictly below the public-key path's u·e noise.
+        The query-upload wire shrinks ~2× (only c0 + 32 bytes travel)."""
+        p = self.params
+        B = ms.shape[0]
+        qs = np.array(p.qs, np.int64)[:, None, None]
+        e = _sample_error(rng, (B, p.n))
+        e_rns = np.mod(e[None], qs)                           # [L, B, N]
+        dm = self._delta[:, None, None] * np.mod(
+            ms[None].astype(np.int64), p.t
+        ) % qs
+        seeds = [
+            bytes(rng.integers(0, 256, size=32, dtype=np.uint8).tolist())
+            for _ in range(B)
+        ]
+        a_rns = np.stack([self.expand_a(s) for s in seeds])   # [B, L, N]
+        c0 = np.empty((B, len(p.qs), p.n), np.int64)
+        for i, tb in enumerate(self.tables):
+            qi = tb.q
+            s_ntt = ntt(sk.s_rns[i], tb)
+            a_ntt = ntt(a_rns[:, i], tb)                      # [B, N]
+            body = np.mod(dm[i] - e_rns[i], qi)
+            c0[:, i] = (qi - a_ntt * s_ntt % qi + ntt(body, tb)) % qi
+        import base64
+
+        return [
+            {
+                "c0": base64.b64encode(
+                    np.ascontiguousarray(c0[b].astype("<u4")).tobytes()
+                ).decode(),
+                "seed": base64.b64encode(seeds[b]).decode(),
+                "shape": [len(p.qs), p.n],
+                "isNtt": True,
+            }
+            for b in range(B)
+        ]
+
+    def ct_from_wire(self, obj: dict) -> Ciphertext:
+        """Wire → Ciphertext, expanding seeded symmetric forms (the c1
+        component is regenerated from the public seed; NTT'd when the wire
+        is NTT-domain)."""
+        if "seed" not in obj:
+            return Ciphertext.from_wire(obj)
+        import base64
+
+        shape = tuple(obj["shape"])
+        c0 = np.frombuffer(
+            base64.b64decode(obj["c0"]), dtype="<u4"
+        ).astype(np.int64).reshape(shape)
+        a_rns = self.expand_a(base64.b64decode(obj["seed"]))
+        if obj.get("isNtt", False):
+            c1 = np.stack(
+                [ntt(a_rns[i], tb) for i, tb in enumerate(self.tables)]
+            )
+        else:
+            c1 = a_rns
+        return Ciphertext(c0=c0, c1=c1, is_ntt=bool(obj.get("isNtt", False)))
+
     def decrypt(self, sk: SecretKey, ct: Ciphertext) -> np.ndarray:
         """Returns plaintext [N] ints in [0, t).
 

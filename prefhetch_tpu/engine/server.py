@@ -446,7 +446,10 @@ class QueryEngine:
             from prefhetch_tpu.crypto.bfv import Ciphertext
             from prefhetch_tpu.utils.wire import pack_i32
 
-            cts_in = [Ciphertext.from_wire(w) for w in encrypted_queries]
+            cts_in = [
+                self.he_service.ctx.ct_from_wire(w)
+                for w in encrypted_queries
+            ]
             c1_ntt, c0_ip, norms = self.he_service.encrypted_scores_trunc(
                 cts_in, np.asarray(nearest_coarse_vector_idx, np.int64)
             )

@@ -241,3 +241,69 @@ def test_heclient_keys_differ_without_seed():
     he = HEParams(scheme="bfv", n=256, t_bits=24, n_limbs=2)
     a, b = HEClient(he), HEClient(he)
     assert not np.array_equal(a.sk.s_rns, b.sk.s_rns)
+
+
+def test_seeded_symmetric_encryption_roundtrip():
+    """Seeded symmetric ciphertexts: (c0, 32-byte seed) wire → server-side
+    expansion → decrypt must return the message; the wire must be ~half the
+    public-key ciphertext size."""
+    import json
+
+    from prefhetch_tpu.crypto.params import bfv_params_for
+
+    params = bfv_params_for(1024, 16, 2)
+    ctx = BFVContext(params)
+    rng = np.random.default_rng(5)
+    sk, pk = ctx.keygen(rng)
+    ms = rng.integers(0, params.t, size=(3, params.n))
+
+    wires = ctx.encrypt_symmetric_batch_ntt(sk, ms, rng)
+    for b, w in enumerate(wires):
+        assert "c1" not in w and "seed" in w
+        ct = ctx.ct_from_wire(w)
+        got = ctx.decrypt(sk, ct)
+        np.testing.assert_array_equal(got, ms[b] % params.t)
+
+    pk_size = len(json.dumps(
+        ctx.to_ntt(ctx.encrypt(pk, ms[0], rng)).to_wire()
+    ))
+    sym_size = len(json.dumps(wires[0]))
+    assert sym_size < 0.6 * pk_size
+
+
+def test_seeded_expansion_is_deterministic():
+    from prefhetch_tpu.crypto.params import bfv_params_for
+
+    params = bfv_params_for(1024, 16, 2)
+    ctx = BFVContext(params)
+    a1 = ctx.expand_a(b"\x01" * 32)
+    a2 = ctx.expand_a(b"\x01" * 32)
+    np.testing.assert_array_equal(a1, a2)
+    a3 = ctx.expand_a(b"\x02" * 32)
+    assert not np.array_equal(a1, a3)
+    qs = np.array(params.qs)[:, None]
+    assert (a1 >= 0).all() and (a1 < qs).all()
+
+
+def test_seeded_symmetric_feeds_trunc_mac():
+    """The production path: seeded query cts through the truncated-response
+    MAC must produce exact distances (server expands c1 from the seed)."""
+    from prefhetch_tpu.client.he import HEClient
+    from prefhetch_tpu.engine.hecompute import HEComputeService
+    from prefhetch_tpu.utils.config import HEParams
+
+    hc = HEClient(HEParams(n=1024, t_bits=24, n_limbs=2), seed=9)
+    svc = HEComputeService(hc.params, backend="numpy")
+    rng = np.random.default_rng(10)
+    base = rng.integers(0, 100, size=(50, 8)).astype(np.float32)
+    svc.set_base(base)
+    queries = rng.integers(0, 100, size=(2, 8)).astype(np.float32)
+    idx = np.stack([np.arange(16), np.arange(10, 26)])
+
+    wires = hc.encrypt_query_batch(queries)
+    assert all("seed" in w for w in wires)
+    cts = [svc.ctx.ct_from_wire(w) for w in wires]
+    c1_ntt, c0_ip, norms = svc.encrypted_scores_trunc(cts, idx)
+    out = hc.decrypt_scores_trunc(c1_ntt, c0_ip, norms, queries)
+    ref = ((base[idx].astype(np.float64) - queries[:, None, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(out, ref, atol=0.5)
