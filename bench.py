@@ -420,6 +420,50 @@ def main():
 
     ckks = _section("ckks", "PFH_BENCH_SKIP_CKKS", run_ckks)
 
+    def run_pir():
+        # real single-server PIR at FULL dataset scale: 2-D hypercube
+        # (SealPIR-style) with the device-resident answerer — the wire is
+        # one ciphertext per fetched row, no index field anywhere
+        import time as _time
+
+        import jax
+
+        from prefhetch_tpu.crypto.params import pir_params_for
+        from prefhetch_tpu.crypto.pir import PIRClient
+
+        p = pir_params_for(4096, 257, 2)
+        client = PIRClient(p, seed=17)
+        if jax.default_backend() == "tpu":
+            from prefhetch_tpu.engine.pir_device import DevicePIR2 as Srv
+        else:
+            from prefhetch_tpu.crypto.pir import PIR2Server as Srv
+        base = data["base"]
+        server = Srv(base, p)
+        server.register_galois_keys(
+            client.key_id, client.galois_keys_wire_2d(len(base), D)
+        )
+
+        def fetch(row):
+            wire, r = client.build_query_2d(row, len(base), D)
+            resp = server.answer_2d(wire, client.key_id)
+            return client.decode_response_2d(resp, D, r)
+
+        got = fetch(123_457 % len(base))        # warm (device compile)
+        np.testing.assert_array_equal(
+            got, np.round(base[123_457 % len(base)]).astype(np.int64)
+        )
+        rows = [5, len(base) - 2, (7 * len(base)) // 11]
+        t0 = _time.perf_counter()
+        for rr in rows:
+            out = fetch(rr)
+            np.testing.assert_array_equal(
+                out, np.round(base[rr]).astype(np.int64)
+            )
+        ms = (_time.perf_counter() - t0) / len(rows) * 1e3
+        return {"pir_fetch_ms_per_row": round(ms, 1), "pir_nbase": len(base)}
+
+    pir = _section("pir", "PFH_BENCH_SKIP_PIR", run_pir)
+
     result = {
         "metric": "ivfpq_query_pipeline_qps",
         "value": round(tpu_qps, 2),
@@ -445,6 +489,7 @@ def main():
             **angular,
             **http,
             **ckks,
+            **pir,
             "batch_p50_ms": round(p50, 2),
             "batch_p99_ms": round(p99, 2),
             "nbase": NBASE,

@@ -64,7 +64,21 @@ class DevicePIR2:
         polys = pack_database(base, params)              # [G, N]
         padded = np.zeros((self.g1 * self.g2, params.n), np.int64)
         padded[: polys.shape[0]] = polys
-        db = np.stack([self.ctx.plain_to_ntt(p_) for p_ in padded])
+        # batched forward NTT of the whole packed DB per limb (the per-poly
+        # python loop took ~3 min at nbase=1M); native C++ Shoup NTT when
+        # built, vectorized numpy butterflies otherwise
+        db = np.empty(
+            (self.g1 * self.g2, len(params.qs), params.n), np.int64
+        )
+        from prefhetch_tpu import native as _native
+        from prefhetch_tpu.crypto.ntt import ntt as _host_ntt
+
+        for i, tb in enumerate(self.ctx.tables):
+            rows = padded % tb.q
+            if _native.available():
+                db[:, i] = _native.NativeNTT(tb.q, params.n)(rows)
+            else:
+                db[:, i] = _host_ntt(rows, tb)
         self.db = jnp.asarray(
             db.reshape(self.g1, self.g2, len(params.qs), params.n)
             .astype(np.int32)
