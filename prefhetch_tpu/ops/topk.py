@@ -15,7 +15,10 @@ import jax.numpy as jnp
 
 # Large sentinel rather than inf: top_k on -x with inf produces nan-free
 # behavior either way, but finite sentinels keep downstream arithmetic sane.
-PAD_DISTANCE = jnp.float32(3.4e38)
+# plain python float: a module-level jnp scalar would initialize the XLA
+# backend at import time (breaking jax.distributed.initialize) and trace as
+# a captured constant in pallas kernels
+PAD_DISTANCE = 3.4e38
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
