@@ -148,7 +148,7 @@ def tpu_pipeline(index, base_j, queries_j):
     from prefhetch_tpu.ops.rerank import exact_rerank
     from prefhetch_tpu.ops.topk import topk_select_segmented
 
-    tile = int(os.environ.get("PFH_BENCH_TILE", 1728))
+    tile = int(os.environ.get("PFH_BENCH_TILE", 1024))
     quant = os.environ.get("PFH_BENCH_QUANT", "none")
     view = build_tiled_view(index, tile=tile, quant=quant)
     T = view.tile
@@ -204,7 +204,9 @@ def tpu_pipeline(index, base_j, queries_j):
 
     def step(payload, norms, sizes, ids, base, q, tiles):
         dist = prog_scan(payload, norms, sizes, q, tiles)
-        _, pos = topk_select_segmented(dist, COARSE_PROBE, max_t)
+        _, pos = topk_select_segmented(
+            dist, COARSE_PROBE, max_t, level1_bf16=True
+        )
         return prog_tail(ids, tiles, pos, base, q)
 
     args = (view.payload, view.norms, view.sizes, view.ids, base_j,
