@@ -195,10 +195,14 @@ def tpu_pipeline(index, base_j, queries_j):
     @jax.jit
     def prog_tail(tile_ids, tiles, pos, base, q):
         # resolve top positions → global ids: pos = tile_slot·T + lane
+        from prefhetch_tpu.ops.topk import PAD_DISTANCE
+
         tile_sel = jnp.take_along_axis(tiles, pos // T, axis=1)
         cand = tile_ids[tile_sel, pos % T]
-        cand = jnp.maximum(cand, 0)      # PAD lanes (-1) never win the top-K
-        pd = exact_rerank(base, q, cand)
+        pad = cand < 0                   # PAD lanes (id −1): clamp for the
+        cand = jnp.maximum(cand, 0)      # gather, then bar them from the
+        pd = exact_rerank(base, q, cand)  # final top-K explicitly
+        pd = jnp.where(pad, PAD_DISTANCE, pd)
         neg, order = jax.lax.top_k(-pd, K)
         return -neg, jnp.take_along_axis(cand, order, axis=1)
 
@@ -393,6 +397,7 @@ def main():
         abase = jnp.asarray(ang_data["base"], jnp.float32)
         astep, aargs, _ = tpu_pipeline(ang_index, abase, aq)
         _, aids = astep(*aargs)
+        aids.block_until_ready()        # warm batch must not leak into t0
         t0 = time.perf_counter()
         for _ in range(N_BATCHES):
             _, aids = astep(*aargs)
@@ -721,7 +726,11 @@ def ckks_scoring_qps(data, cand_ids, nq: int = 4):
 
     queries = data["query"][:nq].astype(np.float64)
     slots = params.n // 2
-    cands = data["base"][cand_ids[:nq].astype(np.int64)]
+    # exactly COARSE_PROBE candidates per query (the pipeline's final ids
+    # are only K=100 wide — pad to the config-3 operating point with
+    # consecutive rows so the measured workload matches the label)
+    idx = _pad_candidates(cand_ids[:nq], COARSE_PROBE, len(data["base"]))
+    cands = data["base"][idx]
     P = cands.shape[1]
     cts = [
         ctx.encrypt(pk, ctx.encode(np.tile(q, slots // D)), rng)
@@ -764,6 +773,18 @@ def ckks_scoring_qps(data, cand_ids, nq: int = 4):
     return qps, max_rel
 
 
+def _pad_candidates(ids: np.ndarray, p: int, nbase: int) -> np.ndarray:
+    """[nq, k] candidate ids → [nq, p]: pad with consecutive distinct rows
+    after the last id (mod nbase) so encrypted workloads score exactly the
+    labeled candidate count."""
+    ids = ids.astype(np.int64)
+    nq, k = ids.shape
+    if k >= p:
+        return ids[:, :p]
+    extra = (ids[:, -1:] + 1 + np.arange(p - k)[None, :]) % nbase
+    return np.concatenate([ids, extra], axis=1)
+
+
 def encrypted_rerank_qps(data, cand_ids, nq: int = 64):
     """Encrypted re-rank throughput (BFV N=4096, 2 limbs — BASELINE config 2):
     client encrypt → server device gather/pack/NTT/MAC + c0 truncation →
@@ -794,7 +815,9 @@ def encrypted_rerank_qps(data, cand_ids, nq: int = 64):
     svc = HEComputeService(hc.params, backend=backend)
     svc.set_base(data["base"])
     queries = data["query"][:nq].astype(np.float32)
-    idx = cand_ids[:nq, :COARSE_PROBE].astype(np.int64)
+    # exactly COARSE_PROBE candidates (cand_ids is the K=100-wide final
+    # id set — pad with consecutive rows to the config-2 operating point)
+    idx = _pad_candidates(cand_ids[:nq], COARSE_PROBE, len(data["base"]))
     ref = (
         (data["base"][idx].astype(np.float64) - queries[:, None, :]) ** 2
     ).sum(-1)

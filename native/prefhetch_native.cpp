@@ -211,12 +211,14 @@ static inline bool parse_number(const char* s, const char* end,
         1e11,1e12,1e13,1e14,1e15,1e16,1e17,1e18,1e19,1e20,1e21,1e22};
     const char* p = s;
     bool neg = false;
+    bool truncated = false;   // any dropped mantissa digit → strtod fallback
     if (p < end && (*p == '-' || *p == '+')) { neg = *p == '-'; p++; }
     uint64_t mant = 0;
     int digits = 0, exp10 = 0;
     while (p < end && *p >= '0' && *p <= '9') {
+        if (digits == 0 && *p == '0') { p++; continue; }    // leading zeros
         if (digits < 19) { mant = mant * 10 + (uint64_t)(*p - '0'); digits++; }
-        else exp10++;
+        else { exp10++; truncated = true; }
         p++;
     }
     if (p == s + (neg || (s < end && *s == '+') ? 1 : 0)) {
@@ -225,9 +227,16 @@ static inline bool parse_number(const char* s, const char* end,
     if (p < end && *p == '.') {
         p++;
         while (p < end && *p >= '0' && *p <= '9') {
+            if (digits == 0 && *p == '0') {
+                exp10--;                 // significance starts at 1st nonzero
+                p++;
+                continue;
+            }
             if (digits < 19) {
                 mant = mant * 10 + (uint64_t)(*p - '0');
                 digits++; exp10--;
+            } else {
+                truncated = true;
             }
             p++;
         }
@@ -240,7 +249,7 @@ static inline bool parse_number(const char* s, const char* end,
         while (p < end && *p >= '0' && *p <= '9') { ev = ev * 10 + (*p - '0'); p++; }
         exp10 += eneg ? -ev : ev;
     }
-    if (mant <= (1ULL << 53) && exp10 >= -22 && exp10 <= 22) {
+    if (!truncated && mant <= (1ULL << 53) && exp10 >= -22 && exp10 <= 22) {
         double v = (double)mant;
         v = exp10 >= 0 ? v * P10[exp10] : v / P10[-exp10];
         *out = neg ? -v : v;

@@ -323,13 +323,18 @@ class ClientPipeline:
                 None if meta.get("codebooks") is None
                 else np.asarray(meta["codebooks"], np.float32)
             )
+            self._cb_by_residual = bool(meta.get("byResidual", True))
         cb = self._codebooks
         if cb is None:
             return None
         if not hasattr(self, "_centroids_cache"):
             self._centroids_cache = self.get_centroids()
         M, ksub, dsub = cb.shape
-        r = query - self._centroids_cache[anchor_ids]       # [nq, d]
+        if self._cb_by_residual:
+            r = query - self._centroids_cache[anchor_ids]   # [nq, d]
+        else:
+            # non-residual PQ: codebooks quantize raw vectors
+            r = np.asarray(query, np.float32)
         rs = r.reshape(r.shape[0], M, dsub)
         # argmin over codewords per subspace
         d2 = (

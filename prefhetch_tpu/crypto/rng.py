@@ -56,10 +56,12 @@ class SecureRNG:
 
     def _uniform_below(self, bound: int, count: int) -> np.ndarray:
         """count exact-uniform uint64 draws in [0, bound), bound ≤ 2^63."""
+        if bound == 1:          # degenerate range: the only value is 0
+            return np.zeros(count, np.uint64)
         nbits = max(1, (bound - 1).bit_length())
         nbytes = (nbits + 7) // 8
         mask = np.uint64((1 << nbits) - 1)
-        pow2 = bound == (1 << nbits) or bound == 1
+        pow2 = bound == (1 << nbits)
         out = np.empty(count, np.uint64)
         filled = 0
         while filled < count:

@@ -23,7 +23,6 @@ CKKSContext bit-for-bit (tests/test_ckks_device.py).
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Tuple
 
 import jax
@@ -119,8 +118,20 @@ class DeviceCKKS:
             jnp.asarray(np.stack(signs).astype(np.int32)),
         )
 
-    @functools.lru_cache(maxsize=8)
     def _score_fn(self, level_in: int, n_steps: int):
+        # per-instance cache (a functools.lru_cache on the bound method
+        # would key the GLOBAL cache on self and pin every DeviceCKKS
+        # instance — device keys, tables, executables — for process life)
+        if not hasattr(self, "_score_cache"):
+            self._score_cache = {}
+        key = (level_in, n_steps)
+        if key in self._score_cache:
+            return self._score_cache[key]
+        fn = self._build_score_fn(level_in, n_steps)
+        self._score_cache[key] = fn
+        return fn
+
+    def _build_score_fn(self, level_in: int, n_steps: int):
         """jit: (fdigs…, gdigs…, ct [2, L, N], pt_rns [B, L, N],
         keys_b [n_steps, n_comp, n_ext_all, N], keys_a …,
         perms [n_steps, N], signs [n_steps, N]) → [B, 2, level, N].

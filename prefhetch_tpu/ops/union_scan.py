@@ -37,7 +37,6 @@ import numpy as np
 from prefhetch_tpu.ops.topk import PAD_DISTANCE
 
 U_BUCKET = 128
-_SEG_TILES = 8     # segment size (tiles) for the fused pipeline's top-k
 
 
 def union_probe_tiles(
@@ -98,81 +97,3 @@ def union_scan_distances(
     d2m = d2.reshape(U, T, nq).transpose(2, 0, 1)       # [nq, U, T]
     out = jnp.take_along_axis(d2m, pos[:, :, None], axis=1)
     return out.reshape(nq, -1)                          # [nq, max_t·T]
-
-
-def union_fused_pipeline(
-    view, base_j, queries_j, union_np, pos_np,
-    coarse_probe: int, k: int,
-):
-    """Top-k-fused union pipeline for the throughput path: returns
-    (step, args, stats) with the same contract as bench.tpu_pipeline.
-
-    The extraction-based union_scan_distances materializes the distance
-    matrix twice (transpose + per-query gather) to recover the compact
-    per-query candidate layout. When the consumer is a TOP-K (the bench /
-    one-shot pipeline), that layout is unnecessary: distances stay
-    query-major over the union ([nq, U·T]), each query's non-probed tiles
-    are PAD-masked inside the scan's single output write, top-k runs
-    straight on the union layout (segmented two-level — ops/topk.py), and
-    winners resolve to global ids through the union's tile table. Saves
-    ~2× the largest intermediate's round trips.
-    """
-    from prefhetch_tpu.ops.rerank import exact_rerank
-    from prefhetch_tpu.ops.topk import topk_select_segmented
-
-    U = len(union_np)
-    T = int(view.tile)
-    nq, d = queries_j.shape
-    assert U % _SEG_TILES == 0, "union is bucketed to multiples of 128"
-    n_segments = U // _SEG_TILES
-
-    # per-query tile-ownership mask over union slots (empty-tile pad
-    # positions are harmless — their size-0 lanes PAD out anyway)
-    qmask = np.zeros((nq, U), bool)
-    qmask[np.arange(nq)[:, None], pos_np] = True
-    union_j = jnp.asarray(union_np)
-    qmask_j = jnp.asarray(qmask)
-    ids_union_j = jnp.asarray(view.tile_ids_np[union_np])      # [U, T]
-
-    @jax.jit
-    def prog_scan(payload, norms, sizes, q, union, qm):
-        slab = payload[union]                                  # [U, T, d]
-        n = norms[union]
-        sz = sizes[union]
-        qf = q.astype(jnp.float32)
-        qc = qf.astype(slab.dtype) if slab.dtype == jnp.bfloat16 else qf
-        cross = jax.lax.dot_general(
-            qc, slab.reshape(U * T, -1),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                      # [nq, U·T]
-        qsq = jnp.sum(qf * qf, axis=-1)
-        d2 = qsq[:, None] + n.reshape(1, U * T) - 2.0 * cross
-        d2 = jnp.maximum(d2, 0.0).reshape(nq, U, T)
-        lane = jnp.arange(T, dtype=jnp.int32)
-        valid = qm[:, :, None] & (lane[None, None, :] < sz[None, :, None])
-        return jnp.where(valid, d2, PAD_DISTANCE).reshape(nq, U * T)
-
-    @jax.jit
-    def prog_tail(ids_un, pos, base, q):
-        cand = ids_un[pos // T, pos % T]                       # [nq, CP]
-        cand = jnp.maximum(cand, 0)    # PAD lanes (-1) never win the top-K
-        pd = exact_rerank(base, q, cand)
-        neg, order = jax.lax.top_k(-pd, k)
-        return -neg, jnp.take_along_axis(cand, order, axis=1)
-
-    def step(payload, norms, sizes, ids_un, base, q, union, qm):
-        dist = prog_scan(payload, norms, sizes, q, union, qm)
-        _, pos = topk_select_segmented(dist, coarse_probe, n_segments)
-        return prog_tail(ids_un, pos, base, q)
-
-    args = (view.payload, view.norms, view.sizes, ids_union_j, base_j,
-            queries_j, union_j, qmask_j)
-    itemsize = 2 if view.payload.dtype == jnp.bfloat16 else 4
-    stats = {
-        "tiles_per_query": float(pos_np.shape[1]),
-        "scan_bytes_per_query": int(
-            U * T * (d * itemsize + 4) / max(nq, 1)
-        ),
-    }
-    return step, args, stats

@@ -119,9 +119,7 @@ class _Handler(BaseHTTPRequestHandler):
                 else:
                     self._send_json({
                         "codebooks": np.asarray(idx.codebooks).tolist(),
-                        "byResidual": bool(
-                            getattr(idx, "by_residual", True)
-                        ),
+                        "byResidual": bool(idx.params.by_residual),
                     })
             elif self.path == "/healthz":
                 self._send_json(
@@ -187,9 +185,11 @@ class _Handler(BaseHTTPRequestHandler):
                 raise ValueError("coarseQueryCodes shape mismatch")
             if codes.min() < 0 or codes.max() >= ksub:
                 raise ValueError("PQ code out of range")
-            anchors = np.asarray(idx.centroids)[probes[:, 0]]
             rec = cb[np.arange(M)[None, :], codes]         # [nq, M, dsub]
-            q = (anchors + rec.reshape(codes.shape[0], -1)).astype(np.float32)
+            q = rec.reshape(codes.shape[0], -1)
+            if idx.params.by_residual:
+                q = q + np.asarray(idx.centroids)[probes[:, 0]]
+            q = q.astype(np.float32)
         else:
             q = np.asarray(body["preciseQuery"], np.float32)
         if q.ndim != 2 or probes.ndim != 2 or q.shape[0] != probes.shape[0]:

@@ -199,3 +199,54 @@ def test_quantized_coarse_query_recall_close_to_plaintext(served):
         for i in range(ids_enc.shape[0])
     ])
     assert overlap >= 0.9, f"quantized-coarse overlap too low: {overlap}"
+
+
+def test_quantized_coarse_honors_non_residual_pq(tmp_path):
+    """Regression: with by_residual=False the public codebooks quantize RAW
+    vectors — the client must encode q directly (no anchor subtraction) and
+    the server must reconstruct without adding the anchor back, or coarse
+    recall silently collapses."""
+    import dataclasses
+    import os
+
+    from prefhetch_tpu.data.synthetic import write_sift_style_dataset
+
+    ds = tmp_path / "ds"
+    ds.mkdir()
+    write_sift_style_dataset(
+        str(ds), prefix="nr", nbase=2000, ntrain=4000, nquery=10, d=32,
+        n_clusters=40, gt_k=100, seed=9,
+    )
+    cfg = PipelineConfig(
+        index=IndexParams(d=32, nlist=16, pq_m=8, pq_nbits=8,
+                          by_residual=False,
+                          kmeans_iters=8, pq_kmeans_iters=8),
+        protocol=ProtocolParams(nprobe=8, coarse_probe=60, k=20, nquery=4,
+                                encrypted_rerank=True),
+        he=HEParams(scheme="bfv", n=256, t_bits=24, n_limbs=2),
+        nbase=2000,
+        train_path=os.path.join(str(ds), "nr_learn.fvecs"),
+        base_path=os.path.join(str(ds), "nr_base.fvecs"),
+        query_path=os.path.join(str(ds), "nr_query.fvecs"),
+        groundtruth_path=os.path.join(str(ds), "nr_groundtruth.ivecs"),
+        port=0,
+    )
+    engine = QueryEngine(cfg, index_dir=str(tmp_path / "idx"))
+    engine.init_index()
+    srv = make_server(engine, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        client = ClientPipeline(cfg, server_addr=f"http://127.0.0.1:{port}/")
+        # the /codebooks metadata must report the real flag
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/codebooks"
+        ) as r:
+            meta = json.loads(r.read())
+        assert meta["byResidual"] is False
+        _, top_ids = client.run()
+        rep = client.benchmark_results(top_ids)
+        # residual-mode mishandling drives recall to near-random (~0.01)
+        assert rep.recall_10 >= 0.5, rep
+    finally:
+        srv.shutdown()
