@@ -492,14 +492,67 @@ class BFVContext:
             ]
         return self._ext_cached
 
+    # -- exact mixed-radix (Garner) RNS arithmetic -----------------------
+    # The ct×ct tensoring needs base extension and the round(t·v/q) scale.
+    # Production RNS variants (BEHZ) use approximate floating-point base
+    # conversion with correction terms; here both are EXACT and fully
+    # vectorized: values convert to mixed-radix digits (x = d₀ + p₀·d₁ +
+    # p₀p₁·d₂ + …, every intermediate < 2^60 in int64) and reduce per
+    # target prime by Horner — no big-int python loops, no FBC overshoot.
+
+    @staticmethod
+    def _garner_digits(x_rns: np.ndarray, primes) -> np.ndarray:
+        """[L, …] residues → mixed-radix digits [L, …] (exact, int64)."""
+        L = len(primes)
+        digits = []
+        for i in range(L):
+            pi = primes[i]
+            t = np.mod(x_rns[i], pi)
+            for j in range(i):
+                inv = pow(primes[j] % pi, -1, pi)
+                t = np.mod(t - digits[j], pi) * inv % pi
+            digits.append(t)
+        return np.stack(digits)
+
+    @staticmethod
+    def _digits_mod(digits: np.ndarray, primes, m: int) -> np.ndarray:
+        """Mixed-radix digits → value mod m (Horner; products < 2^60)."""
+        L = len(primes)
+        acc = np.mod(digits[L - 1], m)
+        for i in range(L - 2, -1, -1):
+            acc = (acc * (primes[i] % m) + digits[i]) % m
+        return acc
+
+    @staticmethod
+    def _digits_gt(digits: np.ndarray, primes, threshold: int) -> np.ndarray:
+        """Elementwise (value > threshold) from mixed-radix digits."""
+        L = len(primes)
+        # threshold's own mixed-radix digits
+        tdig = []
+        t = threshold
+        for p_ in primes:
+            tdig.append(t % p_)
+            t //= p_
+        gt = np.zeros(digits.shape[1:], bool)
+        eq = np.ones(digits.shape[1:], bool)
+        for i in range(L - 1, -1, -1):
+            gt |= eq & (digits[i] > tdig[i])
+            eq &= digits[i] == tdig[i]
+        return gt
+
     def _lift_to_basis(self, x_rns: np.ndarray) -> np.ndarray:
         """[L, N] residues mod qs → [B, N] residues over the full ext basis
-        (via exact CRT compose of the [0, q) representative)."""
+        (exact vectorized base extension via mixed-radix digits)."""
         basis = self._ext_basis
-        big = self._crt_compose(np.mod(x_rns, np.array(self.params.qs)[:, None]))
+        qs = self.params.qs
+        L = len(qs)
+        dig = self._garner_digits(np.mod(
+            x_rns, np.array(qs, np.int64)[:, None]
+        ), qs)
         out = np.empty((len(basis), self.params.n), np.int64)
-        for i, q in enumerate(basis):
-            out[i] = np.array([b % q for b in big], np.int64)
+        out[:L] = np.mod(x_rns, np.array(qs, np.int64)[:, None])
+        for i in range(L, len(basis)):
+            out[i] = self._digits_mod(dig, qs, basis[i])
         return out
 
     def mul(self, x: Ciphertext, y: Ciphertext, rk: "RelinKey") -> Ciphertext:
@@ -526,29 +579,51 @@ class BFVContext:
         d1 = np.mod(polymul_basis(x0, y1) + polymul_basis(x1, y0), qb)
         d2 = polymul_basis(x1, y1)
 
-        # exact compose over the big basis, then round(t·d/q) mod q
+        # exact round(t·v̂/q) in RNS via mixed-radix digits — no per-
+        # coefficient python big-int loop. Decomposition (v' ∈ [0, Q),
+        # v̂ = v' − Q·F with F = [v' > Q/2], v' = w'·q + u'):
+        #   r = t·w' + round(t·u'/q) − t·A·F      (A = Q/q, exact integer)
+        # w' = (v' − u')/q is exact in the aux basis; its mod-q_i residues
+        # come from its aux mixed-radix digits. round(t·u'/q) ∈ [0, t] is
+        # computed by the float64 CRT-fraction (error ≤ 1 — absorbed by
+        # ct×ct noise, same as BEHZ's approximate-conversion error).
         Q = 1
         for q in basis:
             Q *= q
-        comps = []
-        for i, qi in enumerate(basis):
-            qhat = Q // qi
-            comps.append((qhat, pow(qhat % qi, -1, qi), qi))
+        L = len(p.qs)
+        aux = basis[L:]
+        A = Q // p.q
+        qs_arr = np.array(p.qs, np.int64)[:, None]
+        inv_q_aux = [pow(p.q % aj, -1, aj) for aj in aux]
+        frac_inv = [
+            pow((p.q // qi) % qi, -1, qi) for qi in p.qs
+        ]
 
         def round_scale(d):
-            out = np.empty((len(p.qs), p.n), np.int64)
-            col = [0] * p.n
-            for j in range(p.n):
-                acc = 0
-                for i, (qhat, inv, qi) in enumerate(comps):
-                    acc += qhat * ((int(d[i, j]) * inv) % qi)
-                v = acc % Q
-                if v > Q // 2:                    # center: negacyclic signs
-                    v -= Q                        # make coefficients negative
-                r = (v * p.t + p.q // 2) // p.q   # round(t·v/q), sign-correct
-                col[j] = r
+            # u' = v' mod q: its qs residues are d[:L]; digits for mod-aux
+            u_dig = self._garner_digits(d[:L], p.qs)
+            # F = [v' > Q/2] over the full basis
+            v_dig = self._garner_digits(d, basis)
+            F = self._digits_gt(v_dig, basis, Q // 2).astype(np.int64)
+            # round(t·u'/q) via the CRT fraction over qs
+            frac = np.zeros(p.n, np.float64)
             for i, qi in enumerate(p.qs):
-                out[i] = np.array([c % qi for c in col], np.int64)
+                frac += (d[i] * frac_inv[i] % qi).astype(np.float64) / qi
+            frac -= np.floor(frac)
+            rnd = np.round(p.t * frac).astype(np.int64)      # [0, t]
+            # w' in the aux basis, then its mixed-radix digits
+            w_aux = np.empty((len(aux), p.n), np.int64)
+            for j, aj in enumerate(aux):
+                uj = self._digits_mod(u_dig, p.qs, aj)
+                w_aux[j] = np.mod(d[L + j] - uj, aj) * inv_q_aux[j] % aj
+            w_dig = self._garner_digits(w_aux, aux)
+            out = np.empty((L, p.n), np.int64)
+            for i, qi in enumerate(p.qs):
+                wi = self._digits_mod(w_dig, aux, qi)
+                out[i] = np.mod(
+                    (p.t % qi) * wi + rnd - (p.t % qi) * (A % qi) % qi * F,
+                    qi,
+                )
             return out
 
         c0 = round_scale(d0)

@@ -307,3 +307,29 @@ def test_seeded_symmetric_feeds_trunc_mac():
     out = hc.decrypt_scores_trunc(c1_ntt, c0_ip, norms, queries)
     ref = ((base[idx].astype(np.float64) - queries[:, None, :]) ** 2).sum(-1)
     np.testing.assert_allclose(out, ref, atol=0.5)
+
+
+def test_mul_exact_large_params():
+    """ct×ct through the mixed-radix RNS scale must be exact at N=2048
+    (bigger aux basis — exercises base extension, the F=[v>Q/2] centering
+    compare, and the w' digit reduction on multi-prime paths)."""
+    from prefhetch_tpu.crypto.params import bfv_params_for
+
+    params = bfv_params_for(2048, 16, 2)
+    ctx = BFVContext(params)
+    rng = np.random.default_rng(6)
+    sk, pk = ctx.keygen(rng)
+    rk = ctx.relin_keygen(sk, rng)
+    m1 = rng.integers(0, 30, 2048)
+    m2 = rng.integers(0, 30, 2048)
+    prod = ctx.mul(ctx.encrypt(pk, m1, rng), ctx.encrypt(pk, m2, rng), rk)
+    got = ctx.decrypt(sk, prod)
+    full = np.polymul(m1[::-1].astype(object), m2[::-1].astype(object))[::-1]
+    ref = np.zeros(2048, object)
+    for i, c in enumerate(full):
+        if i < 2048:
+            ref[i] += c
+        else:
+            ref[i - 2048] -= c
+    ref = np.array([int(v) % params.t for v in ref], np.int64)
+    np.testing.assert_array_equal(got, ref)
