@@ -163,7 +163,26 @@ def tpu_pipeline(index, base_j, queries_j):
     max_t = tiles_np.shape[1]
 
     scan_mode = os.environ.get("PFH_BENCH_SCAN", "union")
-    if quant == "sq8":
+    if quant == "pq":
+        # memory-tight configuration: PQ codes payload (M bytes/vector,
+        # FAISS IVFPQ serving-memory parity) scanned by the one-hot ADC
+        # matmul over union tiles (ops/union_scan.py)
+        from prefhetch_tpu.ops.union_scan import (
+            union_probe_tiles, union_pq_scan_distances,
+        )
+
+        union_np, pos_np = union_probe_tiles(tiles_np, view.empty_tile)
+        union_j = jnp.asarray(union_np)
+        pos_j = jnp.asarray(pos_np)
+        tile_list_j = jnp.asarray(view.tile_list_np)
+        by_res = bool(index.params.by_residual)
+
+        def prog_scan(payload, norms, sizes, q, tiles):
+            return union_pq_scan_distances(
+                payload, sizes, tile_list_j, index.centroids,
+                index.codebooks, q, union_j, pos_j, by_residual=by_res,
+            )
+    elif quant == "sq8":
         from prefhetch_tpu.ops.pallas_scan import pallas_slab_distances_sq8
 
         @jax.jit
@@ -216,17 +235,19 @@ def tpu_pipeline(index, base_j, queries_j):
     args = (view.payload, view.norms, view.sizes, view.ids, base_j,
             queries_j, tiles_j)
     itemsize = (
-        1 if quant == "sq8"
+        1 if quant in ("sq8", "pq")
         else 2 if view.payload.dtype == jnp.bfloat16 else 4
     )
-    if scan_mode == "union" and quant != "sq8":
-        # union scan reads each deduped tile ONCE per batch
+    row_bytes = (
+        view.payload.shape[2] * itemsize + 4    # PQ: M code bytes + ids
+        if quant == "pq" else D * itemsize + 4
+    )
+    if quant == "pq" or (scan_mode == "union" and quant != "sq8"):
+        # union scans read each deduped tile ONCE per batch
         nq_run = queries_j.shape[0]
-        scan_bytes = int(
-            len(union_np) * T * (D * itemsize + 4) / max(nq_run, 1)
-        )
+        scan_bytes = int(len(union_np) * T * row_bytes / max(nq_run, 1))
     else:
-        scan_bytes = int(max_t * T * (D * itemsize + 4))
+        scan_bytes = int(max_t * T * row_bytes)
     stats = {
         "tiles_per_query": float(max_t),
         # payload + norms read per query by the scan kernel (amortized

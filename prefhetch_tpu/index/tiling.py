@@ -45,6 +45,9 @@ class TiledView:
     # None when payload is bf16/f32. Halves the scan's HBM traffic.
     sq_vmin: Optional[jax.Array] = None      # [d] f32
     sq_scale: Optional[jax.Array] = None     # [d] f32
+    # owning inverted list of each tile (empty tile → 0); the PQ one-hot
+    # scan needs it to select the per-list LUT component
+    tile_list_np: Optional[np.ndarray] = None    # [ntiles+1] i32
 
     @property
     def empty_tile(self) -> int:
@@ -100,8 +103,16 @@ def build_tiled_view(
 
     quant="sq8": per-dimension affine uint8 payload (x̂ = vmin+(code+½)·s) —
     half the HBM bytes of bf16. Norms are computed from the DECODED values
-    so the scan's distances are exact for the quantized payload."""
-    if index.list_recon is not None:
+    so the scan's distances are exact for the quantized payload.
+
+    quant="pq": the payload is the raw PQ CODES [·, T, M] uint8 — the
+    memory-tight layout (M bytes/vector, FAISS IVFPQ parity) consumed by
+    the one-hot ADC scan (ops/union_scan.union_pq_scan_distances)."""
+    if quant == "pq":
+        if index.list_codes is None:
+            return None
+        payload_np = np.asarray(index.list_codes).astype(np.uint8)
+    elif index.list_recon is not None:
         payload_np = np.asarray(index.list_recon)
     elif index.list_vectors is not None:
         payload_np = np.asarray(index.list_vectors)
@@ -136,11 +147,14 @@ def build_tiled_view(
     tile_sizes = np.zeros(ntiles + 1, np.int32)
     if quant == "sq8":
         norms_np = decoded_norms
+    elif quant == "pq":
+        norms_np = np.zeros(payload_np.shape[:2], np.float32)  # ADC needs none
     elif index.list_norms is not None:
         norms_np = np.asarray(index.list_norms)
     else:
         norms_np = (payload_np.astype(np.float32) ** 2).sum(-1)
     tile_norms = np.zeros((ntiles + 1, tile), np.float32)
+    tile_list = np.zeros(ntiles + 1, np.int32)
 
     for c in range(nlist):
         size = int(sizes_np[c])
@@ -153,6 +167,7 @@ def build_tiled_view(
             tile_ids[t0 + k, :n] = ids_np[c, lo:hi]
             tile_norms[t0 + k, :n] = norms_np[c, lo:hi]
             tile_sizes[t0 + k] = n
+            tile_list[t0 + k] = c
 
     return TiledView(
         payload=jnp.asarray(payload),
@@ -166,4 +181,5 @@ def build_tiled_view(
         tile=tile,
         sq_vmin=None if sq_vmin is None else jnp.asarray(sq_vmin),
         sq_scale=None if sq_scale is None else jnp.asarray(sq_scale),
+        tile_list_np=tile_list,
     )

@@ -77,3 +77,56 @@ def test_union_dedupes_shared_tiles(view_and_queries):
     assert len(union) == -(-n_unique // 128) * 128 or (
         union[-1] == view.empty_tile
     )
+
+
+def test_union_pq_onehot_matches_lut_scan():
+    """The one-hot ADC scan must reproduce coarse_scan_pq's residual ADC
+    distances (same LUT math, matmul formulation) candidate-for-candidate."""
+    import jax.numpy as jnp
+
+    from prefhetch_tpu.ops.scan import coarse_scan_pq
+    from prefhetch_tpu.ops.union_scan import union_pq_scan_distances
+
+    data = make_clustered_dataset(
+        nbase=3000, ntrain=3000, nquery=6, d=32, n_clusters=24,
+        gt_k=10, seed=3,
+    )
+    params = IndexParams(d=32, nlist=16, pq_m=8, pq_nbits=8,
+                         kmeans_iters=6, pq_kmeans_iters=6)
+    index = build_ivf_index(data["train"], data["base"], params)
+    view = build_tiled_view(index, tile=64, quant="pq")
+    q = jnp.asarray(data["query"][:6].astype(np.float32))
+    cent = np.asarray(index.centroids)
+    d2c = ((data["query"][:6, None, :] - cent[None]) ** 2).sum(-1)
+    probes = np.argsort(d2c, axis=1)[:, :4]
+    tile_idx, counts = view.expand_probes(probes)
+    union, pos = union_probe_tiles(tile_idx, view.empty_tile)
+
+    got = np.asarray(union_pq_scan_distances(
+        view.payload, view.sizes, jnp.asarray(view.tile_list_np),
+        index.centroids, index.codebooks, q,
+        jnp.asarray(union), jnp.asarray(pos),
+        by_residual=index.params.by_residual,
+    ))
+
+    ref_res = coarse_scan_pq(
+        index.centroids, index.list_codes, index.list_ids,
+        index.list_sizes, index.codebooks, q, jnp.asarray(probes),
+        by_residual=index.params.by_residual,
+    )
+    # compare per-candidate: build {id: dist} from both layouts
+    rd = np.asarray(ref_res.distances)
+    rid = np.asarray(ref_res.ids)
+    rm = np.asarray(ref_res.mask)
+    ids_np = view.tile_ids_np[tile_idx]            # [nq, mt, T]
+    for qi in range(6):
+        ref_map = {
+            int(i): float(dv)
+            for i, dv, m in zip(rid[qi], rd[qi], rm[qi]) if m
+        }
+        got_row = got[qi]
+        ids_row = ids_np[qi].reshape(-1)
+        valid = ids_row >= 0
+        assert set(ids_row[valid].tolist()) == set(ref_map.keys())
+        for i, dv in zip(ids_row[valid], got_row[valid]):
+            assert abs(dv - ref_map[int(i)]) < 1e-2 * max(ref_map[int(i)], 1.0)
