@@ -148,8 +148,9 @@ def tpu_pipeline(index, base_j, queries_j):
     from prefhetch_tpu.ops.rerank import exact_rerank
     from prefhetch_tpu.ops.topk import topk_select_segmented
 
-    tile = int(os.environ.get("PFH_BENCH_TILE", 1024))
     quant = os.environ.get("PFH_BENCH_QUANT", "none")
+    # pq: 256-slot tiles keep the Pallas one-hot within VMEM
+    tile = int(os.environ.get("PFH_BENCH_TILE", 256 if quant == "pq" else 1024))
     view = build_tiled_view(index, tile=tile, quant=quant)
     T = view.tile
 
@@ -166,9 +167,13 @@ def tpu_pipeline(index, base_j, queries_j):
     if quant == "pq":
         # memory-tight configuration: PQ codes payload (M bytes/vector,
         # FAISS IVFPQ serving-memory parity) scanned by the one-hot ADC
-        # matmul over union tiles (ops/union_scan.py)
+        # matmul over union tiles. On TPU the Pallas kernel keeps the
+        # one-hot in VMEM (bf16 LUT operands, ~3.5x the XLA scan); CPU
+        # uses the exact-f32 XLA formulation.
         from prefhetch_tpu.ops.union_scan import (
-            union_probe_tiles, union_pq_scan_distances,
+            union_probe_tiles,
+            union_pq_scan_distances,
+            union_pq_scan_distances_pallas,
         )
 
         union_np, pos_np = union_probe_tiles(tiles_np, view.empty_tile)
@@ -176,8 +181,15 @@ def tpu_pipeline(index, base_j, queries_j):
         pos_j = jnp.asarray(pos_np)
         tile_list_j = jnp.asarray(view.tile_list_np)
         by_res = bool(index.params.by_residual)
+        on_tpu = jax.default_backend() == "tpu"
 
         def prog_scan(payload, norms, sizes, q, tiles):
+            if on_tpu:
+                return union_pq_scan_distances_pallas(
+                    payload, sizes, tile_list_j, index.centroids,
+                    index.codebooks, q, union_j, pos_j,
+                    by_residual=by_res,
+                )
             return union_pq_scan_distances(
                 payload, sizes, tile_list_j, index.centroids,
                 index.codebooks, q, union_j, pos_j, by_residual=by_res,

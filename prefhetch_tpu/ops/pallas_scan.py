@@ -211,3 +211,91 @@ def pallas_slab_distances(
         interpret=interpret,
     )(flat, sizes.astype(jnp.int32), payload, norms3, qrep3)
     return out.reshape(nq, nprobe * lmax)
+
+
+def _kernel_pq_onehot(union_ref,        # scalar prefetch [U] int32 tile ids
+                      lists_ref,        # scalar prefetch [ntiles+1] int32
+                      codes_ref,        # [1, T, M] uint8 — union[u]'s codes
+                      lutq_ref,         # [1, nqb, MK] bf16 — query block
+                      lutp_ref,         # [1, 1, MK] bf16 — owning list's LUT
+                      out_ref):         # [nqb, T] f32 — query-major
+    """One-hot ADC in VMEM: the [T, M·ksub] one-hot never touches HBM.
+
+    dist[q, t] = Σ_m (lutq + lutp)[q, m·ksub + codes[t, m]] — computed as
+    lut @ onehot(codes)ᵀ on the MXU. The bf16 operands keep MXU rate; LUT
+    rounding is ~2-3% of coarse distance (cancellation between ±⟨r, cb⟩
+    terms), absorbed by the exact re-rank downstream (end recall measured
+    unchanged). Output is QUERY-major so the downstream extract/top-k needs
+    no transpose of the largest intermediate."""
+    codes = codes_ref[0].astype(jnp.int32)              # [T, M]
+    T, M = codes.shape
+    MK = lutq_ref.shape[2]
+    ksub = MK // M
+    k = jax.lax.broadcasted_iota(jnp.int32, (T, M, ksub), 2)
+    oh = (codes[:, :, None] == k).astype(jnp.bfloat16).reshape(T, MK)
+    lut = lutq_ref[0] + lutp_ref[0]                     # [nqb, MK] bf16
+    out_ref[:, :] = jax.lax.dot_general(
+        lut, oh,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "nqb"))
+def pallas_pq_onehot_distances(
+    codes: jax.Array,        # [ntiles+1, T, M] uint8/int8
+    lutq: jax.Array,         # [nq, MK] f32/bf16 — per-query LUT component
+    lutp: jax.Array,         # [nlist, MK] f32/bf16 — per-list LUT component
+    tile_list: jax.Array,    # [ntiles+1] int32
+    union: jax.Array,        # [U] int32
+    nqb: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """ADC partial distances [nq, U·T] over union code tiles, query-major
+    (reshape to [nq, U, T]; add the per-(query, list) scalar and mask
+    outside)."""
+    U = union.shape[0]
+    ntp1, T, M = codes.shape
+    nq, MK = lutq.shape
+    nqb = min(nqb, nq)
+    assert nq % nqb == 0
+    grid = (nq // nqb, U)       # qb outer: the lutq block stays resident
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, T, M),
+                lambda qb, u, un_ref, tl_ref: (un_ref[u], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, nqb, MK),
+                lambda qb, u, un_ref, tl_ref: (0, qb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, MK),
+                lambda qb, u, un_ref, tl_ref: (tl_ref[un_ref[u]], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (nqb, T),
+            lambda qb, u, un_ref, tl_ref: (qb, u),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        _kernel_pq_onehot,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nq, U * T), jnp.float32),
+        interpret=interpret,
+    )(
+        union.astype(jnp.int32), tile_list.astype(jnp.int32),
+        codes,                         # uint8 — widened in-kernel
+        lutq.reshape(1, nq, MK).astype(jnp.bfloat16),
+        lutp.reshape(-1, 1, MK).astype(jnp.bfloat16),
+    )
+    return out

@@ -130,3 +130,52 @@ def test_union_pq_onehot_matches_lut_scan():
         assert set(ids_row[valid].tolist()) == set(ref_map.keys())
         for i, dv in zip(ids_row[valid], got_row[valid]):
             assert abs(dv - ref_map[int(i)]) < 1e-2 * max(ref_map[int(i)], 1.0)
+
+
+def test_union_pq_pallas_close_to_xla():
+    """The Pallas (VMEM one-hot, bf16 LUT) ADC must agree with the f32 XLA
+    formulation within bf16-LUT tolerance, with identical PAD structure."""
+    import jax.numpy as jnp
+
+    from prefhetch_tpu.ops.union_scan import (
+        union_pq_scan_distances, union_pq_scan_distances_pallas,
+    )
+
+    data = make_clustered_dataset(
+        nbase=3000, ntrain=3000, nquery=8, d=32, n_clusters=24,
+        gt_k=10, seed=3,
+    )
+    params = IndexParams(d=32, nlist=16, pq_m=8, pq_nbits=8,
+                         kmeans_iters=6, pq_kmeans_iters=6)
+    index = build_ivf_index(data["train"], data["base"], params)
+    view = build_tiled_view(index, tile=64, quant="pq")
+    q = jnp.asarray(data["query"][:8].astype(np.float32))
+    cent = np.asarray(index.centroids)
+    d2c = ((data["query"][:8, None, :] - cent[None]) ** 2).sum(-1)
+    probes = np.argsort(d2c, axis=1)[:, :4]
+    tile_idx, _ = view.expand_probes(probes)
+    union, pos = union_probe_tiles(tile_idx, view.empty_tile)
+    args = (
+        view.payload, view.sizes, jnp.asarray(view.tile_list_np),
+        index.centroids, index.codebooks, q,
+        jnp.asarray(union), jnp.asarray(pos),
+    )
+    ref = np.asarray(union_pq_scan_distances(*args, by_residual=True))
+    got = np.asarray(union_pq_scan_distances_pallas(
+        *args, by_residual=True, nqb=8, interpret=True
+    ))
+    pad_ref = ref >= PAD_DISTANCE / 2
+    np.testing.assert_array_equal(got >= PAD_DISTANCE / 2, pad_ref)
+    # bf16 LUT contract: bulk agreement tight; the smallest distances can
+    # deviate more (cancellation between large ±⟨r, cb⟩ LUT terms), which
+    # is the same precision class as the default bf16-recon dense scan —
+    # so the meaningful contract is coarse SELECTION agreement
+    rel = np.abs(got[~pad_ref] - ref[~pad_ref]) / np.maximum(
+        ref[~pad_ref], 1.0
+    )
+    assert np.median(rel) < 0.01, np.median(rel)
+    k = 40
+    for qi in range(got.shape[0]):
+        sel_ref = set(np.argsort(ref[qi], kind="stable")[:k].tolist())
+        sel_got = set(np.argsort(got[qi], kind="stable")[:k].tolist())
+        assert len(sel_ref & sel_got) >= int(0.85 * k), qi
