@@ -18,12 +18,20 @@ python -m prefhetch_tpu.serve.main \
 SERVER_PID=$!
 trap 'kill $SERVER_PID 2>/dev/null || true' EXIT
 
-for i in $(seq 1 60); do
+# index build + first compiles can take several minutes through the remote
+# XLA compiler — wait up to ~10 min and fail loudly instead of proceeding
+UP=0
+for i in $(seq 1 150); do
     if curl -sf --max-time 2 "http://localhost:$PORT/healthz" >/dev/null 2>&1; then
+        UP=1
         break
     fi
-    sleep 2
+    sleep 4
 done
+if [ "$UP" != "1" ]; then
+    echo "server failed to come up on port $PORT" >&2
+    exit 1
+fi
 
 echo "== client (plaintext pipeline) =="
 python -m prefhetch_tpu.client.driver --dataset-dir "$DIR/ds" \
