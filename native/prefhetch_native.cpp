@@ -267,7 +267,8 @@ static inline bool parse_number(const char* s, const char* end,
 // Count numbers and locate the closing ']' of the flat array at s[0]='['.
 static int64_t scan_array(const char* s, int64_t len, int64_t* end_out) {
     int64_t cnt = 0;
-    bool in_num = false;
+    bool in_num = false;   // inside (or just past) the current number
+    bool gap = false;      // whitespace seen after a number, no comma yet
     for (int64_t i = 1; i < len; i++) {
         const char c = s[i];
         if (c == ']') {
@@ -275,8 +276,15 @@ static int64_t scan_array(const char* s, int64_t len, int64_t* end_out) {
             *end_out = i;
             return cnt;
         }
-        if (c == ',') { if (in_num) cnt++; in_num = false; }
-        else if (c != ' ' && c != '\n' && c != '\t' && c != '\r') in_num = true;
+        if (c == ',') {
+            if (!in_num) return -1;                   // "[,", "[1,,2]"
+            cnt++; in_num = false; gap = false;
+        } else if (c == ' ' || c == '\n' || c == '\t' || c == '\r') {
+            if (in_num) gap = true;
+        } else {
+            if (gap) return -1;   // "[1 2]": separator must be a comma —
+            in_num = true;        // malformed input falls back to stdlib
+        }
     }
     return -1;
 }

@@ -48,10 +48,15 @@ def _enable_persistent_compile_cache() -> None:
     if loc == "off":
         return
     if not loc:
-        loc = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            ".jax_cache",
-        )
+        parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if os.access(parent, os.W_OK):
+            loc = os.path.join(parent, ".jax_cache")
+        else:
+            # site-packages installs can be read-only — cache writes would
+            # fail silently at first compile; use a user-writable fallback
+            loc = os.path.join(
+                os.path.expanduser("~"), ".cache", "prefhetch_jax"
+            )
     try:
         import jax
 

@@ -258,7 +258,13 @@ def pallas_pq_onehot_distances(
     ntp1, T, M = codes.shape
     nq, MK = lutq.shape
     nqb = min(nqb, nq)
-    assert nq % nqb == 0
+    nq_orig = nq
+    if nq % nqb:                # pad the query block axis, slice after
+        pad = nqb - nq % nqb
+        lutq = jnp.concatenate(
+            [lutq, jnp.zeros((pad, MK), lutq.dtype)], axis=0
+        )
+        nq = nq + pad
     grid = (nq // nqb, U)       # qb outer: the lutq block stays resident
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -298,4 +304,4 @@ def pallas_pq_onehot_distances(
         lutq.reshape(1, nq, MK).astype(jnp.bfloat16),
         lutp.reshape(-1, 1, MK).astype(jnp.bfloat16),
     )
-    return out
+    return out[:nq_orig] if nq_orig != nq else out

@@ -107,12 +107,13 @@ def test_two_process_cluster(tmp_path):
         k: v for k, v in os.environ.items()
         if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
     }
-    env["PYTHONPATH"] = "/root/repo"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(pid), port],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
-            cwd="/root/repo",
+            cwd=repo_root,
         )
         for pid in (0, 1)
     ]

@@ -87,6 +87,19 @@ def test_json_decode_empty_array():
     assert got is not None and got.size == 0
 
 
+def test_json_decode_malformed_rejected():
+    # whitespace is not a separator: "[1 2 3]" must signal malformed (None →
+    # caller falls back to stdlib json, which raises), never silently return
+    # a truncated array
+    assert native.json_decode_array(b"[1 2 3]") is None
+    assert native.json_decode_array(b"[1,,2]") is None
+    assert native.json_decode_array(b"[,1]") is None
+    # whitespace around commas stays fine
+    got = native.json_decode_array(b"[ 1 , 2 ,\n 3 ]")
+    if got is not None:
+        np.testing.assert_array_equal(got, [1, 2, 3])
+
+
 def test_native_ntt_matches_reference():
     from prefhetch_tpu.crypto.ntt import build_tables, intt, ntt
     from prefhetch_tpu.crypto.params import find_ntt_primes

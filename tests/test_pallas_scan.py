@@ -66,3 +66,32 @@ def test_pallas_positional_id_resolution(built):
     )
     ref_cand = np.take_along_axis(np.asarray(ref.ids), np.asarray(pos), axis=1)
     np.testing.assert_array_equal(cand, ref_cand)
+
+
+def test_pq_onehot_nq_not_multiple_of_block():
+    """pallas_pq_onehot_distances must pad (not assert) when nq is not a
+    multiple of the query block nqb (advisor r02)."""
+    import numpy as np
+
+    from prefhetch_tpu.ops.pallas_scan import pallas_pq_onehot_distances
+
+    rng = np.random.default_rng(0)
+    ntiles, T, M, ksub, nlist = 4, 8, 4, 16, 3
+    codes = rng.integers(0, ksub, (ntiles + 1, T, M), dtype=np.uint8)
+    nq = 3                                   # not a multiple of nqb=2
+    lutq = rng.normal(size=(nq, M * ksub)).astype(np.float32)
+    lutp = rng.normal(size=(nlist, M * ksub)).astype(np.float32)
+    tile_list = rng.integers(0, nlist, ntiles + 1).astype(np.int32)
+    union = np.arange(3, dtype=np.int32)
+    out = np.asarray(pallas_pq_onehot_distances(
+        jnp.asarray(codes), jnp.asarray(lutq), jnp.asarray(lutp),
+        jnp.asarray(tile_list), jnp.asarray(union), nqb=2, interpret=True,
+    )).reshape(nq, 3, T)
+    for qi in range(nq):
+        for ui, u in enumerate(union):
+            lut = (lutq[qi] + lutp[tile_list[u]]).astype(np.float32)
+            exp = np.array([
+                sum(lut[m * ksub + codes[u, t, m]] for m in range(M))
+                for t in range(T)
+            ])
+            np.testing.assert_allclose(out[qi, ui], exp, rtol=2e-2, atol=2e-2)
