@@ -18,12 +18,67 @@ The index build is cached in ./bench_cache between runs.
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+# ---------------------------------------------------------------------------
+# Emission robustness (round-2 postmortem: the driver's timeout killed the
+# run before the single JSON line was printed — the round recorded NO perf
+# number). Three guarantees now:
+#   1. a global wall-clock budget (PFH_BENCH_DEADLINE_S, default 12 min):
+#      optional sections are skipped — and recorded as skipped — once the
+#      budget would be exceeded;
+#   2. SIGTERM/SIGINT/SIGALRM handlers flush the best-so-far result line
+#      before exiting, so an external `timeout` still yields a parsable line;
+#   3. a self-armed SIGALRM backstop slightly past the deadline catches a
+#      section stuck inside a minutes-long remote XLA compile.
+# ---------------------------------------------------------------------------
+_T0 = time.time()
+DEADLINE_S = float(os.environ.get("PFH_BENCH_DEADLINE_S", 720))
+_RESULT: dict = {
+    "metric": "ivfpq_query_pipeline_qps",
+    "value": 0.0,
+    "unit": "queries/sec",
+    "vs_baseline": 0.0,
+    "extra": {"status": "incomplete"},
+}
+_EMITTED = False
+
+
+def _time_left() -> float:
+    return DEADLINE_S - (time.time() - _T0)
+
+
+def _emit_once() -> None:
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    sys.stdout.write(json.dumps(_RESULT) + "\n")
+    sys.stdout.flush()
+
+
+def _on_signal(signum, frame):  # noqa: ARG001
+    _RESULT["extra"]["aborted_by"] = signal.Signals(signum).name
+    _emit_once()
+    os._exit(0)
+
+
+def _arm_emission_guards() -> None:
+    for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):
+        try:
+            signal.signal(sig, _on_signal)
+        except (ValueError, OSError):
+            pass  # non-main thread / unsupported — atexit still covers
+    # hard backstop: even a section wedged in a remote compile gets cut
+    signal.alarm(int(DEADLINE_S) + 90)
+    atexit.register(_emit_once)
 
 # operating point — defaults to the BASELINE SIFT1M config
 # (nlist=1024, nprobe=16); override scale via PFH_BENCH_NBASE for quick runs
@@ -306,8 +361,11 @@ def numpy_pipeline(index, base, queries):
 
 
 def main():
+    _arm_emission_guards()
     data = get_dataset()
     index = get_index(data)
+    print(f"[bench] dataset+index ready at {time.time() - _T0:.1f}s",
+          file=sys.stderr)
 
     import jax
     import jax.numpy as jnp
@@ -324,10 +382,16 @@ def main():
     q_run = np.tile(pool, (reps, 1))[:dev_batch]     # distinct up to the pool
     q_j = jnp.asarray(q_run)
 
+    def _mark(msg):
+        print(f"[bench] {msg} at {time.time() - _T0:.1f}s", file=sys.stderr,
+              flush=True)
+
     step, args, scan_stats = tpu_pipeline(index, base_j, q_j)
+    _mark("pipeline built")
     # warmup / compile
     d, ids = step(*args)
     ids.block_until_ready()
+    _mark("warmup done")
 
     # throughput: pipelined dispatch (async across batches, like serving
     # under sustained load)
@@ -337,6 +401,7 @@ def main():
     ids.block_until_ready()
     dt = time.perf_counter() - t0
     tpu_qps = dev_batch * N_BATCHES / dt
+    _mark("throughput loop done")
 
     # latency: synchronous per-batch round trips
     lat = []
@@ -348,6 +413,11 @@ def main():
     lat_ms = sorted(x * 1e3 for x in lat)
     p50 = lat_ms[len(lat_ms) // 2]
     p99 = lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))]
+    _mark("latency loop done")
+
+    # HEADLINE SECURED: from here on, any signal/deadline flush carries the
+    # core number (vs_baseline refined below once the numpy baseline runs)
+    _RESULT["value"] = round(tpu_qps, 2)
 
     # recall sanity on the bench workload
     from prefhetch_tpu.metrics import benchmark_results
@@ -357,6 +427,30 @@ def main():
         np.asarray(ids)[:n_score], data["groundtruth"][:n_score], k=K
     )
 
+    _RESULT["extra"] = {
+        "status": "core",
+        "recall_at_10": round(rep.recall_10, 4),
+        "recall_at_100": round(rep.recall_100, 4),
+        "scan_bytes_per_query": scan_stats["scan_bytes_per_query"],
+        "scan_effective_gbps": round(
+            scan_stats["scan_bytes_per_query"] * tpu_qps / 1e9, 1
+        ),
+        # Index memory per vector. Code memory matches FAISS IVFPQ
+        # (uint8 codes, M=32); the dense bf16 reconstruction payload is
+        # a deliberate memory-for-bandwidth trade (the LUT-gather ADC
+        # alternative measured ~100× slower on TPU) — FAISS IVFPQ
+        # serving memory is codes 32B + ids 8B = 40 B/vec.
+        "index_code_bytes_per_vec": PQ_M + 4,
+        "scan_payload_bytes_per_vec": 2 * D,
+        "batch_p50_ms": round(p50, 2),
+        "batch_p99_ms": round(p99, 2),
+        "nbase": NBASE,
+        "batch": BATCH,
+        "backend": jax.devices()[0].platform,
+    }
+    print(f"[bench] core done at {time.time() - _T0:.1f}s: "
+          f"{tpu_qps:.0f} q/s", file=sys.stderr)
+
     # numpy baseline on a smaller slice, extrapolated per-query
     run_np = numpy_pipeline(index, data["base"], queries)
     nq_base = 8
@@ -364,21 +458,34 @@ def main():
     base_ids = run_np(queries[:nq_base])
     dt_np = time.perf_counter() - t0
     np_qps = nq_base / dt_np
+    _RESULT["vs_baseline"] = round(tpu_qps / np_qps, 2)
+    _RESULT["extra"]["numpy_baseline_qps"] = round(np_qps, 2)
 
-    # every optional section below is fault-isolated: the driver's graded
-    # run must emit the JSON line even if one workload trips on this
-    # sandbox's remote-compile/relay quirks
-    def _section(name, skip_env, fn):
+    # every optional section below is fault-isolated AND deadline-gated:
+    # the driver's graded run must emit the JSON line even if one workload
+    # trips on this sandbox's remote-compile/relay quirks, and must emit it
+    # INSIDE the driver's timeout even when cold compiles blow a section up
+    def _section(name, skip_env, fn, est_s=90.0):
         if os.environ.get(skip_env):
             return {}
+        left = _time_left()
+        if left < est_s:
+            print(f"[bench] skipping {name}: {left:.0f}s left < "
+                  f"est {est_s:.0f}s", file=sys.stderr)
+            return {f"{name}_skipped": f"deadline ({left:.0f}s left)"}
+        t_sec = time.time()
         try:
-            return fn()
+            out = fn()
         except Exception as e:     # noqa: BLE001 — report, don't die
             import traceback
 
             traceback.print_exc()
             print(f"[bench] {name} section failed: {e}", file=sys.stderr)
-            return {f"{name}_error": str(e)[:200]}
+            out = {f"{name}_error": str(e)[:200]}
+        _RESULT["extra"].update(out)
+        print(f"[bench] section {name}: {time.time() - t_sec:.1f}s "
+              f"({_time_left():.0f}s left)", file=sys.stderr)
+        return out
 
     def run_enc():
         e_qps, m_qps, k_qps = encrypted_rerank_qps(data, np.asarray(ids))
@@ -387,8 +494,6 @@ def main():
             "encrypted_mac_device_qps": round(m_qps, 2),
             "encrypted_mac_kernel_qps": round(k_qps, 2),
         }
-
-    enc = _section("encrypted", "PFH_BENCH_SKIP_ENC", run_enc)
 
     # recall on the HARD workload (overlapping clusters, heavy-tailed list
     # sizes — see data.synthetic.make_hard_dataset): the clustered set's
@@ -418,8 +523,6 @@ def main():
             "hard_oracle_recall_at_100": round(orep.recall_100, 4),
         }
 
-    hard = _section("hard", "PFH_BENCH_SKIP_HARD", run_hard)
-
     # ANGULAR workload (BASELINE "GloVe-1.2M with PQ lists" family):
     # unit-normalized vectors — cosine ranking == L2 ranking on the unit
     # sphere, so the identical pipeline serves it; recall is scored against
@@ -446,20 +549,12 @@ def main():
             "angular_recall_at_100": round(arep.recall_100, 4),
         }
 
-    angular = _section("angular", "PFH_BENCH_SKIP_ANGULAR", run_angular)
-
-    http = _section(
-        "http", "PFH_BENCH_SKIP_HTTP", lambda: http_serving_bench(data, index)
-    )
-
     def run_ckks():
         ckks_qps, ckks_err = ckks_scoring_qps(data, np.asarray(ids))
         return {
             "ckks_scoring_qps": round(ckks_qps, 2),
             "ckks_max_rel_err": round(ckks_err, 6),
         }
-
-    ckks = _section("ckks", "PFH_BENCH_SKIP_CKKS", run_ckks)
 
     def run_pir():
         # real single-server PIR at FULL dataset scale: 2-D hypercube
@@ -503,42 +598,21 @@ def main():
         ms = (_time.perf_counter() - t0) / len(rows) * 1e3
         return {"pir_fetch_ms_per_row": round(ms, 1), "pir_nbase": len(base)}
 
-    pir = _section("pir", "PFH_BENCH_SKIP_PIR", run_pir)
+    # ordered by value/cost under the deadline: the serving gap and the
+    # encrypted path are graded targets; angular/ckks/pir round out coverage
+    _section("encrypted", "PFH_BENCH_SKIP_ENC", run_enc, est_s=100)
+    _section(
+        "http", "PFH_BENCH_SKIP_HTTP",
+        lambda: http_serving_bench(data, index), est_s=120,
+    )
+    _section("hard", "PFH_BENCH_SKIP_HARD", run_hard, est_s=120)
+    _section("angular", "PFH_BENCH_SKIP_ANGULAR", run_angular, est_s=120)
+    _section("ckks", "PFH_BENCH_SKIP_CKKS", run_ckks, est_s=80)
+    _section("pir", "PFH_BENCH_SKIP_PIR", run_pir, est_s=80)
 
-    result = {
-        "metric": "ivfpq_query_pipeline_qps",
-        "value": round(tpu_qps, 2),
-        "unit": "queries/sec",
-        "vs_baseline": round(tpu_qps / np_qps, 2),
-        "extra": {
-            "numpy_baseline_qps": round(np_qps, 2),
-            "recall_at_10": round(rep.recall_10, 4),
-            "recall_at_100": round(rep.recall_100, 4),
-            **enc,
-            "scan_bytes_per_query": scan_stats["scan_bytes_per_query"],
-            "scan_effective_gbps": round(
-                scan_stats["scan_bytes_per_query"] * tpu_qps / 1e9, 1
-            ),
-            # Index memory per vector. Code memory matches FAISS IVFPQ
-            # (uint8 codes, M=32); the dense bf16 reconstruction payload is
-            # a deliberate memory-for-bandwidth trade (the LUT-gather ADC
-            # alternative measured ~100× slower on TPU) — FAISS IVFPQ
-            # serving memory is codes 32B + ids 8B = 40 B/vec.
-            "index_code_bytes_per_vec": PQ_M + 4,
-            "scan_payload_bytes_per_vec": 2 * D,
-            **hard,
-            **angular,
-            **http,
-            **ckks,
-            **pir,
-            "batch_p50_ms": round(p50, 2),
-            "batch_p99_ms": round(p99, 2),
-            "nbase": NBASE,
-            "batch": BATCH,
-            "backend": jax.devices()[0].platform,
-        },
-    }
-    print(json.dumps(result))
+    _RESULT["extra"]["status"] = "complete"
+    _RESULT["extra"]["bench_wall_s"] = round(time.time() - _T0, 1)
+    _emit_once()
 
 
 def _ivf_oracle_topk(data, index) -> np.ndarray:
@@ -631,22 +705,29 @@ def http_serving_bench(
     import tempfile
 
     worker_src = _HTTP_CLIENT_WORKER_SRC
-    with tempfile.TemporaryDirectory() as td:
-        script = os.path.join(td, "client_worker.py")
-        with open(script, "w") as f:
-            f.write(worker_src)
-        np.save(os.path.join(td, "queries.npy"), queries)
-        np.save(os.path.join(td, "probes.npy"), probes_by_client)
-        proc = subprocess.Popen(
-            [_sys.executable, script, addr, td, str(n_clients),
-             str(reqs_per_client), str(COARSE_PROBE)],
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-        )
-        out, _ = proc.communicate(timeout=600)
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            script = os.path.join(td, "client_worker.py")
+            with open(script, "w") as f:
+                f.write(worker_src)
+            np.save(os.path.join(td, "queries.npy"), queries)
+            np.save(os.path.join(td, "probes.npy"), probes_by_client)
+            proc = subprocess.Popen(
+                [_sys.executable, script, addr, td, str(n_clients),
+                 str(reqs_per_client), str(COARSE_PROBE)],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            )
+            try:
+                out, _ = proc.communicate(timeout=600)
+            except Exception:
+                proc.kill()
+                raise
         vals = out.split()
         wall = float(vals[1]) - float(vals[0])
         lat = [float(x) for x in vals[2:]]
-    srv.shutdown()
+    finally:
+        # the server thread must never leak into subsequent bench sections
+        srv.shutdown()
 
     lat_ms = sorted(x * 1e3 for x in lat)
     return {
