@@ -170,11 +170,18 @@ def get_index(data, subdir=""):
     params = IndexParams(d=D, nlist=NLIST, pq_m=PQ_M, pq_nbits=8)
     cache = os.path.join(CACHE, subdir) if subdir else CACHE
     os.makedirs(cache, exist_ok=True)
-    path = os.path.join(cache, params.artifact_name())
+    # NBASE prefix: artifact_name() encodes geometry only, and two NBASE
+    # scales can share an nlist — a stale same-geometry index from another
+    # scale must never be served against this dataset (the reference's
+    # cache name includes NBASE for the same reason, server_lib.cpp:38-42)
+    path = os.path.join(cache, f"N{len(data['base'])}_" + params.artifact_name())
     if os.path.exists(path):
-        return load_index(path)
+        idx = load_index(path)
+        if idx.ntotal == len(data["base"]):
+            return idx
     idx = build_ivf_index(data["train"], data["base"], params)
-    save_index(idx, cache)
+    saved = save_index(idx, cache)
+    os.replace(saved, path)
     return idx
 
 
@@ -638,22 +645,28 @@ def _ivf_oracle_topk(data, index) -> np.ndarray:
 
 
 def http_serving_bench(
-    data, index, n_clients: int = 32, reqs_per_client: int = 8
+    data, index, n_clients: int = 32, reqs_per_client: int = 30
 ):
     """BASELINE config 5: batched serving measured through the REAL wire.
 
-    Spins the stdlib HTTP server with the cross-request BatchScheduler
-    (serve/batcher.py, 64-way coalescing), then n_clients concurrent threads
-    each run the triage round trip (POST /coarsesearch → client top-CP select
-    → POST /precisesearch) for single-query requests. Reports the
-    client-observed end-to-end latency distribution and aggregate q/s —
-    JSON serialization, transport, batching wait, and device time included.
+    Round-2 postmortem: the stdlib threaded server + ragged JSON wire
+    measured 23 q/s against a 15.8K q/s device pipeline (~680x gap) — the
+    JSON text for ~15K-candidate coarse responses dominated the one host
+    core. This bench now drives the production path: the asyncio event-loop
+    frontend (serve/aio_server.py), the binary tiled coarse wire
+    (utils/wire_bin.py — u16 quantized distances straight off the device,
+    ids resolved client-side from the cached tile table), and the
+    cross-request batcher with grace-period dispatch. n_clients concurrent
+    client threads (in a separate process: the GIL must not couple client
+    and server work) each run the full triage round trip
+    (coarse -> top-CP select -> precise) per request. Reports
+    client-observed end-to-end q/s and latency percentiles — wire
+    serialization, transport, batching wait, and device time all included.
     """
     import socket
-    import time as _time
 
     from prefhetch_tpu.engine.server import QueryEngine
-    from prefhetch_tpu.serve.http_server import serve_forever
+    from prefhetch_tpu.serve.aio_server import serve_forever_aio
     from prefhetch_tpu.utils.config import (
         IndexParams, PipelineConfig, ProtocolParams,
     )
@@ -670,31 +683,32 @@ def http_serving_bench(
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
-    srv = serve_forever(
+    srv = serve_forever_aio(
         engine, host="127.0.0.1", port=port, background=True, batching=True,
-        max_wait_ms=100.0,  # heavy-concurrency setting: window ≈ the
-                            # relay-bound batch turnaround (~110 ms)
+        max_batch=64,
+        max_wait_ms=50.0,   # upper bound on the collect window ...
+        grace_ms=3.0,       # ... but dispatch after 3 ms of arrival silence
     )
     addr = f"http://127.0.0.1:{port}/"
 
     centroids = np.asarray(index.centroids)
     queries = data["query"][: max(n_clients, 1)].astype(np.float32)
 
-    # warm: compile every bucketed batch shape the batcher can produce
-    # (engine pads rows to powers of two — see engine/server._next_pow2)
-    wq = queries[: min(len(queries), 64)]
-    d2w = ((wq[:, None, :] - centroids[None]) ** 2).sum(-1)
-    wprobes = np.argsort(d2w, axis=1)[:, :NPROBE].astype(np.int64)
-    wcand = np.tile(
-        np.arange(COARSE_PROBE, dtype=np.int64)[None], (len(wq), 1)
-    )  # any valid ids — warming compiles shapes, not results
-    nqp = 1
-    while nqp <= min(64, len(wq)):
-        engine.coarse_search(wq[:nqp], wprobes[:nqp])
-        engine.precise_search(wq[:nqp], wcand[:nqp])
-        nqp *= 2
+    # warm: rows_pin (set by wrap_batching) means ONE compiled program per
+    # service regardless of batch composition — warm each service once
+    wq = queries[:1]
+    d2w = (
+        (queries[:, None, :] - centroids[None]) ** 2
+    ).sum(-1)
+    wprobes = np.argsort(d2w[:1], axis=1)[:, :NPROBE].astype(np.int64)
+    wcand = np.arange(COARSE_PROBE, dtype=np.int64)[None]
+    engine.coarse_search_tiled(wq, wprobes)
+    engine.precise_search(wq, wcand)
+    wire_q = int(
+        engine._serve_mt[NPROBE] * engine._tiled_view.tile * 2
+    )  # qdist bytes/query on the wire
 
-    # clients run OUT of process (one stdlib-only subprocess driving
+    # clients run OUT of process (one stdlib+numpy subprocess driving
     # n_clients concurrent threads — IO-bound, so threads are the right
     # concurrency on this single-core host): in-process client threads
     # would measure GIL contention against the server's host work, not
@@ -715,13 +729,17 @@ def http_serving_bench(
             proc = subprocess.Popen(
                 [_sys.executable, script, addr, td, str(n_clients),
                  str(reqs_per_client), str(COARSE_PROBE)],
-                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             )
             try:
-                out, _ = proc.communicate(timeout=600)
+                out, err = proc.communicate(timeout=600)
             except Exception:
                 proc.kill()
                 raise
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"http client worker failed: {err[-500:].decode()}"
+                )
         vals = out.split()
         wall = float(vals[1]) - float(vals[0])
         lat = [float(x) for x in vals[2:]]
@@ -737,15 +755,18 @@ def http_serving_bench(
             lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))], 2
         ),
         "http_clients": n_clients,
+        "http_coarse_wire_bytes_per_query": wire_q,
     }
 
 
-# standalone client worker (no prefhetch imports — pure stdlib + numpy):
-# n_clients concurrent threads each run the triage round trip
-# (coarse → top-CP select → precise) n_reqs times; prints
-# "<t_start> <t_end> <lat0> <lat1> …" (request window excludes warmup)
+# standalone client worker (stdlib + numpy only — an external client's
+# view of the binary wire): n_clients concurrent threads each run the
+# triage round trip (binary coarse -> top-CP select on u16 wire values ->
+# binary precise) n_reqs times over ONE keep-alive connection; prints
+# "<t_start> <t_end> <lat0> <lat1> ..." (request window excludes warmup).
+# The binary container decode is inlined (utils/wire_bin.py format).
 _HTTP_CLIENT_WORKER_SRC = '''
-import json, os, sys, threading, time, urllib.request
+import http.client, os, struct, sys, threading, time, urllib.parse
 import numpy as np
 
 addr, td, n_clients, n_reqs, cp = (
@@ -754,42 +775,97 @@ addr, td, n_clients, n_reqs, cp = (
 )
 queries = np.load(os.path.join(td, "queries.npy"))
 probes = np.load(os.path.join(td, "probes.npy"))
+u = urllib.parse.urlparse(addr)
+HOST, PORT = u.hostname, u.port
+BIN_CT = "application/x-prefhetch-bin"
+DT = {0: "u1", 1: "i4", 2: "i8", 3: "f4", 4: "u2", 5: "f2", 6: "u4"}
+DTC = {"int32": 1, "int64": 2, "float32": 3}
 
-def post(route, payload):
-    req = urllib.request.Request(
-        addr + route, data=json.dumps(payload).encode(),
-        headers={"Content-Type": "application/json"},
-    )
-    with urllib.request.urlopen(req, timeout=600) as r:
-        return json.loads(r.read())
 
-def one_round(ci):
-    q = queries[ci % len(queries)]
-    p = probes[ci % len(probes)]
-    resp = post("coarsesearch", {
-        "preciseQuery": [q.tolist()],
-        "nearestCentroidIndexes": [p.tolist()],
-    })
-    scores = np.asarray(resp["coarseDistanceScores"])
-    idxs = np.asarray(resp["coarseVectorIndexes"], dtype=np.int64)
-    top = np.argsort(scores)[:cp]
-    post("precisesearch", {
-        "preciseQuery": [q.tolist()],
-        "nearestCoarseVectorIndexes": [idxs[top].tolist()],
-    })
+def bencode(kind, arrs):
+    parts = [struct.pack("<IBBH", 0x31424650, kind, len(arrs), 0)]
+    total = 8
+    for a in arrs:
+        a = np.ascontiguousarray(a)
+        hdr = struct.pack("<BBH", DTC[a.dtype.name], a.ndim, 0)
+        hdr += struct.pack(f"<{a.ndim}I", *a.shape)
+        pad = -(total + len(hdr)) % 8
+        hdr += b"\\0" * pad
+        parts.append(hdr)
+        total += len(hdr)
+        raw = a.tobytes()
+        rp = -len(raw) % 8
+        parts.append(raw if rp == 0 else raw + b"\\0" * rp)
+        total += len(raw) + rp
+    return b"".join(parts)
 
-one_round(0)                                   # warm the wire
+
+def bdecode(buf):
+    magic, kind, nsec, _ = struct.unpack_from("<IBBH", buf, 0)
+    assert magic == 0x31424650, "bad magic"
+    off, out = 8, []
+    for _ in range(nsec):
+        code, ndim, _r = struct.unpack_from("<BBH", buf, off)
+        dims = struct.unpack_from(f"<{ndim}I", buf, off + 4)
+        off = (off + 4 + 4 * ndim + 7) & ~7
+        dt = np.dtype(DT[code])
+        cnt = 1
+        for d in dims:
+            cnt *= d
+        out.append(np.frombuffer(buf, dt, count=cnt, offset=off).reshape(dims))
+        off = (off + cnt * dt.itemsize + 7) & ~7
+    return kind, out
+
+
+class Conn:
+    def __init__(self):
+        self.c = http.client.HTTPConnection(HOST, PORT, timeout=600)
+
+    def req(self, method, path, body=b""):
+        hdrs = {"Accept": BIN_CT}
+        if body:
+            hdrs["Content-Type"] = BIN_CT
+        self.c.request(method, path, body=body or None, headers=hdrs)
+        r = self.c.getresponse()
+        data = r.read()
+        if r.status != 200:
+            raise RuntimeError(f"{path} -> {r.status}: {data[:200]!r}")
+        return data
+
+
+# shared static tile table (one download)
+boot = Conn()
+_, (tsizes, tids) = bdecode(boot.req("GET", "/tiletable"))
+T = tids.shape[1]
+
+
+def one_round(conn, ci):
+    q = queries[ci % len(queries)][None].astype(np.float32)
+    p = probes[ci % len(probes)][None].astype(np.int64)
+    resp = conn.req("POST", "/coarsesearch", bencode(4, [q, p]))
+    _, (tile_idx, qdist, dmin, dstep, counts) = bdecode(resp)
+    qd = qdist[0]
+    part = np.argpartition(qd, cp)[:cp]
+    order = part[np.argsort(qd[part], kind="stable")]
+    ids = tids[tile_idx[0]].reshape(-1)[order].astype(np.int64)[None]
+    conn.req("POST", "/precisesearch", bencode(5, [q, ids]))
+
+
+one_round(boot, 0)                             # warm the wire
 lats = []
 lock = threading.Lock()
 
+
 def client(ci):
+    conn = Conn()
     mine = []
     for _ in range(n_reqs):
         t0 = time.perf_counter()
-        one_round(ci)
+        one_round(conn, ci)
         mine.append(time.perf_counter() - t0)
     with lock:
         lats.extend(mine)
+
 
 threads = [
     threading.Thread(target=client, args=(i,)) for i in range(n_clients)

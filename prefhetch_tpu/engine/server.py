@@ -102,6 +102,14 @@ class QueryEngine:
             self.index = load_index(artifact)
             if self.index.params != cfg.index:
                 raise ValueError("Loaded index params do not match config")
+            if self.index.ntotal != base.shape[0]:
+                # artifact_name() encodes geometry only; a same-geometry
+                # index cached at another dataset scale would serve ids
+                # outside this base matrix
+                raise ValueError(
+                    f"Loaded index holds {self.index.ntotal} vectors but "
+                    f"the base set has {base.shape[0]}"
+                )
 
     def set_index(self, index: IVFIndex, base: np.ndarray) -> None:
         """In-process injection (for tests / embedded use)."""
@@ -172,6 +180,124 @@ class QueryEngine:
         """Export all nlist centroids (reference: server_lib.cpp:101-109)."""
         return self.index.reconstruct_centroids()
 
+    # Serving row pinning: when set (serve frontends set it to the batch
+    # scheduler's max_batch), EVERY service call pads its row axis to this
+    # single value → exactly one compiled XLA program per service instead
+    # of one per power-of-two bucket. Device cost is negligible (the MXU
+    # pads the nq lane dimension to 128 anyway); it matters here because
+    # this sandbox's remote XLA compiles take minutes each.
+    rows_pin: Optional[int] = None
+
+    def _rows_pad(self, nq: int) -> int:
+        if self.rows_pin is not None and nq <= self.rows_pin:
+            return int(self.rows_pin)
+        return _next_pow2(nq)
+
+    # ------------------------------------------------------------------
+    def _tiled_batch_prep(self, probes_np: np.ndarray, q: jnp.ndarray):
+        """Shared serving-shape pinning for the tiled scan paths.
+
+        Expands logical probes to a PINNED tile axis (one compiled shape per
+        (row-bucket, nprobe)), buckets batch rows to the next power of two,
+        and builds the bucket-padded union tile list — every data-dependent
+        dimension is pinned because a fresh XLA program costs minutes
+        through this sandbox's remote compiler.
+
+        Returns (tile_idx [nq_pad, mt] i32, q_pad [nq_pad, d],
+        union jnp [U_pad], pos jnp [nq_pad, mt], counts [nq] i64, nq)."""
+        from prefhetch_tpu.ops.union_scan import union_probe_tiles
+
+        view = self._tiled_view
+        if not hasattr(self, "_serve_mt"):
+            self._serve_mt = {}
+        nprobe = probes_np.shape[1]
+        if nprobe not in self._serve_mt:
+            self._serve_mt[nprobe] = view.serving_max_tiles(nprobe)
+        tile_idx, counts = view.expand_probes(
+            probes_np, min_t=self._serve_mt[nprobe]
+        )
+        nq = tile_idx.shape[0]
+        nq_pad = self._rows_pad(nq)
+        if nq_pad != nq:
+            tile_idx = np.concatenate(
+                [tile_idx, np.full((nq_pad - nq, tile_idx.shape[1]),
+                                   view.empty_tile, np.int32)]
+            )
+            q = jnp.concatenate(
+                [q, jnp.zeros((nq_pad - nq, q.shape[1]), q.dtype)]
+            )
+        # union-tile batched matmul scan (ops/union_scan.py): shared probed
+        # tiles are read/scored once per batch, one MXU matmul instead of
+        # nq·max_t grid steps. |U| is PINNED per row bucket (worst case
+        # nq·mt distinct tiles, capped at the whole index).
+        union_np, pos_np = union_probe_tiles(tile_idx, view.empty_tile)
+        ntiles_cap = int(view.payload.shape[0])          # incl. empty
+        u_pad = min(_next_pow2(nq_pad * tile_idx.shape[1] + 1), ntiles_cap)
+        u_pad = max(u_pad, len(union_np))    # never truncate
+        if u_pad != len(union_np):
+            union_np = np.concatenate([
+                union_np,
+                np.full(u_pad - len(union_np), view.empty_tile,
+                        union_np.dtype),
+            ])
+        return (
+            tile_idx, q, jnp.asarray(union_np), jnp.asarray(pos_np),
+            counts, nq,
+        )
+
+    # -- service 2 (binary wire): tiled coarse search ---------------------
+    def tile_table(self) -> Tuple[np.ndarray, np.ndarray, int]:
+        """The static tile→(sizes, global ids) tables a binary-wire client
+        caches once (GET /tiletable): (sizes i32 [ntiles+1],
+        ids i32 [ntiles+1, T], T). Public information — derived from the
+        same index layout the centroid export already reveals."""
+        if self._tiled_view is None:
+            raise ValueError("tiled wire requires a dense-payload index")
+        v = self._tiled_view
+        return v.tile_sizes_np, v.tile_ids_np, v.tile
+
+    def coarse_search_tiled(
+        self,
+        precise_query: np.ndarray,        # [nq, d]
+        nearest_centroid_idx: np.ndarray,  # [nq, nprobe]
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """All-candidate coarse scan, tiled binary wire form.
+
+        Same privacy semantics as coarse_search (EVERY candidate distance in
+        the probed lists goes back to the client — the server still never
+        learns which candidates the client keeps, server_lib.cpp:111-138),
+        but the response stays in the device's padded tile layout:
+
+            (tile_idx i32 [nq, mt], qdist u16 [nq, mt·T],
+             dmin f32 [nq], dstep f32 [nq], counts i64 [nq])
+
+        The client resolves ids/validity from its cached tile table
+        (tile_table), so the server does ZERO per-candidate host work —
+        round 2 measured the ragged JSON wire at 23 q/s against a 15.8K q/s
+        device pipeline; this path exists to close that gap."""
+        if self.is_sharded:
+            raise ValueError("tiled wire not available in sharded mode")
+        if self._tiled_view is None:
+            raise ValueError("tiled wire requires a dense-payload index")
+        from prefhetch_tpu.ops.union_scan import union_scan_distances_q16
+
+        view = self._tiled_view
+        q = jnp.asarray(precise_query, jnp.float32)
+        probes_np = np.asarray(nearest_centroid_idx, np.int64)
+        tile_idx_p, q_p, union_j, pos_j, counts, nq = self._tiled_batch_prep(
+            probes_np, q
+        )
+        qd, dmin, dstep = union_scan_distances_q16(
+            view.payload, view.norms, view.sizes, q_p, union_j, pos_j
+        )
+        return (
+            tile_idx_p[:nq],
+            np.asarray(qd)[:nq],
+            np.asarray(dmin)[:nq],
+            np.asarray(dstep)[:nq],
+            counts,
+        )
+
     # -- service 2: POST /coarsesearch ----------------------------------
     def coarse_search(
         self,
@@ -211,60 +337,20 @@ class QueryEngine:
             and (on_tpu or force_tiled)
             and self._tiled_view is not None
         ):
-            from prefhetch_tpu.ops.union_scan import (
-                union_probe_tiles, union_scan_distances,
-            )
+            from prefhetch_tpu.ops.union_scan import union_scan_distances
 
             view = self._tiled_view
             probes_np = np.asarray(nearest_centroid_idx, np.int64)
-            # fixed tile-axis size per nprobe: one compiled shape per
-            # (row-bucket, nprobe) regardless of batch composition
-            if not hasattr(self, "_serve_mt"):
-                self._serve_mt = {}
-            nprobe = probes_np.shape[1]
-            if nprobe not in self._serve_mt:
-                self._serve_mt[nprobe] = view.serving_max_tiles(nprobe)
-            tile_idx, counts = view.expand_probes(
-                probes_np, min_t=self._serve_mt[nprobe]
+            tile_idx_p, q_p, union_j, pos_j, counts, nq = (
+                self._tiled_batch_prep(probes_np, q)
             )
-            nq = tile_idx.shape[0]
-            # bucket the row count to the next power of two so the cross-
-            # request batcher's variable batch sizes map to O(log max_batch)
-            # compiled programs, not one per size (remote XLA compiles are
-            # minutes each); pad rows scan only the reserved empty tile
-            nq_pad = _next_pow2(nq)
-            if nq_pad != nq:
-                tile_idx = np.concatenate(
-                    [tile_idx, np.full((nq_pad - nq, tile_idx.shape[1]),
-                                       view.empty_tile, np.int32)]
-                )
-                q = jnp.concatenate(
-                    [q, jnp.zeros((nq_pad - nq, q.shape[1]), q.dtype)]
-                )
-            # union-tile batched matmul scan (ops/union_scan.py): shared
-            # probed tiles are read/scored once per batch, and the scan is
-            # one MXU matmul instead of nq·max_t grid steps. |U| is PINNED
-            # per row bucket (worst case nq·max_t distinct tiles, capped at
-            # the whole index) — a data-dependent |U| compiled a fresh XLA
-            # program per batch composition, stalling serving for seconds.
-            union_np, pos_np = union_probe_tiles(tile_idx, view.empty_tile)
-            ntiles_cap = int(view.payload.shape[0])          # incl. empty
-            u_pad = min(
-                _next_pow2(nq_pad * tile_idx.shape[1] + 1), ntiles_cap
-            )
-            u_pad = max(u_pad, len(union_np))    # never truncate
-            if u_pad != len(union_np):
-                union_np = np.concatenate([
-                    union_np,
-                    np.full(u_pad - len(union_np), view.empty_tile,
-                            union_np.dtype),
-                ])
             dist = np.asarray(
                 union_scan_distances(
-                    view.payload, view.norms, view.sizes, q,
-                    jnp.asarray(union_np), jnp.asarray(pos_np),
+                    view.payload, view.norms, view.sizes, q_p,
+                    union_j, pos_j,
                 )
             )[:nq]
+            tile_idx = tile_idx_p
             tile_idx = tile_idx[:nq]
             ids_np = view.tile_ids_np[tile_idx]            # [nq, mt, T]
             tsz = view.tile_sizes_np[tile_idx]             # [nq, mt]
@@ -332,7 +418,7 @@ class QueryEngine:
         q = np.asarray(precise_query, np.float32)
         cand = np.asarray(nearest_coarse_vector_idx, np.int64)
         nq = q.shape[0]
-        nq_pad = _next_pow2(nq)     # bucket rows: see coarse_search
+        nq_pad = self._rows_pad(nq)     # bucket rows: see coarse_search
         if nq_pad != nq:
             q = np.concatenate([q, np.zeros((nq_pad - nq, q.shape[1]), q.dtype)])
             cand = np.concatenate(

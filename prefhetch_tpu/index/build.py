@@ -283,6 +283,7 @@ def build_ivf_index(
         list_ids=jnp.asarray(list_ids),
         list_sizes=jnp.asarray(sizes),
         params=params,
+        ntotal_host=int(base.shape[0]),
         **kwargs,
     )
 
@@ -357,5 +358,6 @@ def load_index(path: str) -> IVFIndex:
             list_ids=jnp.asarray(z["list_ids"]),
             list_sizes=jnp.asarray(z["list_sizes"]),
             params=params,
+            ntotal_host=int(z["list_sizes"].sum()),
             **kwargs,
         )

@@ -66,6 +66,13 @@ class IVFIndex:
     params: IndexParams = flax.struct.field(
         pytree_node=False, default_factory=IndexParams
     )
+    # host-side vector count, stamped by the builders/loader: ntotal must
+    # never require a device→host transfer (tiny d2h reads through this
+    # sandbox's axon relay have been observed to stall for minutes, wedging
+    # server startup on the warm-load ntotal sanity check)
+    ntotal_host: Optional[int] = flax.struct.field(
+        pytree_node=False, default=None
+    )
 
     @property
     def nlist(self) -> int:
@@ -85,6 +92,8 @@ class IVFIndex:
 
     @property
     def ntotal(self) -> int:
+        if self.ntotal_host is not None:
+            return self.ntotal_host
         # host-side sum: a device reduce here would trigger TPU init/compile
         # on first touch (observed 60s+ for a /healthz probe)
         return int(np.asarray(self.list_sizes).sum())

@@ -54,6 +54,7 @@ def shard_index(index: IVFIndex, mesh: Mesh) -> IVFIndex:
         list_ids=jax.device_put(index.list_ids, row),
         list_sizes=jax.device_put(index.list_sizes, row),
         params=index.params,
+        ntotal_host=index.ntotal_host,
         **kw,
     )
 

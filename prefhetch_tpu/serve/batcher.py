@@ -26,11 +26,19 @@ import numpy as np
 
 class _Service:
     def __init__(self, fn: Callable, split: Callable, max_batch: int,
-                 max_wait_ms: float):
+                 max_wait_ms: float, grace_ms: float | None = None):
         self.fn = fn
         self.split = split
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
+        # arrival-silence early dispatch: once the queue has been empty for
+        # `grace` seconds the wave is over — dispatch instead of sitting out
+        # the rest of the window. Lockstep client waves (each client blocks
+        # on its response, so a whole wave lands within ~1 ms) get batch
+        # latency ≈ grace instead of ≈ max_wait; dribbling arrivals spaced
+        # < grace apart still coalesce up to the full window. None = always
+        # wait out the window (round-2 behavior).
+        self.grace = None if grace_ms is None else grace_ms / 1e3
         self.q: "queue.Queue[Tuple[tuple, Future]]" = queue.Queue()
         self.batches_run = 0
         self.rows_run = 0
@@ -61,6 +69,8 @@ class _Service:
                 remaining = self.max_wait - (_time.perf_counter() - t_open)
                 if remaining <= 0:
                     break
+                if self.grace is not None:
+                    remaining = min(remaining, self.grace)
                 try:
                     p2, f2 = self.q.get(timeout=remaining)
                 except queue.Empty:
@@ -104,21 +114,37 @@ def _split_rows(out, offset, n):
     return out[offset : offset + n]
 
 
+def _split_row_tuple(out, offset, n):
+    return tuple(a[offset : offset + n] for a in out)
+
+
 class BatchScheduler:
     """Engine facade with cross-request batching. Exposes the same service
     signatures as QueryEngine, so the HTTP layer can use either."""
 
-    def __init__(self, engine, max_batch: int = 64, max_wait_ms: float = 4.0):
+    def __init__(self, engine, max_batch: int = 64, max_wait_ms: float = 4.0,
+                 grace_ms: float | None = None):
         self.engine = engine
         self.config = engine.config
         self._coarse = _Service(
-            engine.coarse_search, _split_coarse, max_batch, max_wait_ms
+            engine.coarse_search, _split_coarse, max_batch, max_wait_ms,
+            grace_ms,
         )
         self._precise = _Service(
-            engine.precise_search, _split_rows, max_batch, max_wait_ms
+            engine.precise_search, _split_rows, max_batch, max_wait_ms,
+            grace_ms,
         )
         self._fetch = _Service(
-            engine.precise_vector_pir, _split_rows, max_batch, max_wait_ms
+            engine.precise_vector_pir, _split_rows, max_batch, max_wait_ms,
+            grace_ms,
+        )
+        self._coarse_tiled = (
+            _Service(
+                engine.coarse_search_tiled, _split_row_tuple, max_batch,
+                max_wait_ms, grace_ms,
+            )
+            if hasattr(engine, "coarse_search_tiled")
+            else None
         )
 
     # passthroughs -------------------------------------------------------
@@ -133,6 +159,9 @@ class BatchScheduler:
     def retrieve_centroids(self):
         return self.engine.retrieve_centroids()
 
+    def tile_table(self):
+        return self.engine.tile_table()
+
     def encrypted_precise_search(self, *a, **kw):
         return self.engine.encrypted_precise_search(*a, **kw)
 
@@ -142,6 +171,13 @@ class BatchScheduler:
     # batched services ----------------------------------------------------
     def coarse_search(self, precise_query, nearest_centroid_idx):
         return self._coarse.submit(
+            np.asarray(precise_query), np.asarray(nearest_centroid_idx)
+        ).result()
+
+    def coarse_search_tiled(self, precise_query, nearest_centroid_idx):
+        if self._coarse_tiled is None:
+            raise ValueError("engine does not support the tiled wire")
+        return self._coarse_tiled.submit(
             np.asarray(precise_query), np.asarray(nearest_centroid_idx)
         ).result()
 
@@ -158,7 +194,9 @@ class BatchScheduler:
             name: {"batches": s.batches_run, "rows": s.rows_run}
             for name, s in [
                 ("coarse", self._coarse),
+                ("coarse_tiled", self._coarse_tiled),
                 ("precise", self._precise),
                 ("fetch", self._fetch),
             ]
+            if s is not None
         }
