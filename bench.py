@@ -702,11 +702,12 @@ def http_serving_bench(
     ).sum(-1)
     wprobes = np.argsort(d2w[:1], axis=1)[:, :NPROBE].astype(np.int64)
     wcand = np.arange(COARSE_PROBE, dtype=np.int64)[None]
+    engine.coarse_search_topk(wq, wprobes, COARSE_PROBE)
     engine.coarse_search_tiled(wq, wprobes)
     engine.precise_search(wq, wcand)
     wire_q = int(
         engine._serve_mt[NPROBE] * engine._tiled_view.tile * 2
-    )  # qdist bytes/query on the wire
+    )  # all-candidates qdist bytes/query on the wire
 
     # clients run OUT of process (one stdlib+numpy subprocess driving
     # n_clients concurrent threads — IO-bound, so threads are the right
@@ -740,23 +741,35 @@ def http_serving_bench(
                 raise RuntimeError(
                     f"http client worker failed: {err[-500:].decode()}"
                 )
-        vals = out.split()
+        lines = out.decode().strip().split("\n")
+        vals = lines[0].split()
         wall = float(vals[1]) - float(vals[0])
         lat = [float(x) for x in vals[2:]]
+        ac_lat, ac_wall = [], 1.0
+        if len(lines) > 1:
+            v2 = lines[1].split()
+            ac_wall = float(v2[1]) - float(v2[0])
+            ac_lat = [float(x) for x in v2[2:]]
     finally:
         # the server thread must never leak into subsequent bench sections
         srv.shutdown()
 
     lat_ms = sorted(x * 1e3 for x in lat)
-    return {
+    out = {
         "http_qps": round(len(lat) / wall, 2),
         "http_p50_ms": round(lat_ms[len(lat_ms) // 2], 2),
         "http_p99_ms": round(
             lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))], 2
         ),
         "http_clients": n_clients,
-        "http_coarse_wire_bytes_per_query": wire_q,
+        "http_topk_wire_bytes_per_query": COARSE_PROBE * 8,
+        "http_allcand_wire_bytes_per_query": wire_q,
     }
+    if ac_lat:
+        ac_ms = sorted(x * 1e3 for x in ac_lat)
+        out["http_allcand_qps"] = round(len(ac_lat) / ac_wall, 2)
+        out["http_allcand_p50_ms"] = round(ac_ms[len(ac_ms) // 2], 2)
+    return out
 
 
 # standalone client worker (stdlib + numpy only — an external client's
@@ -833,13 +846,27 @@ class Conn:
         return data
 
 
-# shared static tile table (one download)
+# shared static tile table (one download — all-candidates phase only)
 boot = Conn()
 _, (tsizes, tids) = bdecode(boot.req("GET", "/tiletable"))
 T = tids.shape[1]
+DTC["uint32"] = 6
 
 
 def one_round(conn, ci):
+    # server-select wire: coarse top-CP on device, ~2 KB response
+    # (privacy-equivalent: the precise request names the kept set anyway)
+    q = queries[ci % len(queries)][None].astype(np.float32)
+    p = probes[ci % len(probes)][None].astype(np.int64)
+    resp = conn.req("POST", "/coarsesearch",
+                    bencode(9, [q, p, np.asarray([cp], np.uint32)]))
+    _, (ids, dists, counts) = bdecode(resp)
+    conn.req("POST", "/precisesearch",
+             bencode(5, [q, ids.astype(np.int64)]))
+
+
+def one_round_allcand(conn, ci):
+    # all-candidates wire: padded u16 distances, client-side selection
     q = queries[ci % len(queries)][None].astype(np.float32)
     p = probes[ci % len(probes)][None].astype(np.int64)
     resp = conn.req("POST", "/coarsesearch", bencode(4, [q, p]))
@@ -852,29 +879,36 @@ def one_round(conn, ci):
 
 
 one_round(boot, 0)                             # warm the wire
+one_round_allcand(boot, 0)
 lats = []
 lock = threading.Lock()
 
 
-def client(ci):
-    conn = Conn()
-    mine = []
-    for _ in range(n_reqs):
-        t0 = time.perf_counter()
-        one_round(conn, ci)
-        mine.append(time.perf_counter() - t0)
-    with lock:
-        lats.extend(mine)
+def run_phase(fn, n_cl, n_rq):
+    del lats[:]
+    def client(ci):
+        conn = Conn()
+        mine = []
+        for _ in range(n_rq):
+            t0 = time.perf_counter()
+            fn(conn, ci)
+            mine.append(time.perf_counter() - t0)
+        with lock:
+            lats.extend(mine)
+    threads = [
+        threading.Thread(target=client, args=(i,)) for i in range(n_cl)
+    ]
+    t_start = time.time()
+    for t in threads: t.start()
+    for t in threads: t.join()
+    t_end = time.time()
+    return t_start, t_end, list(lats)
 
 
-threads = [
-    threading.Thread(target=client, args=(i,)) for i in range(n_clients)
-]
-t_start = time.time()
-for t in threads: t.start()
-for t in threads: t.join()
-t_end = time.time()
-print(f"{t_start:.6f} {t_end:.6f} " + " ".join(f"{x:.6f}" for x in lats))
+t0, t1, l1 = run_phase(one_round, n_clients, n_reqs)
+print(f"{t0:.6f} {t1:.6f} " + " ".join(f"{x:.6f}" for x in l1))
+t0, t1, l2 = run_phase(one_round_allcand, min(n_clients, 16), 4)
+print(f"{t0:.6f} {t1:.6f} " + " ".join(f"{x:.6f}" for x in l2))
 '''
 
 

@@ -132,6 +132,29 @@ class BinWireClient:
             out[i] = ids[i][order]
         return out
 
+    def coarse_topk_server(
+        self,
+        queries: np.ndarray,
+        probes: np.ndarray,
+        k: int,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Server-select coarse wire: (ids i32 [nq, k] ascending,
+        dists f32 [nq, k]). Privacy-equivalent to the reference flow —
+        the precise request names the kept set anyway (see
+        engine.coarse_search_topk); ~200× smaller response than the
+        all-candidates wires. Needs no tile table."""
+        body = wire_bin.encode(
+            wire_bin.KIND_COARSE_TOPK_REQ,
+            [np.asarray(queries, np.float32),
+             np.asarray(probes, np.int64),
+             np.asarray([k], np.uint32)],
+        )
+        kind, secs = wire_bin.decode(
+            self._request("POST", "/coarsesearch", body)
+        )
+        assert kind == wire_bin.KIND_COARSE_TOPK
+        return np.asarray(secs[0]), np.asarray(secs[1])
+
     def precise(
         self,
         queries: np.ndarray,      # [nq, d]

@@ -298,6 +298,60 @@ class QueryEngine:
             counts,
         )
 
+    def coarse_search_topk(
+        self,
+        precise_query: np.ndarray,        # [nq, d]
+        nearest_centroid_idx: np.ndarray,  # [nq, nprobe]
+        k: int,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Server-side top-k coarse selection (binary wire opt-in).
+
+        Returns (ids i32 [nq, k] ascending by coarse distance,
+        dists f32 [nq, k], counts i64 [nq]).
+
+        Privacy: EQUIVALENT to the reference protocol in effect — the
+        reference client names its kept top-COARSE_PROBE candidates in
+        cleartext in the very next request (/precisesearch,
+        src/client/client_lib.cpp:158-187), so the server learns the
+        selection one round-trip later regardless; selecting server-side
+        reveals nothing extra while shrinking the response ~200× (the
+        all-candidates wires remain for clients that continue into the
+        encrypted/PIR stages and never name candidates). Round-2
+        measurement that motivated this: the all-candidates u16 response
+        at 1M (6.8 MB per 64-batch) transferred at ~25 MB/s through the
+        sandbox relay, capping the engine at ~310 q/s."""
+        if self.is_sharded:
+            raise ValueError("tiled wire not available in sharded mode")
+        if self._tiled_view is None:
+            raise ValueError("tiled wire requires a dense-payload index")
+        from prefhetch_tpu.ops.topk import topk_select
+        from prefhetch_tpu.ops.union_scan import (
+            resolve_topk_ids, union_scan_distances,
+        )
+
+        view = self._tiled_view
+        q = jnp.asarray(precise_query, jnp.float32)
+        probes_np = np.asarray(nearest_centroid_idx, np.int64)
+        tile_idx_p, q_p, union_j, pos_j, counts, nq = self._tiled_batch_prep(
+            probes_np, q
+        )
+        if int(counts.min()) < k:
+            raise ValueError(
+                f"probed lists hold {int(counts.min())} candidates < k={k}"
+            )
+        # three dispatches (scan | top-k | id-resolve): XLA's fast TPU
+        # top-k only pattern-matches a bare top_k program (ops/topk.py)
+        dist = union_scan_distances(
+            view.payload, view.norms, view.sizes, q_p, union_j, pos_j
+        )
+        vals, pos = topk_select(dist, k)
+        ids = resolve_topk_ids(pos, jnp.asarray(tile_idx_p), view.ids)
+        return (
+            np.asarray(ids)[:nq],
+            np.asarray(vals)[:nq],
+            counts,
+        )
+
     # -- service 2: POST /coarsesearch ----------------------------------
     def coarse_search(
         self,

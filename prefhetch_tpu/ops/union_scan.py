@@ -247,6 +247,23 @@ def union_scan_distances_q16(
     return qd, dmin, dstep
 
 
+@jax.jit
+def resolve_topk_ids(
+    pos: jax.Array,        # [nq, k] int32 — positions into the mt·T layout
+    tile_idx: jax.Array,   # [nq, mt] int32 — the batch's probed tiles
+    ids_table: jax.Array,  # [ntiles+1, T] int32 — global ids per tile slot
+) -> jax.Array:
+    """Map top-k positions in the padded tile layout to global vector ids.
+
+    Separate dispatch from the top-k (ops/topk.py PERFORMANCE CONTRACT:
+    fusing a gather into the top_k program demotes XLA's PartialReduce
+    top-k to a ~100× slower sort). The per-element gather here touches only
+    nq·k elements — off the hot-lane rule's scale by 3 orders."""
+    T = ids_table.shape[1]
+    trow = jnp.take_along_axis(tile_idx, pos // T, axis=1)   # [nq, k]
+    return ids_table[trow, pos % T]
+
+
 @functools.partial(
     jax.jit, static_argnames=("by_residual", "interpret", "nqb")
 )

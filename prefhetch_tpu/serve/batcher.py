@@ -146,6 +146,12 @@ class BatchScheduler:
             if hasattr(engine, "coarse_search_tiled")
             else None
         )
+        # server-select coarse top-k: one service PER k value (k is part of
+        # the engine-call identity — the shape-compat check only compares
+        # array shapes, so mixing k values in one queue would mis-coalesce)
+        self._coarse_topk: dict = {}
+        self._coarse_topk_lock = threading.Lock()
+        self._batch_args = (max_batch, max_wait_ms, grace_ms)
 
     # passthroughs -------------------------------------------------------
     @property
@@ -178,6 +184,25 @@ class BatchScheduler:
         if self._coarse_tiled is None:
             raise ValueError("engine does not support the tiled wire")
         return self._coarse_tiled.submit(
+            np.asarray(precise_query), np.asarray(nearest_centroid_idx)
+        ).result()
+
+    def coarse_search_topk(self, precise_query, nearest_centroid_idx, k):
+        k = int(k)
+        svc = self._coarse_topk.get(k)
+        if svc is None:
+            with self._coarse_topk_lock:
+                svc = self._coarse_topk.get(k)
+                if svc is None:
+                    mb, mw, gr = self._batch_args
+                    svc = _Service(
+                        lambda q, p, _k=k: self.engine.coarse_search_topk(
+                            q, p, _k
+                        ),
+                        _split_row_tuple, mb, mw, gr,
+                    )
+                    self._coarse_topk[k] = svc
+        return svc.submit(
             np.asarray(precise_query), np.asarray(nearest_centroid_idx)
         ).result()
 

@@ -263,26 +263,47 @@ class Dispatcher:
         if probes.min() < 0 or probes.max() >= nlist:
             raise ValueError("centroid index out of range")
 
-    # binary tiled coarse wire: request KIND_COARSE_REQ
-    # (q f32 [nq, d], probes i64 [nq, nprobe]) → KIND_COARSE_TILED
-    # (tile_idx i32, qdist u16, dmin f32, dstep f32, counts i64)
+    # binary coarse wire, two request kinds:
+    # - KIND_COARSE_REQ (q f32 [nq, d], probes i64 [nq, nprobe])
+    #   → KIND_COARSE_TILED (tile_idx i32, qdist u16, dmin f32, dstep f32,
+    #     counts i64) — ALL candidates, client-side selection (reference
+    #     privacy decomposition, for flows that never name candidates)
+    # - KIND_COARSE_TOPK_REQ (q, probes, k u32 [1])
+    #   → KIND_COARSE_TOPK (ids i32 [nq, k], dists f32 [nq, k], counts) —
+    #     server-side top-k; privacy-equivalent for the reference flow,
+    #     whose next request names the kept set anyway (see
+    #     engine.coarse_search_topk docstring)
     def _coarse_search_bin(self, body: bytes) -> Response:
         kind, secs = wire_bin.decode(body)
-        if kind != wire_bin.KIND_COARSE_REQ or len(secs) != 2:
-            raise ValueError("bad coarse binary request")
-        q = np.asarray(secs[0], np.float32)
-        probes = np.asarray(secs[1], np.int64)
-        self._check_coarse_args(q, probes)
-        tile_idx, qdist, dmin, dstep, counts = (
-            self.engine.coarse_search_tiled(q, probes)
-        )
-        return _bin_resp(
-            wire_bin.KIND_COARSE_TILED,
-            [tile_idx.astype(np.int32, copy=False), qdist,
-             dmin.astype(np.float32, copy=False),
-             dstep.astype(np.float32, copy=False),
-             counts.astype(np.int64, copy=False)],
-        )
+        if kind == wire_bin.KIND_COARSE_REQ and len(secs) == 2:
+            q = np.asarray(secs[0], np.float32)
+            probes = np.asarray(secs[1], np.int64)
+            self._check_coarse_args(q, probes)
+            tile_idx, qdist, dmin, dstep, counts = (
+                self.engine.coarse_search_tiled(q, probes)
+            )
+            return _bin_resp(
+                wire_bin.KIND_COARSE_TILED,
+                [tile_idx.astype(np.int32, copy=False), qdist,
+                 dmin.astype(np.float32, copy=False),
+                 dstep.astype(np.float32, copy=False),
+                 counts.astype(np.int64, copy=False)],
+            )
+        if kind == wire_bin.KIND_COARSE_TOPK_REQ and len(secs) == 3:
+            q = np.asarray(secs[0], np.float32)
+            probes = np.asarray(secs[1], np.int64)
+            k = int(np.asarray(secs[2]).reshape(-1)[0])
+            if not 0 < k <= 1 << 20:
+                raise ValueError("bad k")
+            self._check_coarse_args(q, probes)
+            ids, dists, counts = self.engine.coarse_search_topk(q, probes, k)
+            return _bin_resp(
+                wire_bin.KIND_COARSE_TOPK,
+                [ids.astype(np.int32, copy=False),
+                 dists.astype(np.float32, copy=False),
+                 counts.astype(np.int64, copy=False)],
+            )
+        raise ValueError("bad coarse binary request")
 
     # reference: Query.cc:65-97
     def _precise_search(self, body) -> Response:

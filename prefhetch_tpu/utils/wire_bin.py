@@ -52,6 +52,8 @@ KIND_PRECISE_REQ = 5    # /precisesearch bin req: q f32[nq,d], cand i64[nq,cp]
 KIND_CENTROIDS = 6      # GET /query bin: centroids f32[nlist,d]
 KIND_FETCH_REQ = 7      # /precise-vector-pir bin req: ids i64[nq,k]
 KIND_FETCH = 8          # /precise-vector-pir bin resp: vecs f32[nq,k,d]
+KIND_COARSE_TOPK_REQ = 9   # q f32[nq,d], probes i64[nq,np], k u32[1]
+KIND_COARSE_TOPK = 10      # ids i32[nq,k], dists f32[nq,k], counts i64[nq]
 
 _DTYPES = {
     0: np.dtype(np.uint8),

@@ -173,6 +173,24 @@ def test_binary_wire_end_to_end(engine, frontend):
                 spread = s_i.max() - s_i.min()
                 for vid in diff:
                     assert abs(dmap[vid] - kth) <= spread / 65534 * 2 + 1e-6
+        # server-select wire: top-k ids must match host-side exact
+        # selection on the ragged scores (ties aside)
+        sids, sdists = cli.coarse_topk_server(q, probes, cp)
+        assert sids.shape == (len(q), cp) and sdists.shape == (len(q), cp)
+        off = 0
+        for i in range(len(q)):
+            s_i = scores[off : off + sizes[i]]
+            i_i = indexes[off : off + sizes[i]]
+            off += sizes[i]
+            want = set(i_i[np.argsort(s_i, kind="stable")[:cp]].tolist())
+            got = set(sids[i].tolist())
+            diff = got ^ want
+            if diff:
+                dmap = dict(zip(i_i.tolist(), s_i.tolist()))
+                kth = np.sort(s_i)[cp - 1]
+                for vid in diff:
+                    assert abs(dmap[vid] - kth) <= 1e-3
+            assert np.all(np.diff(sdists[i]) >= 0)     # ascending
         # binary precise round == engine precise_search
         ps = cli.precise(q, top)
         np.testing.assert_allclose(
