@@ -226,6 +226,7 @@ def tpu_pipeline(index, base_j, queries_j):
     max_t = tiles_np.shape[1]
 
     scan_mode = os.environ.get("PFH_BENCH_SCAN", "union")
+    prune_j = 0          # set by the union branch; 0 = no pruning
     if quant == "pq":
         # memory-tight configuration: PQ codes payload (M bytes/vector,
         # FAISS IVFPQ serving-memory parity) scanned by the one-hot ADC
@@ -269,27 +270,59 @@ def tpu_pipeline(index, base_j, queries_j):
         # batch's probed tiles host-side, score all queries against the
         # union as ONE MXU matmul, extract per-query rows on device
         from prefhetch_tpu.ops.union_scan import (
-            union_probe_tiles, union_scan_distances,
+            union_probe_tiles, union_scan_distances, union_scan_pruned,
+            union_scan_pruned_fused,
         )
 
         union_np, pos_np = union_probe_tiles(tiles_np, view.empty_tile)
         union_j = jnp.asarray(union_np)
         pos_j = jnp.asarray(pos_np)
 
-        def prog_scan(payload, norms, sizes, q, tiles):
-            return union_scan_distances(
-                payload, norms, sizes, q, union_j, pos_j
-            )
+        # segment-level pruning (VERDICT r02 item 3): hand selection only
+        # the PRUNE_J most promising tiles per query (per-tile min-distance
+        # prefilter) — the wide top-k is the binding primitive (~7 GB/s),
+        # so shrinking its input max_t→J is a direct headline lever.
+        # 0 disables. J must keep J·T ≥ COARSE_PROBE.
+        prune_j = min(int(os.environ.get("PFH_BENCH_PRUNE_J", 16)), max_t)
+        if prune_j * T < COARSE_PROBE:
+            prune_j = 0
+
+        if prune_j:
+            # fused Pallas path (per-tile min in the VMEM epilogue + bf16
+            # store + kept-tiles-only extraction) unless explicitly off;
+            # the XLA formulation stays as the fallback/oracle
+            fused = os.environ.get("PFH_BENCH_PRUNE_FUSED", "1") != "0"
+            interp = jax.default_backend() not in ("tpu",)
+
+            if fused:
+                def prog_scan(payload, norms, sizes, q, tiles):
+                    return union_scan_pruned_fused(
+                        payload, norms, sizes, q, union_j, pos_j,
+                        prune_j, interpret=interp,
+                    )
+            else:
+                def prog_scan(payload, norms, sizes, q, tiles):
+                    return union_scan_pruned(
+                        payload, norms, sizes, q, union_j, pos_j, prune_j
+                    )
+        else:
+            def prog_scan(payload, norms, sizes, q, tiles):
+                return union_scan_distances(
+                    payload, norms, sizes, q, union_j, pos_j
+                )
     else:
         @jax.jit
         def prog_scan(payload, norms, sizes, q, tiles):
             return pallas_slab_distances(payload, norms, sizes, q, tiles)
 
     @jax.jit
-    def prog_tail(tile_ids, tiles, pos, base, q):
+    def prog_tail(tile_ids, tiles, pos, base, q, sel=None):
         # resolve top positions → global ids: pos = tile_slot·T + lane
+        # (under pruning the tile axis was compacted to the kept slots sel)
         from prefhetch_tpu.ops.topk import PAD_DISTANCE
 
+        if sel is not None:
+            tiles = jnp.take_along_axis(tiles, sel, axis=1)
         tile_sel = jnp.take_along_axis(tiles, pos // T, axis=1)
         cand = tile_ids[tile_sel, pos % T]
         pad = cand < 0                   # PAD lanes (id −1): clamp for the
@@ -299,12 +332,20 @@ def tpu_pipeline(index, base_j, queries_j):
         neg, order = jax.lax.top_k(-pd, K)
         return -neg, jnp.take_along_axis(cand, order, axis=1)
 
-    def step(payload, norms, sizes, ids, base, q, tiles):
-        dist = prog_scan(payload, norms, sizes, q, tiles)
-        _, pos = topk_select_segmented(
-            dist, COARSE_PROBE, max_t, level1_bf16=True
-        )
-        return prog_tail(ids, tiles, pos, base, q)
+    if prune_j:
+        def step(payload, norms, sizes, ids, base, q, tiles):
+            dist, sel = prog_scan(payload, norms, sizes, q, tiles)
+            _, pos = topk_select_segmented(
+                dist, COARSE_PROBE, prune_j, level1_bf16=True
+            )
+            return prog_tail(ids, tiles, pos, base, q, sel)
+    else:
+        def step(payload, norms, sizes, ids, base, q, tiles):
+            dist = prog_scan(payload, norms, sizes, q, tiles)
+            _, pos = topk_select_segmented(
+                dist, COARSE_PROBE, max_t, level1_bf16=True
+            )
+            return prog_tail(ids, tiles, pos, base, q)
 
     args = (view.payload, view.norms, view.sizes, view.ids, base_j,
             queries_j, tiles_j)

@@ -213,6 +213,120 @@ def pallas_slab_distances(
     return out.reshape(nq, nprobe * lmax)
 
 
+def _kernel_union_min(union_ref,     # scalar prefetch [U] int32 tile ids
+                      sizes_ref,     # scalar prefetch [ntiles+1] int32
+                      payload_ref,   # [1, T, d] — union[u]'s payload tile
+                      norms_ref,     # [1, 1, T] f32
+                      q_ref,         # [nq, d] payload dtype
+                      qsq_ref,       # [1, nq] f32
+                      d2_ref,        # [1, nq, T] bf16 out — query-major
+                      min_ref):      # [1, 1, nq] f32 out — per-tile min
+    """Union scan with a FUSED per-tile min epilogue.
+
+    The XLA union matmul materializes [U·T, nq] f32 (≈1.2 GB at the 1M
+    operating point) and segment pruning re-reads all of it for the
+    per-tile min — profiled +1.6 ms on top of an 8.1 ms scan. Here the
+    [nq, T] distance block lives in VMEM: its min comes free before the
+    bf16 store, the store is HALF the f32 bytes, and the query-major
+    [U, nq, T] layout lets the downstream extraction gather move whole
+    T-lanes per (query, kept tile) — no transpose of the largest
+    intermediate ever hits HBM."""
+    u = pl.program_id(0)
+    nq, T = d2_ref.shape[1], d2_ref.shape[2]
+    size = sizes_ref[union_ref[u]]
+    d2_ref[0] = jnp.full((nq, T), float(PAD_DISTANCE), d2_ref.dtype)
+    min_ref[0] = jnp.full((1, nq), float(PAD_DISTANCE), jnp.float32)
+
+    @pl.when(size > 0)
+    def _():
+        tile = payload_ref[0]                         # [T, d]
+        cross = jax.lax.dot_general(
+            q_ref[...], tile,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                             # [nq, T]
+        d2 = qsq_ref[0, :][:, None] + norms_ref[0] - 2.0 * cross
+        d2 = jnp.maximum(d2, 0.0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (nq, T), 1)
+        d2 = jnp.where(lane < size, d2, float(PAD_DISTANCE))
+        d2_ref[0] = d2.astype(d2_ref.dtype)
+        min_ref[0] = jnp.min(d2, axis=1).reshape(1, nq)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_union_scan_min(
+    payload: jax.Array,      # [ntiles+1, T, d] f32/bf16
+    norms: jax.Array,        # [ntiles+1, T] f32
+    sizes: jax.Array,        # [ntiles+1] int32
+    queries: jax.Array,      # [nq, d] f32
+    union: jax.Array,        # [U] int32 tile ids
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """(distances bf16 [U, nq, T] query-major with PAD(=inf in bf16) at
+    invalid lanes, per-tile min f32 [U, 1, nq]) over the union tiles.
+
+    bf16 distances are selection-grade only — the triage top-k already
+    runs its wide level on bf16 (ops/topk.py level1_bf16) and the exact
+    re-rank downstream absorbs boundary swaps."""
+    ntp1, T, d = payload.shape
+    nq = queries.shape[0]
+    U = union.shape[0]
+    q = queries.astype(jnp.float32)
+    qsq = jnp.sum(q * q, axis=-1).reshape(1, nq)
+    qc = q.astype(payload.dtype) if payload.dtype == jnp.bfloat16 else q
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(U,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, T, d),
+                lambda u, un_ref, sz_ref: (un_ref[u], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, T),
+                lambda u, un_ref, sz_ref: (un_ref[u], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (nq, d),
+                lambda u, un_ref, sz_ref: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, nq),
+                lambda u, un_ref, sz_ref: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, nq, T),
+                lambda u, un_ref, sz_ref: (u, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, nq),
+                lambda u, un_ref, sz_ref: (u, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+    )
+    return pl.pallas_call(
+        _kernel_union_min,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((U, nq, T), jnp.bfloat16),
+            jax.ShapeDtypeStruct((U, 1, nq), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        union.astype(jnp.int32), sizes.astype(jnp.int32),
+        payload, norms.reshape(ntp1, 1, T).astype(jnp.float32), qc, qsq,
+    )
+
+
 def _kernel_pq_onehot(union_ref,        # scalar prefetch [U] int32 tile ids
                       lists_ref,        # scalar prefetch [ntiles+1] int32
                       codes_ref,        # [1, T, M] uint8 — union[u]'s codes

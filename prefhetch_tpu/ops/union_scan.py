@@ -189,6 +189,110 @@ def union_pq_scan_distances(
     return out.reshape(nq, -1)                             # [nq, max_t·T]
 
 
+@functools.partial(jax.jit, static_argnames=("j_keep",))
+def union_scan_pruned(
+    payload: jax.Array,      # [ntiles+1, T, d] f32/bf16
+    norms: jax.Array,        # [ntiles+1, T] f32
+    sizes: jax.Array,        # [ntiles+1] int32
+    queries: jax.Array,      # [nq, d] f32
+    union: jax.Array,        # [U] int32 tile ids
+    pos: jax.Array,          # [nq, max_t] int32 positions into union
+    j_keep: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Union scan + segment-level pruning: compact each query's candidate
+    matrix to its j_keep most promising tiles before selection.
+
+    Returns (dist [nq, j_keep·T] with PAD at invalid lanes,
+    sel [nq, j_keep] — kept slots into the pos/max_t axis, ordered by
+    ascending per-tile min distance).
+
+    The top-k after a full scan is selection-bound (TPU top-k moves ~7 GB/s
+    effective — ops/topk.py): at [256, 55K] it costs as much as the scan
+    itself. This kernel reads the same payload (the scan is HBM-bound and
+    irreducible) but hands selection only the tiles whose MIN distance
+    ranks in the query's top j_keep — the per-tile min is a lower bound on
+    every candidate in the tile, so dropped tiles can only contribute
+    candidates worse than j_keep already-seen ones. Exact for the top-1 by
+    construction; for k > 1 a tail candidate beyond rank j_keep·T is lost
+    only when > j_keep tiles hold top-k members with all their mins below
+    the kept kth — measured on the clustered/hard 1M workloads: recall@100
+    unchanged at j_keep=16 (reference lever: VERDICT r02 item 3, matching
+    the reference hot loop server_lib.cpp:126-130).
+
+    The [nq, max_t]-wide tile-min top-k is fused here (slow sort path, but
+    max_t ≈ 54 — 3 orders below the hot-width rule); the wide [nq, j·T]
+    selection stays in its own bare program per the ops/topk.py contract.
+    """
+    U = union.shape[0]
+    T = payload.shape[1]
+    nq = queries.shape[0]
+    slab = payload[union]                               # [U, T, d]
+    n = norms[union]                                    # [U, T]
+    sz = sizes[union]                                   # [U]
+    q = queries.astype(jnp.float32)
+    qc = q.astype(slab.dtype) if slab.dtype == jnp.bfloat16 else q
+    cross = jax.lax.dot_general(
+        slab.reshape(U * T, -1), qc,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                   # [U·T, nq]
+    qsq = jnp.sum(q * q, axis=-1)                       # [nq]
+    d2 = qsq[None, :] + n.reshape(U * T, 1) - 2.0 * cross
+    d2 = jnp.maximum(d2, 0.0)
+    lane = jnp.arange(T, dtype=jnp.int32)
+    valid = (lane[None, :] < sz[:, None]).reshape(U * T)
+    d2 = jnp.where(valid[:, None], d2, PAD_DISTANCE)
+    d3 = d2.reshape(U, T, nq)
+    # per-(union tile, query) lower bound — fuses into the matmul epilogue
+    dmin_u = jnp.min(d3, axis=1)                        # [U, nq]
+    tm = jnp.take_along_axis(dmin_u.T, pos, axis=1)     # [nq, max_t]
+    _, sel = jax.lax.top_k(-tm, j_keep)                 # [nq, j]
+    upos = jnp.take_along_axis(pos, sel, axis=1)        # [nq, j] → union slot
+    d2m = d3.transpose(2, 0, 1)                         # [nq, U, T]
+    out = jnp.take_along_axis(d2m, upos[:, :, None], axis=1)
+    return out.reshape(nq, -1), sel
+
+
+@functools.partial(jax.jit, static_argnames=("j_keep", "interpret"))
+def union_scan_pruned_fused(
+    payload: jax.Array,      # [ntiles+1, T, d] f32/bf16
+    norms: jax.Array,        # [ntiles+1, T] f32
+    sizes: jax.Array,        # [ntiles+1] int32
+    queries: jax.Array,      # [nq, d] f32
+    union: jax.Array,        # [U] int32 tile ids
+    pos: jax.Array,          # [nq, max_t] int32 positions into union
+    j_keep: int,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Pruned union scan on the fused Pallas kernel: same contract as
+    union_scan_pruned — (dist bf16 [nq, j_keep·T], sel [nq, j_keep]) —
+    but the per-tile min never re-reads the distance matrix from HBM
+    (ops/pallas_scan.pallas_union_scan_min computes it in the VMEM
+    epilogue) and only the KEPT tiles' distance rows are ever gathered.
+
+    The narrow [nq, max_t] tile-min top-k fuses here (max_t ≈ 50, three
+    orders below the hot-width rule); the wide [nq, j·T] selection stays
+    in its own bare program per the ops/topk.py contract. Distances are
+    bf16 (selection-grade; PAD lanes are +inf after the bf16 cast) — the
+    downstream wide top-k already runs its level 1 on bf16."""
+    from prefhetch_tpu.ops.pallas_scan import pallas_union_scan_min
+
+    U = union.shape[0]
+    T = payload.shape[1]
+    nq = queries.shape[0]
+    d2_all, dmin = pallas_union_scan_min(
+        payload, norms, sizes, queries, union, interpret=interpret
+    )                                                   # [U,nq,T], [U,1,nq]
+    dm = dmin.reshape(U, nq).T                          # [nq, U] — tiny
+    tm = jnp.take_along_axis(dm, pos, axis=1)           # [nq, max_t]
+    _, sel = jax.lax.top_k(-tm, j_keep)                 # [nq, j]
+    upos = jnp.take_along_axis(pos, sel, axis=1)        # [nq, j] → union slot
+    # per-(query, kept tile) extraction: whole-T-lane reads from the
+    # query-major [U, nq, T] layout — 2·j·T·nq bytes total, not U·T·nq
+    out = jax.vmap(lambda m, u: m[u], in_axes=(1, 0))(d2_all, upos)
+    return out.reshape(nq, -1), sel
+
+
 @jax.jit
 def union_scan_distances_q16(
     payload: jax.Array,      # [ntiles+1, T, d] f32/bf16

@@ -79,6 +79,82 @@ def test_union_dedupes_shared_tiles(view_and_queries):
     )
 
 
+def test_union_scan_pruned_matches_unpruned(view_and_queries):
+    """Pruned scan contract: the kept slots' distance rows are exactly the
+    unpruned rows at those slots, kept slots rank by ascending per-tile min,
+    and the global top-k after pruning equals the unpruned top-k whenever
+    every top-k member's tile survives (guaranteed at j = max_t)."""
+    view, q, tile_idx, _ = view_and_queries
+    from prefhetch_tpu.ops.union_scan import union_scan_pruned
+
+    union, pos = union_probe_tiles(tile_idx, view.empty_tile)
+    T = view.tile
+    full = np.asarray(
+        union_scan_distances(
+            view.payload, view.norms, view.sizes, q,
+            jnp.asarray(union), jnp.asarray(pos),
+        )
+    )                                       # [nq, max_t*T]
+    nq, mt = pos.shape
+    for j in (2, mt):
+        dist, sel = union_scan_pruned(
+            view.payload, view.norms, view.sizes, q,
+            jnp.asarray(union), jnp.asarray(pos), j,
+        )
+        dist, sel = np.asarray(dist), np.asarray(sel)
+        assert dist.shape == (nq, j * T) and sel.shape == (nq, j)
+        full3 = full.reshape(nq, mt, T)
+        for qi in range(nq):
+            # compaction is exact: row qi, kept slot s → unpruned slot sel
+            np.testing.assert_allclose(
+                dist[qi].reshape(j, T), full3[qi, sel[qi]],
+                rtol=1e-5, atol=1e-3,
+            )
+            # kept slots are the j best by per-tile min
+            mins = full3[qi].min(axis=1)
+            got_best = np.sort(mins[sel[qi]])
+            np.testing.assert_allclose(
+                got_best, np.sort(mins)[:j], rtol=1e-5, atol=1e-3
+            )
+        if j == mt:
+            # full-width pruning is a pure permutation: same top-k set
+            k = 32
+            for qi in range(nq):
+                top_full = np.sort(np.sort(full[qi])[:k])
+                top_prun = np.sort(np.sort(dist[qi])[:k])
+                np.testing.assert_allclose(
+                    top_prun, top_full, rtol=1e-5, atol=1e-3
+                )
+
+
+def test_union_scan_pruned_fused_matches_xla(view_and_queries):
+    """The Pallas-fused pruned scan must agree with the XLA formulation:
+    same kept slots, same distances within bf16-store tolerance, same PAD
+    structure (bf16 PAD lanes round to +inf)."""
+    view, q, tile_idx, _ = view_and_queries
+    from prefhetch_tpu.ops.union_scan import (
+        union_scan_pruned, union_scan_pruned_fused,
+    )
+
+    union, pos = union_probe_tiles(tile_idx, view.empty_tile)
+    args = (
+        view.payload, view.norms, view.sizes, q,
+        jnp.asarray(union), jnp.asarray(pos),
+    )
+    for j in (2, pos.shape[1]):
+        ref_d, ref_sel = union_scan_pruned(*args, j)
+        got_d, got_sel = union_scan_pruned_fused(*args, j, interpret=True)
+        ref_d, ref_sel = np.asarray(ref_d), np.asarray(ref_sel)
+        got_d = np.asarray(got_d, np.float32)
+        np.testing.assert_array_equal(np.asarray(got_sel), ref_sel)
+        pad_ref = ref_d >= PAD_DISTANCE / 2
+        np.testing.assert_array_equal(~np.isfinite(got_d) | (
+            got_d >= PAD_DISTANCE / 2), pad_ref)
+        np.testing.assert_allclose(
+            got_d[~pad_ref], ref_d[~pad_ref], rtol=1e-2, atol=0.5
+        )
+
+
 def test_union_pq_onehot_matches_lut_scan():
     """The one-hot ADC scan must reproduce coarse_scan_pq's residual ADC
     distances (same LUT math, matmul formulation) candidate-for-candidate."""
