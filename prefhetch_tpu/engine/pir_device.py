@@ -155,8 +155,12 @@ class DevicePIR2:
         self._ks_meta = (tuple(ext), sp, inv_p)
 
     # ------------------------------------------------------------------
-    @functools.cached_property
-    def _answer_fn(self):
+    def _build_answer(self):
+        """The single-query answer pipeline as a pure function (jitted for
+        one-off fetches; vmapped over the ciphertext axis for batched
+        fetches — in_axes=None on the database so the g1-scan's HBM read
+        of the packed DB happens ONCE per step, shared across the whole
+        batch; that read dominates a 1M-row fetch)."""
         p = self.params
         n = p.n
         q1, q2 = p.qs
@@ -368,7 +372,26 @@ class DevicePIR2:
                     outs.append(jnp.stack([o0, o1]).astype(jnp.int32))
             return jnp.stack(outs)                        # [2·nd, 2, N]
 
-        return jax.jit(answer)
+        return answer
+
+    @functools.cached_property
+    def _answer_fn(self):
+        return jax.jit(self._build_answer())
+
+    # batched-answer programs, one compiled program per bucket size
+    _BATCH_BUCKETS = (4, 16, 64)
+
+    def _batched_answer_fn(self, b: int):
+        if not hasattr(self, "_batch_fns"):
+            self._batch_fns: Dict[int, object] = {}
+        fn = self._batch_fns.get(b)
+        if fn is None:
+            fn = jax.jit(jax.vmap(
+                self._build_answer(),
+                in_axes=(None, 0, 0, None, None, None, None),
+            ))
+            self._batch_fns[b] = fn
+        return fn
 
     @functools.cached_property
     def _dev_digit_mats(self):
@@ -379,18 +402,9 @@ class DevicePIR2:
                  for q in ext]
         return fdigs, gdigs
 
-    def answer_2d(self, query_wire: dict, key_id: str) -> dict:
+    def _resp_wire(self, outs: np.ndarray) -> dict:
         from prefhetch_tpu.utils.wire import pack_i32
 
-        ct = Ciphertext.from_wire(query_wire)
-        if ct.is_ntt:
-            ct = self.ctx.from_ntt(ct)
-        kb, ka = self._keys[key_id]
-        fdigs, gdigs = self._dev_digit_mats
-        outs = np.asarray(self._answer_fn(
-            self.db, jnp.asarray(ct.c0.astype(np.int32)),
-            jnp.asarray(ct.c1.astype(np.int32)), kb, ka, fdigs, gdigs,
-        ))                                               # [2·nd, 2, N]
         return {
             "cts": [
                 {"c0": pack_i32(outs[i, 0]), "c1": pack_i32(outs[i, 1])}
@@ -400,3 +414,51 @@ class DevicePIR2:
             "g1": self.g1,
             "g2": self.g2,
         }
+
+    def _query_c01(self, query_wire: dict):
+        ct = Ciphertext.from_wire(query_wire)
+        if ct.is_ntt:
+            ct = self.ctx.from_ntt(ct)
+        return ct.c0.astype(np.int32), ct.c1.astype(np.int32)
+
+    def answer_2d(self, query_wire: dict, key_id: str) -> dict:
+        c0, c1 = self._query_c01(query_wire)
+        kb, ka = self._keys[key_id]
+        fdigs, gdigs = self._dev_digit_mats
+        outs = np.asarray(self._answer_fn(
+            self.db, jnp.asarray(c0), jnp.asarray(c1), kb, ka, fdigs, gdigs,
+        ))                                               # [2·nd, 2, N]
+        return self._resp_wire(outs)
+
+    def answer_2d_batch(self, query_wires: list, key_id: str) -> list:
+        """Answer B row-fetches as bucketed batched device programs.
+
+        Stage-8 of the protocol needs K≈100 rows per query; answering them
+        one device program at a time re-reads the packed DB K times
+        (~276 ms/row measured at 1M). Batching folds all B selector sets
+        against ONE pass over the DB. Buckets bound the number of compiled
+        programs (each costs minutes through this sandbox's remote XLA)."""
+        kb, ka = self._keys[key_id]
+        fdigs, gdigs = self._dev_digit_mats
+        pairs = [self._query_c01(w) for w in query_wires]
+        out: list = []
+        i = 0
+        while i < len(pairs):
+            rem = len(pairs) - i
+            # largest bucket not wastefully larger than the remainder
+            b = next(
+                (bb for bb in reversed(self._BATCH_BUCKETS) if bb <= rem),
+                self._BATCH_BUCKETS[0],
+            )
+            chunk = pairs[i : i + b]
+            nv = len(chunk)                  # valid rows (tail pads repeat)
+            while len(chunk) < b:
+                chunk.append(chunk[-1])
+            c0 = jnp.asarray(np.stack([c[0] for c in chunk]))
+            c1 = jnp.asarray(np.stack([c[1] for c in chunk]))
+            outs = np.asarray(self._batched_answer_fn(b)(
+                self.db, c0, c1, kb, ka, fdigs, gdigs,
+            ))                               # [b, 2·nd, 2, N]
+            out.extend(self._resp_wire(outs[j]) for j in range(nv))
+            i += nv
+        return out

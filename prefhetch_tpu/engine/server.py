@@ -25,6 +25,7 @@ import os
 import threading
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -203,7 +204,9 @@ class QueryEngine:
         dimension is pinned because a fresh XLA program costs minutes
         through this sandbox's remote compiler.
 
-        Returns (tile_idx [nq_pad, mt] i32, q_pad [nq_pad, d],
+        Takes q as a HOST array [nq, d] (row padding happens in numpy —
+        a device-side pad would compile one XLA program per wave size).
+        Returns (tile_idx [nq_pad, mt] i32, q_pad jnp [nq_pad, d],
         union jnp [U_pad], pos jnp [nq_pad, mt], counts [nq] i64, nq)."""
         from prefhetch_tpu.ops.union_scan import union_probe_tiles
 
@@ -223,9 +226,14 @@ class QueryEngine:
                 [tile_idx, np.full((nq_pad - nq, tile_idx.shape[1]),
                                    view.empty_tile, np.int32)]
             )
-            q = jnp.concatenate(
-                [q, jnp.zeros((nq_pad - nq, q.shape[1]), q.dtype)]
+            # pad rows HOST-side: a device-side jnp.concatenate here would
+            # compile (and dispatch) a DISTINCT XLA program for every wave
+            # size nq — serving waves take any size 1..rows_pin, and each
+            # fresh program costs minutes through the remote compiler
+            q = np.concatenate(
+                [q, np.zeros((nq_pad - nq, q.shape[1]), np.float32)]
             )
+        q = jnp.asarray(q, jnp.float32)
         # union-tile batched matmul scan (ops/union_scan.py): shared probed
         # tiles are read/scored once per batch, one MXU matmul instead of
         # nq·max_t grid steps. |U| is PINNED per row bucket (worst case
@@ -256,12 +264,20 @@ class QueryEngine:
         v = self._tiled_view
         return v.tile_sizes_np, v.tile_ids_np, v.tile
 
-    def coarse_search_tiled(
+    def coarse_search_tiled_async(
         self,
         precise_query: np.ndarray,        # [nq, d]
         nearest_centroid_idx: np.ndarray,  # [nq, nprobe]
-    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    ):
         """All-candidate coarse scan, tiled binary wire form.
+
+        ASYNC form: every device program and transfer is DISPATCHED (jax
+        queues them without blocking) and a zero-arg resolver is returned;
+        calling it blocks on the final transfers. Through this sandbox's
+        relay a synchronous roundtrip costs ~28 ms regardless of payload —
+        the serving loop overlaps wave N's resolve with wave N+1's dispatch
+        (serve/native_server.py), so throughput is set by device/host work,
+        not relay latency. The sync wrapper below keeps the one-call form.
 
         Same privacy semantics as coarse_search (EVERY candidate distance in
         the probed lists goes back to the client — the server still never
@@ -282,7 +298,7 @@ class QueryEngine:
         from prefhetch_tpu.ops.union_scan import union_scan_distances_q16
 
         view = self._tiled_view
-        q = jnp.asarray(precise_query, jnp.float32)
+        q = np.asarray(precise_query, np.float32)
         probes_np = np.asarray(nearest_centroid_idx, np.int64)
         tile_idx_p, q_p, union_j, pos_j, counts, nq = self._tiled_batch_prep(
             probes_np, q
@@ -290,13 +306,30 @@ class QueryEngine:
         qd, dmin, dstep = union_scan_distances_q16(
             view.payload, view.norms, view.sizes, q_p, union_j, pos_j
         )
-        return (
-            tile_idx_p[:nq],
-            np.asarray(qd)[:nq],
-            np.asarray(dmin)[:nq],
-            np.asarray(dstep)[:nq],
-            counts,
-        )
+
+        def resolve():
+            # ONE device_get: the relay charges ~30 ms per d2h roundtrip
+            # regardless of payload — fetching the outputs separately
+            # measured ~30 ms EACH, batched ~40 ms total
+            qd_h, dmin_h, dstep_h = jax.device_get((qd, dmin, dstep))
+            return (
+                tile_idx_p[:nq],
+                qd_h[:nq],
+                dmin_h[:nq],
+                dstep_h[:nq],
+                counts,
+            )
+
+        return resolve
+
+    def coarse_search_tiled(
+        self,
+        precise_query: np.ndarray,        # [nq, d]
+        nearest_centroid_idx: np.ndarray,  # [nq, nprobe]
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        return self.coarse_search_tiled_async(
+            precise_query, nearest_centroid_idx
+        )()
 
     def coarse_search_topk(
         self,
@@ -304,7 +337,18 @@ class QueryEngine:
         nearest_centroid_idx: np.ndarray,  # [nq, nprobe]
         k: int,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Server-side top-k coarse selection (binary wire opt-in).
+        return self.coarse_search_topk_async(
+            precise_query, nearest_centroid_idx, k
+        )()
+
+    def coarse_search_topk_async(
+        self,
+        precise_query: np.ndarray,        # [nq, d]
+        nearest_centroid_idx: np.ndarray,  # [nq, nprobe]
+        k: int,
+    ):
+        """Server-side top-k coarse selection (binary wire opt-in);
+        dispatch-only async form — see coarse_search_tiled_async.
 
         Returns (ids i32 [nq, k] ascending by coarse distance,
         dists f32 [nq, k], counts i64 [nq]).
@@ -330,7 +374,7 @@ class QueryEngine:
         )
 
         view = self._tiled_view
-        q = jnp.asarray(precise_query, jnp.float32)
+        q = np.asarray(precise_query, np.float32)
         probes_np = np.asarray(nearest_centroid_idx, np.int64)
         tile_idx_p, q_p, union_j, pos_j, counts, nq = self._tiled_batch_prep(
             probes_np, q
@@ -346,11 +390,12 @@ class QueryEngine:
         )
         vals, pos = topk_select(dist, k)
         ids = resolve_topk_ids(pos, jnp.asarray(tile_idx_p), view.ids)
-        return (
-            np.asarray(ids)[:nq],
-            np.asarray(vals)[:nq],
-            counts,
-        )
+
+        def resolve():
+            ids_h, vals_h = jax.device_get((ids, vals))   # one roundtrip
+            return ids_h[:nq], vals_h[:nq], counts
+
+        return resolve
 
     # -- service 2: POST /coarsesearch ----------------------------------
     def coarse_search(
@@ -459,16 +504,28 @@ class QueryEngine:
         nearest_coarse_vector_idx: np.ndarray,  # [nq, coarse_probe]
     ) -> np.ndarray:
         """Exact L2 of the named candidates (reference: server_lib.cpp:140-167)."""
+        return self.precise_search_async(
+            precise_query, nearest_coarse_vector_idx
+        )()
+
+    def precise_search_async(
+        self,
+        precise_query: np.ndarray,             # [nq, d]
+        nearest_coarse_vector_idx: np.ndarray,  # [nq, coarse_probe]
+    ):
+        """Dispatch-only form of precise_search — see
+        coarse_search_tiled_async for the relay-latency rationale."""
         if self.is_sharded:
             from prefhetch_tpu.parallel.sharded import sharded_rerank
 
-            return np.asarray(
+            out = np.asarray(
                 sharded_rerank(
                     self._mesh, self.base,
                     jnp.asarray(precise_query, jnp.float32),
                     jnp.asarray(nearest_coarse_vector_idx, jnp.int32),
                 )
             )
+            return lambda: out
         q = np.asarray(precise_query, np.float32)
         cand = np.asarray(nearest_coarse_vector_idx, np.int64)
         nq = q.shape[0]
@@ -478,13 +535,92 @@ class QueryEngine:
             cand = np.concatenate(
                 [cand, np.zeros((nq_pad - nq, cand.shape[1]), cand.dtype)]
             )
-        return np.asarray(
-            exact_rerank(
-                self.base,
-                jnp.asarray(q, jnp.float32),
-                jnp.asarray(cand, jnp.int32),
+        scores = exact_rerank(
+            self.base,
+            jnp.asarray(q, jnp.float32),
+            jnp.asarray(cand, jnp.int32),
+        )
+        return lambda: np.asarray(scores)[:nq]
+
+    def search_fused(
+        self,
+        precise_query: np.ndarray,             # [nq, d]
+        nearest_centroid_idx: np.ndarray,      # [nq, nprobe]
+        k: int,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Whole triage round in ONE request (binary wire kind 11):
+        coarse top-COARSE_PROBE on device → exact re-rank → final top-k.
+        Returns (ids i64 [nq, k], dists f32 [nq, k]) ascending.
+
+        Net-new serving route (the reference protocol is strictly
+        multi-round, client_lib.cpp:83-208): with server-side coarse
+        selection already conceded by /coarsesearch kind 9, a fused round
+        has identical privacy semantics and removes one full HTTP round
+        trip per query — on a one-core host the wire/host cost is the
+        serving bottleneck, so this is the high-throughput opt-in."""
+        return self.search_fused_async(
+            precise_query, nearest_centroid_idx, k
+        )()
+
+    def search_fused_async(
+        self,
+        precise_query: np.ndarray,             # [nq, d]
+        nearest_centroid_idx: np.ndarray,      # [nq, nprobe]
+        k: int,
+    ):
+        """Dispatch-only fused round: coarse scan → top-CP → id resolve →
+        exact re-rank → final top-k, ONE async device chain with a single
+        host sync at the resolver (candidate ids never leave the device
+        between stages). See coarse_search_tiled_async."""
+        from prefhetch_tpu.ops.rerank import final_topk
+        from prefhetch_tpu.ops.topk import topk_select
+        from prefhetch_tpu.ops.union_scan import (
+            resolve_topk_ids, union_scan_distances,
+        )
+
+        if self.is_sharded or self._tiled_view is None:
+            # sharded/flat fallback: the sync two-stage composition
+            cp = max(int(self.config.protocol.coarse_probe), k)
+            ids, dists, _ = self.coarse_search_topk(
+                precise_query, nearest_centroid_idx, cp
             )
-        )[:nq]
+            cand = ids.astype(np.int64, copy=False)
+            scores = self.precise_search(precise_query, cand)
+            order = np.argsort(scores, axis=1, kind="stable")[:, :k]
+            out = (
+                np.take_along_axis(cand, order, axis=1),
+                np.take_along_axis(
+                    np.asarray(scores, np.float32), order, axis=1
+                ),
+            )
+            return lambda: out
+        cp = max(int(self.config.protocol.coarse_probe), k)
+        view = self._tiled_view
+        q = np.asarray(precise_query, np.float32)
+        probes_np = np.asarray(nearest_centroid_idx, np.int64)
+        tile_idx_p, q_p, union_j, pos_j, counts, nq = self._tiled_batch_prep(
+            probes_np, q
+        )
+        if int(counts.min()) < cp:
+            raise ValueError(
+                f"probed lists hold {int(counts.min())} candidates < "
+                f"COARSE_PROBE={cp}"
+            )
+        dist = union_scan_distances(
+            view.payload, view.norms, view.sizes, q_p, union_j, pos_j
+        )
+        _, pos = topk_select(dist, cp)
+        cand = resolve_topk_ids(pos, jnp.asarray(tile_idx_p), view.ids)
+        scores = exact_rerank(self.base, q_p, cand.astype(jnp.int32))
+        ids_k, dists_k = final_topk(scores, cand, k)   # i32 ids on device;
+        # the wire layer widens to the protocol's i64 host-side (x64 is off
+        # under jit — an astype(int64) here would silently stay int32)
+
+        def resolve():
+            ids_h, dists_h = jax.device_get((ids_k, dists_k))  # one roundtrip
+            return ids_h[:nq], dists_h[:nq]
+
+        return resolve
 
     # -- service 3b: POST /encryptedsearch --------------------------------
     @property
@@ -673,6 +809,10 @@ class QueryEngine:
                 raise ValueError(
                     "unknown PIR keyId — register Galois keys first"
                 )
+            if len(hypercube) > 1 and hasattr(svc, "answer_2d_batch"):
+                # stage-8 fetches K rows per query: fold every selector
+                # set against ONE pass over the packed DB (pir_device)
+                return svc.answer_2d_batch(hypercube, key_id)
             return [svc.answer_2d(w, key_id) for w in hypercube]
         svc = self.pir_service
         if packed is not None:

@@ -250,3 +250,83 @@ class NativeNTT:
             n_threads,
         )
         return x
+
+
+# ---------------------------------------------------------------------------
+# epoll HTTP frontend (native/pfh_http.cpp) — built as its own .so so the
+# codec library never links socket/thread machinery it doesn't need
+# ---------------------------------------------------------------------------
+_HTTP_SRC = os.path.join(_REPO_ROOT, "native", "pfh_http.cpp")
+_HTTP_SO = os.path.join(_BUILD_DIR, "libpfh_http.so")
+_HTTP_STAMP = _HTTP_SO + ".src.sha256"
+
+_http_lock = threading.Lock()
+_http_lib: Optional[ctypes.CDLL] = None
+_http_tried = False
+
+_PATH_MAX = 120   # keep in sync with pfh_http.cpp kPathMax
+
+
+class ReqDesc(ctypes.Structure):
+    """Mirror of pfh_http.cpp ReqDesc."""
+
+    _fields_ = [
+        ("req_id", ctypes.c_uint64),
+        ("body", ctypes.POINTER(ctypes.c_uint8)),
+        ("body_len", ctypes.c_uint64),
+        ("method", ctypes.c_char * 8),
+        ("path", ctypes.c_char * _PATH_MAX),
+        ("flags", ctypes.c_uint8),
+    ]
+
+
+def get_http_lib() -> Optional[ctypes.CDLL]:
+    """The epoll-frontend library, lazily built; None if unavailable."""
+    global _http_lib, _http_tried
+    with _http_lock:
+        if _http_lib is not None or _http_tried:
+            return _http_lib
+        _http_tried = True
+        import hashlib
+
+        with open(_HTTP_SRC, "rb") as f:
+            src_hash = hashlib.sha256(f.read()).hexdigest()
+        stamp = None
+        if os.path.exists(_HTTP_STAMP):
+            with open(_HTTP_STAMP) as f:
+                stamp = f.read().strip()
+        if not os.path.exists(_HTTP_SO) or stamp != src_hash:
+            os.makedirs(_BUILD_DIR, exist_ok=True)
+            cmd = [
+                "g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                "-fPIC", "-pthread", _HTTP_SRC, "-o", _HTTP_SO,
+            ]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True,
+                               timeout=120)
+            except (subprocess.SubprocessError, FileNotFoundError):
+                return None
+            with open(_HTTP_STAMP, "w") as f:
+                f.write(src_hash)
+        try:
+            lib = ctypes.CDLL(_HTTP_SO)
+        except OSError:
+            return None
+        lib.pfh_http_start.argtypes = [ctypes.c_uint16, ctypes.c_int]
+        lib.pfh_http_start.restype = ctypes.c_void_p
+        lib.pfh_http_poll.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ReqDesc), ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.pfh_http_poll.restype = ctypes.c_int
+        lib.pfh_http_respond.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_uint64,
+        ]
+        lib.pfh_http_respond.restype = None
+        lib.pfh_http_port.argtypes = [ctypes.c_void_p]
+        lib.pfh_http_port.restype = ctypes.c_uint16
+        lib.pfh_http_stop.argtypes = [ctypes.c_void_p]
+        lib.pfh_http_stop.restype = None
+        _http_lib = lib
+        return _http_lib

@@ -38,3 +38,22 @@ def exact_rerank(
 def fetch_vectors(base: jax.Array, ids: jax.Array) -> jax.Array:
     """Gather raw vectors [nq, K, d] for the retrieval endpoint."""
     return base[ids]
+
+
+def final_topk(
+    scores: jax.Array,     # [nq, P] f32 — exact re-rank distances
+    cand_ids: jax.Array,   # [nq, P] — the candidates the scores belong to
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """(ids [nq, k], dists [nq, k]) ascending — the fused /search route's
+    final select, on device so the whole round stays one async chain.
+
+    The gather IS fused with the top_k here, demoting it to the sort path
+    — deliberately: at [nq, COARSE_PROBE≈256] the input is three orders
+    below the hot-width rule (ops/topk.py applies to the ~55K-lane coarse
+    matrix, not this tail)."""
+    neg, order = jax.lax.top_k(-scores, k)
+    return jnp.take_along_axis(cand_ids, order, axis=1), -neg
+
+
+final_topk = jax.jit(final_topk, static_argnames=("k",))

@@ -150,6 +150,7 @@ class BatchScheduler:
         # the engine-call identity — the shape-compat check only compares
         # array shapes, so mixing k values in one queue would mis-coalesce)
         self._coarse_topk: dict = {}
+        self._search_svc: dict = {}
         self._coarse_topk_lock = threading.Lock()
         self._batch_args = (max_batch, max_wait_ms, grace_ms)
 
@@ -202,6 +203,25 @@ class BatchScheduler:
                         _split_row_tuple, mb, mw, gr,
                     )
                     self._coarse_topk[k] = svc
+        return svc.submit(
+            np.asarray(precise_query), np.asarray(nearest_centroid_idx)
+        ).result()
+
+    def search_fused(self, precise_query, nearest_centroid_idx, k):
+        k = int(k)
+        svc = self._search_svc.get(k)
+        if svc is None:
+            with self._coarse_topk_lock:
+                svc = self._search_svc.get(k)
+                if svc is None:
+                    mb, mw, gr = self._batch_args
+                    svc = _Service(
+                        lambda q, p, _k=k: self.engine.search_fused(
+                            q, p, _k
+                        ),
+                        _split_row_tuple, mb, mw, gr,
+                    )
+                    self._search_svc[k] = svc
         return svc.submit(
             np.asarray(precise_query), np.asarray(nearest_centroid_idx)
         ).result()

@@ -180,6 +180,10 @@ class Dispatcher:
             if is_bin:
                 return self._precise_search_bin(body)
             return self._precise_search(self._parse_json(body))
+        if path == "/search":
+            if is_bin:
+                return self._search_bin(body)
+            return _json_resp({"error": "binary wire only"}, 400)
         if path == "/encryptedsearch":
             return self._encrypted_search(self._parse_json(body))
         if path == "/precise-vector-pir":
@@ -304,6 +308,27 @@ class Dispatcher:
                  counts.astype(np.int64, copy=False)],
             )
         raise ValueError("bad coarse binary request")
+
+    def _search_bin(self, body: bytes) -> Response:
+        """Fused one-round triage (net-new, binary wire kind 11): coarse
+        top-CP + exact re-rank + final top-k in one request. Same privacy
+        semantics as /coarsesearch kind 9 followed by /precisesearch (see
+        engine.search_fused); halves the per-query HTTP rounds."""
+        kind, secs = wire_bin.decode(body)
+        if kind != wire_bin.KIND_SEARCH_REQ or len(secs) != 3:
+            raise ValueError("bad search binary request")
+        q = np.asarray(secs[0], np.float32)
+        probes = np.asarray(secs[1], np.int64)
+        k = int(np.asarray(secs[2]).reshape(-1)[0])
+        if not 0 < k <= 1 << 20:
+            raise ValueError("bad k")
+        self._check_coarse_args(q, probes)
+        ids, dists = self.engine.search_fused(q, probes, k)
+        return _bin_resp(
+            wire_bin.KIND_SEARCH,
+            [ids.astype(np.int64, copy=False),
+             dists.astype(np.float32, copy=False)],
+        )
 
     # reference: Query.cc:65-97
     def _precise_search(self, body) -> Response:

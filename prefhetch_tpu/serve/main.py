@@ -54,6 +54,13 @@ def main(argv=None) -> None:
         "--shard", action="store_true",
         help="shard the index across all visible devices (mesh mode)",
     )
+    parser.add_argument(
+        "--frontend", choices=("threaded", "aio", "native"),
+        default="threaded",
+        help="web layer: stdlib threaded (reference-parity default), "
+             "asyncio event loop, or the C++ epoll frontend "
+             "(native/pfh_http.cpp — per-batch Python, highest throughput)",
+    )
     args = parser.parse_args(argv)
 
     init_logger("prefhetch")  # parent logger: engine/serve children propagate
@@ -66,9 +73,19 @@ def main(argv=None) -> None:
     engine.init_index()
     if args.shard:
         engine.enable_sharding()
-    serve_forever(
-        engine, cfg.host, args.port or cfg.port, batching=args.batching
-    )
+    port = args.port or cfg.port
+    if args.frontend == "native":
+        from prefhetch_tpu.serve.native_server import serve_forever_native
+
+        serve_forever_native(engine, cfg.host, port)
+    elif args.frontend == "aio":
+        from prefhetch_tpu.serve.aio_server import serve_forever_aio
+
+        serve_forever_aio(
+            engine, cfg.host, port, batching=args.batching
+        )
+    else:
+        serve_forever(engine, cfg.host, port, batching=args.batching)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,432 @@
+"""Native epoll frontend: per-BATCH Python serving loop.
+
+The C++ side (native/pfh_http.cpp — the production counterpart of the
+reference's Drogon event loop, src/server/server_lib.cpp:48-53) owns every
+socket: accept, HTTP/1.1 keep-alive parsing, response writes, and the
+cross-request batching window (poll blocks for the first request, then
+drains arrivals until `grace_us` of silence). Python wakes up once per
+BATCH, so its per-request cost — the measured bottleneck of the asyncio
+frontend on this one-core host (~5 ms/request through parse → executor →
+dispatcher → batcher future) — is amortized across the whole wave:
+
+    poll() → group by (route, kind, shape) → ONE engine call per group
+           → encode + respond each
+
+Hot binary routes (/coarsesearch kinds 4/9, /precisesearch kind 5,
+/search kind 11) are batched here; every other route falls through to the
+shared Dispatcher (serve/handlers.py) per-request, which stays the
+semantic authority for the reference-parity JSON wire.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import threading
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from prefhetch_tpu import native
+from prefhetch_tpu.serve.handlers import BIN_CT, Dispatcher
+from prefhetch_tpu.utils import wire_bin
+
+logger = logging.getLogger("prefhetch.serve")
+
+_CT_JSON = 0
+_CT_BIN = 1
+
+
+def _ct_code(ctype_str: str) -> int:
+    return _CT_BIN if ctype_str.startswith(BIN_CT) else _CT_JSON
+
+
+class _Req:
+    __slots__ = ("req_id", "method", "path", "flags", "body", "kind", "secs")
+
+    def __init__(self, desc) -> None:
+        self.req_id = desc.req_id
+        self.method = desc.method.decode("ascii", "replace")
+        self.path = desc.path.decode("ascii", "replace")
+        self.flags = desc.flags
+        if desc.body_len:
+            # view into the C++-owned buffer (alive until respond): the
+            # decode below makes zero-copy numpy views of the sections
+            self.body = np.ctypeslib.as_array(
+                desc.body, shape=(desc.body_len,)
+            )
+        else:
+            self.body = np.empty(0, np.uint8)
+        self.kind = -1
+        self.secs: Optional[List[np.ndarray]] = None
+
+
+class NativeHTTPServer:
+    """Serving loop over the native epoll frontend."""
+
+    def __init__(
+        self,
+        engine,
+        port: int = 8080,
+        max_batch: int = 64,
+        grace_ms: float = 1.5,
+        poll_ms: float = 200.0,
+    ) -> None:
+        lib = native.get_http_lib()
+        if lib is None:
+            raise RuntimeError("native http frontend unavailable (no g++?)")
+        # relay d2h/h2d transfers acquire the GIL in many short chunks; at
+        # the default 5 ms switch interval each chunk can wait a full slice
+        # behind the other serving thread and a ~35 ms resolve stretches to
+        # seconds (measured: a d2h loop made ZERO progress in 3 s beside a
+        # busy thread; 0.2 ms -> full speed). Process-global, deliberately:
+        # a serving process exists to serve.
+        import sys as _sys
+
+        _sys.setswitchinterval(0.0002)
+        self._lib = lib
+        self._h = lib.pfh_http_start(port, 256)
+        if not self._h:
+            raise OSError(f"pfh_http: cannot bind port {port}")
+        self.port = int(lib.pfh_http_port(self._h))
+        self.engine = engine
+        # pin every service's row axis to max_batch: one compiled XLA
+        # program per service regardless of wave composition (remote
+        # compiles here cost minutes — engine.rows_pin docstring)
+        if hasattr(engine, "rows_pin"):
+            engine.rows_pin = max_batch
+        self.dispatcher = Dispatcher(engine)
+        self._max_batch = max_batch
+        self._grace_us = int(grace_ms * 1e3)
+        self._poll_us = int(poll_ms * 1e3)
+        self._descs = (native.ReqDesc * max_batch)()
+        self._stop = threading.Event()
+        self.batches = 0
+        self.batched_rows = 0
+        # per-phase accumulators (seconds) — /stats surfaces them; the
+        # serving-gap work is driven by these numbers
+        self.timing = {
+            "waves": 0, "reqs": 0, "decode_s": 0.0, "dispatch_s": 0.0,
+            "resolve_s": 0.0, "encode_s": 0.0, "slow_s": 0.0,
+            "wave_sizes": [],
+        }
+        # wave pipeline: the dispatch thread queues device work (async jax
+        # dispatch — never blocks on the relay) and hands a resolver to the
+        # completion thread, which eats the ~28 ms relay sync while the
+        # NEXT wave is already being decoded/dispatched. Bounded depth =
+        # backpressure when the device falls behind.
+        import queue as _queue
+
+        # depth 2, deliberately shallow: when the resolver is busy the
+        # dispatch thread blocks on put() instead of racing ahead — arrivals
+        # pile up in the C++ ready queue and the NEXT poll drains them as
+        # one big wave (fragmented small waves each pay the full ~30 ms
+        # relay d2h, so wave size is the throughput lever)
+        self._cq: "_queue.Queue" = _queue.Queue(maxsize=2)
+        # waves in flight past dispatch (queued or resolving): the adaptive
+        # batching policy flushes pending requests only when this drops to
+        # ≤1 (pipeline near-idle) or the wave is full — otherwise arrivals
+        # keep accumulating while the resolver works
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
+        self._cthread = threading.Thread(
+            target=self._completion_loop, name="pfh-native-complete",
+            daemon=True,
+        )
+        self._cthread.start()
+        self._thread = threading.Thread(
+            target=self._loop, name="pfh-native-serve", daemon=True
+        )
+        self._thread.start()
+
+    # -- lifecycle -------------------------------------------------------
+    def shutdown(self) -> None:
+        if self._stop.is_set():
+            return
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+        # the dispatch thread is done: every queued job precedes the
+        # sentinel, so joining the completion thread drains all responses
+        self._cq.put(None)
+        self._cthread.join(timeout=30.0)
+        self._lib.pfh_http_stop(self._h)
+        self._h = None
+
+    # -- serving loop ----------------------------------------------------
+    def _loop(self) -> None:
+        """Adaptive-wave dispatch loop.
+
+        Naive fixed-grace batching fragments under a pipelined resolver:
+        clients' next requests arrive a few ms apart, the short grace
+        window cuts tiny waves, and every tiny wave pays the full ~30 ms
+        relay d2h (measured: mean wave 13 of a possible 32, fused route
+        at a third of its ceiling). Instead, arrivals ACCUMULATE while the
+        pipeline is busy and a wave is cut only when (a) it is full, or
+        (b) the pipeline is near-idle (≤1 wave past dispatch) and a short
+        grace has passed with no new arrival — so wave N+1 is sized by
+        everything that arrived during wave N's resolve."""
+        lib, h = self._lib, self._h
+        pending: List[_Req] = []
+        while not self._stop.is_set():
+            room = self._max_batch - len(pending)
+            if room > 0:
+                wait = self._grace_us if pending else self._poll_us
+                n = lib.pfh_http_poll(h, self._descs, room, wait, 0)
+                got = n > 0
+                if got:
+                    pending.extend(
+                        _Req(self._descs[i]) for i in range(n)
+                    )
+            else:
+                got = False
+            if not pending:
+                continue
+            if len(pending) < self._max_batch:
+                if got:
+                    continue        # still arriving — keep collecting
+                with self._inflight_lock:
+                    busy = self._inflight > 1
+                if busy:
+                    continue        # resolver busy — let the wave grow
+            reqs, pending = pending, []
+            t0 = time.perf_counter()
+            try:
+                self._serve_batch(reqs, t0)
+            except Exception:   # noqa: BLE001 — the loop must survive
+                logger.exception("native serve batch failed")
+                for r in reqs:
+                    self._respond_error(r, 500, "internal error")
+
+    def _respond(self, req: _Req, status: int, ctype: int,
+                 body: bytes) -> None:
+        self._lib.pfh_http_respond(
+            self._h, req.req_id, status, ctype, body, len(body)
+        )
+
+    def _respond_error(self, req: _Req, status: int, msg: str) -> None:
+        try:
+            self._respond(
+                req, status, _CT_JSON,
+                b'{"error": "' + msg.encode()[:200] + b'"}',
+            )
+        except Exception:   # noqa: BLE001
+            pass
+
+    # group keys: one engine call per (path, kind, shape signature)
+    def _serve_batch(self, reqs: List[_Req], t0: float) -> None:
+        tm = self.timing
+        tm["waves"] += 1
+        tm["reqs"] += len(reqs)
+        if len(tm["wave_sizes"]) < 4096:
+            tm["wave_sizes"].append(len(reqs))
+        groups: Dict[Tuple, List[_Req]] = {}
+        slow: List[_Req] = []
+        for r in reqs:
+            key = None
+            if r.method == "POST" and (r.flags & 1):
+                try:
+                    r.kind, r.secs = wire_bin.decode(r.body)
+                except ValueError:
+                    self._respond_error(r, 400, "bad binary request")
+                    continue
+                try:
+                    key = self._group_key(r)
+                except (IndexError, ValueError):
+                    key = None
+            if key is None:
+                slow.append(r)
+            else:
+                groups.setdefault(key, []).append(r)
+
+        t_dec = time.perf_counter()
+        tm["decode_s"] += t_dec - t0
+        for key, members in groups.items():
+            try:
+                self._serve_group(key, members)
+            except (ValueError, KeyError, IndexError, TypeError):
+                # a poisoned batch (e.g. k > candidate count for ONE
+                # request) must not 400 the whole wave: retry singly
+                # through the dispatcher's full validation
+                for r in members:
+                    slow.append(r)
+            self.batches += 1
+            self.batched_rows += sum(
+                int(m.secs[0].shape[0]) for m in members if m.secs
+            )
+        t_grp = time.perf_counter()
+        for r in slow:
+            try:
+                status, ctype, body = self.dispatcher.handle(
+                    r.method, r.path,
+                    {
+                        "content-type": BIN_CT if (r.flags & 1) else "",
+                        "accept": BIN_CT if (r.flags & 2) else "",
+                    },
+                    r.body.tobytes(),
+                )
+                self._respond(r, status, _ct_code(ctype), body)
+            except Exception:   # noqa: BLE001
+                self._respond_error(r, 500, "internal error")
+
+        t_end = time.perf_counter()
+        tm["slow_s"] += t_end - t_grp
+        self.dispatcher.stats.record(
+            f"BATCH n={len(reqs)}", t_end - t0, True
+        )
+
+    @staticmethod
+    def _group_key(r: _Req) -> Optional[Tuple]:
+        s = r.secs
+        if r.path == "/coarsesearch" and r.kind == wire_bin.KIND_COARSE_TOPK_REQ \
+                and len(s) == 3 and s[0].ndim == 2 and s[1].ndim == 2:
+            return ("ctopk", s[0].shape[1], s[1].shape[1],
+                    int(np.asarray(s[2]).reshape(-1)[0]))
+        if r.path == "/coarsesearch" and r.kind == wire_bin.KIND_COARSE_REQ \
+                and len(s) == 2 and s[0].ndim == 2 and s[1].ndim == 2:
+            return ("ctiled", s[0].shape[1], s[1].shape[1])
+        if r.path == "/precisesearch" and r.kind == wire_bin.KIND_PRECISE_REQ \
+                and len(s) == 2 and s[0].ndim == 2 and s[1].ndim == 2:
+            return ("precise", s[0].shape[1], s[1].shape[1])
+        if r.path == "/search" and r.kind == wire_bin.KIND_SEARCH_REQ \
+                and len(s) == 3 and s[0].ndim == 2 and s[1].ndim == 2:
+            return ("fused", s[0].shape[1], s[1].shape[1],
+                    int(np.asarray(s[2]).reshape(-1)[0]))
+        return None
+
+    def _serve_group(self, key: Tuple, members: List[_Req]) -> None:
+        """Dispatch a coalesced group and hand a resolver to the completion
+        thread. The engine *_async calls only queue device work (jax's async
+        dispatch) plus host prep — they never block on the ~28 ms relay
+        roundtrip; the completion thread pays that while the NEXT wave is
+        already being decoded and dispatched here."""
+        tm = self.timing
+        t0 = time.perf_counter()
+        rows = [int(m.secs[0].shape[0]) for m in members]
+        q = np.concatenate([m.secs[0] for m in members]).astype(
+            np.float32, copy=False
+        )
+        second = np.concatenate([m.secs[1] for m in members]).astype(
+            np.int64, copy=False
+        )
+        tm["concat_s"] = tm.get("concat_s", 0.0) + (time.perf_counter() - t0)
+        route = key[0]
+        if route in ("ctopk", "fused"):
+            k = key[3]
+            if not 0 < k <= 1 << 20:
+                raise ValueError("bad k")
+            if route == "ctopk":
+                resolver = self.engine.coarse_search_topk_async(q, second, k)
+            else:
+                resolver = self.engine.search_fused_async(q, second, k)
+        elif route == "ctiled":
+            resolver = self.engine.coarse_search_tiled_async(q, second)
+        elif route == "precise":
+            resolver = self.engine.precise_search_async(q, second)
+        else:   # pragma: no cover — _group_key and this must stay in sync
+            raise ValueError(f"unknown group {route}")
+        tm["dispatch_s"] += time.perf_counter() - t0
+        with self._inflight_lock:
+            self._inflight += 1
+        # bounded queue = backpressure: if the device falls behind, the
+        # dispatch thread stalls here instead of piling up device programs
+        self._cq.put((route, members, rows, resolver))
+
+    # -- completion thread ----------------------------------------------
+    def _completion_loop(self) -> None:
+        tm = self.timing
+        while True:
+            job = self._cq.get()
+            if job is None:
+                return
+            route, members, rows, resolver = job
+            try:
+                t0 = time.perf_counter()
+                try:
+                    out = resolver()
+                except Exception:   # noqa: BLE001 — the loop must survive
+                    logger.exception("native resolve failed (%s)", route)
+                    for m in members:
+                        self._respond_error(m, 500, "internal error")
+                    continue
+                t1 = time.perf_counter()
+                tm["resolve_s"] += t1 - t0
+                try:
+                    self._encode_respond(route, members, rows, out)
+                except Exception:   # noqa: BLE001
+                    logger.exception("native encode failed (%s)", route)
+                    for m in members:
+                        self._respond_error(m, 500, "internal error")
+                tm["encode_s"] += time.perf_counter() - t1
+            finally:
+                with self._inflight_lock:
+                    self._inflight -= 1
+
+    def _encode_respond(self, route: str, members: List[_Req],
+                        rows: List[int], out) -> None:
+        off = 0
+        if route == "ctopk":
+            ids, dists, counts = out
+            for m, n in zip(members, rows):
+                body = wire_bin.encode(wire_bin.KIND_COARSE_TOPK, [
+                    ids[off:off + n].astype(np.int32, copy=False),
+                    dists[off:off + n].astype(np.float32, copy=False),
+                    counts[off:off + n].astype(np.int64, copy=False),
+                ])
+                self._respond(m, 200, _CT_BIN, body)
+                off += n
+        elif route == "ctiled":
+            tile_idx, qdist, dmin, dstep, counts = out
+            for m, n in zip(members, rows):
+                body = wire_bin.encode(wire_bin.KIND_COARSE_TILED, [
+                    tile_idx[off:off + n].astype(np.int32, copy=False),
+                    qdist[off:off + n],
+                    dmin[off:off + n].astype(np.float32, copy=False),
+                    dstep[off:off + n].astype(np.float32, copy=False),
+                    counts[off:off + n].astype(np.int64, copy=False),
+                ])
+                self._respond(m, 200, _CT_BIN, body)
+                off += n
+        elif route == "precise":
+            scores = out
+            for m, n in zip(members, rows):
+                body = wire_bin.encode(wire_bin.KIND_PRECISE, [
+                    np.asarray(scores[off:off + n], np.float32),
+                ])
+                self._respond(m, 200, _CT_BIN, body)
+                off += n
+        else:   # fused
+            ids, dists = out
+            for m, n in zip(members, rows):
+                body = wire_bin.encode(wire_bin.KIND_SEARCH, [
+                    ids[off:off + n].astype(np.int64, copy=False),
+                    dists[off:off + n].astype(np.float32, copy=False),
+                ])
+                self._respond(m, 200, _CT_BIN, body)
+                off += n
+
+
+def serve_forever_native(
+    engine,
+    host: str = "0.0.0.0",
+    port: int = 8080,
+    background: bool = False,
+    max_batch: int = 64,
+    grace_ms: float = 1.5,
+    **_ignored,
+):
+    """Start the native frontend (binds INADDR_ANY; `host` accepted for
+    signature parity with serve_forever_aio). Returns the server when
+    `background`, else blocks until interrupted."""
+    srv = NativeHTTPServer(
+        engine, port=port, max_batch=max_batch, grace_ms=grace_ms
+    )
+    logger.info("native epoll frontend listening on :%d", srv.port)
+    if background:
+        return srv
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.shutdown()
+    return srv

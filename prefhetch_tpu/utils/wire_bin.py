@@ -54,6 +54,8 @@ KIND_FETCH_REQ = 7      # /precise-vector-pir bin req: ids i64[nq,k]
 KIND_FETCH = 8          # /precise-vector-pir bin resp: vecs f32[nq,k,d]
 KIND_COARSE_TOPK_REQ = 9   # q f32[nq,d], probes i64[nq,np], k u32[1]
 KIND_COARSE_TOPK = 10      # ids i32[nq,k], dists f32[nq,k], counts i64[nq]
+KIND_SEARCH_REQ = 11       # /search: q f32[nq,d], probes i64[nq,np], k u32[1]
+KIND_SEARCH = 12           # /search resp: ids i64[nq,k], dists f32[nq,k]
 
 _DTYPES = {
     0: np.dtype(np.uint8),

@@ -186,3 +186,37 @@ def test_pir2d_at_100k_rows():
     resp = server.answer_2d(wire, client.key_id)
     got = client.decode_response_2d(resp, d, r)
     np.testing.assert_array_equal(got, base[row])
+
+
+def test_pir2d_batch_matches_single():
+    """answer_2d_batch (vmapped one-DB-pass fold, engine/pir_device.py)
+    returns byte-identical wires to per-query answer_2d across bucket
+    boundaries (6 rows -> bucket 4 + padded bucket 4)."""
+    from prefhetch_tpu.crypto.params import pir_params_for
+    from prefhetch_tpu.crypto.pir import PIRClient
+    from prefhetch_tpu.engine.pir_device import DevicePIR2
+
+    p = pir_params_for(256, 257, 2)
+    rng = np.random.default_rng(11)
+    nbase, d = 300, 32
+    base = rng.integers(0, 256, (nbase, d)).astype(np.float32)
+    client = PIRClient(p, seed=13)
+    dev = DevicePIR2(base, p)
+    dev.register_galois_keys(
+        client.key_id, client.galois_keys_wire_2d(nbase, d)
+    )
+    rows = [5, 123, 123, 0, 299, 42]
+    wires, rs = zip(*(client.build_query_2d(r, nbase, d) for r in rows))
+    batch = dev.answer_2d_batch(list(wires), client.key_id)
+    assert len(batch) == len(rows)
+    for w, resp, row, r in zip(wires, batch, rows, rs):
+        single = dev.answer_2d(w, client.key_id)
+        for cs, cb in zip(single["cts"], resp["cts"]):
+            np.testing.assert_array_equal(
+                np.asarray(cs["c0"]["b64"]), np.asarray(cb["c0"]["b64"])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(cs["c1"]["b64"]), np.asarray(cb["c1"]["b64"])
+            )
+        got = client.decode_response_2d(resp, d, r)
+        np.testing.assert_array_equal(got, base[row])
