@@ -66,7 +66,29 @@ def _enable_persistent_compile_cache() -> None:
         pass
 
 
+def _apply_platform_override() -> None:
+    """Honor PFH_PLATFORM (e.g. "cpu") for subprocess entry points.
+
+    This sandbox's sitecustomize force-updates jax.config to the "axon" TPU
+    platform at interpreter start, so JAX_PLATFORMS alone cannot put a
+    spawned server/client process on CPU — the config must be re-updated
+    after jax import. Tests that spawn real server processes set
+    PFH_PLATFORM=cpu."""
+    import os
+
+    plat = os.environ.get("PFH_PLATFORM")
+    if not plat:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    except Exception:
+        pass
+
+
 _enable_persistent_compile_cache()
+_apply_platform_override()
 
 from prefhetch_tpu.utils.config import (  # noqa: F401
     IndexParams,
