@@ -537,10 +537,14 @@ def main():
 
     def run_enc():
         e_qps, m_qps, k_qps = encrypted_rerank_qps(data, np.asarray(ids))
+        n_he, b_he = 4096, 4096 // D
+        nb_he = -(-COARSE_PROBE // b_he)
         return {
             "encrypted_rerank_qps": round(e_qps, 2),
             "encrypted_mac_device_qps": round(m_qps, 2),
             "encrypted_mac_kernel_qps": round(k_qps, 2),
+            # modulus-switched q1 response wire (single limb, coeff domain)
+            "encrypted_wire_bytes_per_query": nb_he * (n_he + b_he) * 4,
         }
 
     # recall on the HARD workload (overlapping clusters, heavy-tailed list
@@ -1118,8 +1122,11 @@ def encrypted_rerank_qps(data, cand_ids, nq: int = 64):
     (candidates travel as INDICES; gather+pack on device). Stages are
     pipelined with a background transfer thread: batch i's device result
     downloads while batch i+1 encrypts — on this sandbox's relay link the
-    download (~270 KB/query of response ciphertext) is the binding
-    constraint, so the pipeline hides host crypto behind it.
+    download is the binding constraint, so the pipeline hides host crypto
+    behind it. The response rides the modulus-switched q1 wire
+    (hecompute._trunc_mac_q1_fn): single-limb coefficient-domain c1 +
+    ip coefficients, ~132 KB/query at the config-2 operating point —
+    half the 2-limb truncated wire.
 
     Returns (end_to_end_qps, device_mac_qps) — the second is the MAC
     kernel's own sustained rate (dispatch-amortized), i.e. the serving
@@ -1134,7 +1141,12 @@ def encrypted_rerank_qps(data, cand_ids, nq: int = 64):
     from prefhetch_tpu.engine.hecompute import HEComputeService
     from prefhetch_tpu.utils.config import HEParams
 
-    hc = HEClient(HEParams(), seed=11)  # pinned: bench must be reproducible
+    # sparse ternary secret (h=48) enables the modulus-switched q1
+    # response wire: single-limb coefficient-domain c1 + ip coeffs, ~2x
+    # less download than the 2-limb truncated wire (the download IS the
+    # e2e bottleneck through this sandbox's relay). Seed pinned: bench
+    # must be reproducible.
+    hc = HEClient(HEParams(sparse_h=48, resp_mod="q1"), seed=11)
     backend = "tpu" if jax.default_backend() == "tpu" else "numpy"
     svc = HEComputeService(hc.params, backend=backend)
     svc.set_base(data["base"])
@@ -1153,11 +1165,11 @@ def encrypted_rerank_qps(data, cand_ids, nq: int = 64):
 
     def fetch(pending):
         b, nm = pending
-        return svc.trunc_unbundle(np.asarray(b), nm)
+        return svc.trunc_unbundle_q1(np.asarray(b), nm)
 
     # warm (compile + first transfers)
-    out = hc.decrypt_scores_trunc(*fetch(
-        svc.encrypted_scores_trunc_async(encrypt(), idx)
+    out = hc.decrypt_scores_trunc_q1(*fetch(
+        svc.encrypted_scores_trunc_q1_async(encrypt(), idx)
     ), queries)
     assert np.abs(out - ref).max() < 1.0, "encrypted distances diverged"
 
@@ -1167,11 +1179,11 @@ def encrypted_rerank_qps(data, cand_ids, nq: int = 64):
         fut = None
         for _ in range(n_iter):
             cts = encrypt()
-            pending = svc.encrypted_scores_trunc_async(cts, idx)
+            pending = svc.encrypted_scores_trunc_q1_async(cts, idx)
             if fut is not None:
-                out = hc.decrypt_scores_trunc(*fut.result(), queries)
+                out = hc.decrypt_scores_trunc_q1(*fut.result(), queries)
             fut = pool.submit(fetch, pending)
-        out = hc.decrypt_scores_trunc(*fut.result(), queries)
+        out = hc.decrypt_scores_trunc_q1(*fut.result(), queries)
         dt = _time.perf_counter() - t0
     assert np.abs(out - ref).max() < 1.0, "encrypted distances diverged"
     e2e_qps = nq * n_iter / dt
@@ -1183,7 +1195,7 @@ def encrypted_rerank_qps(data, cand_ids, nq: int = 64):
         t0 = _time.perf_counter()
         last = None
         for _ in range(n_mac):
-            last, _nm = svc.encrypted_scores_trunc_async(cts, idx)
+            last, _nm = svc.encrypted_scores_trunc_q1_async(cts, idx)
         _ = np.asarray(last[0, 0, 0, :4])
         mac_qps = nq * n_mac / (_time.perf_counter() - t0)
         # pure kernel rate: ct + index args pre-uploaded and device-resident
@@ -1206,7 +1218,7 @@ def encrypted_rerank_qps(data, cand_ids, nq: int = 64):
         ).astype(np.int32))
         idx_dev = _jnp.asarray(pad_idx)
         def kernel_call():
-            return svc._trunc_mac_fn(svc._base_dev, ctq_dev, idx_dev)
+            return svc._trunc_mac_q1_fn(svc._base_dev, ctq_dev, idx_dev)
         last = kernel_call()
         last.block_until_ready()
         n_k = 10
@@ -1217,7 +1229,7 @@ def encrypted_rerank_qps(data, cand_ids, nq: int = 64):
         kernel_qps = nq * n_k / (_time.perf_counter() - t0)
     else:
         t0 = _time.perf_counter()
-        svc.encrypted_scores_trunc(cts, idx)
+        svc.encrypted_scores_trunc_q1(cts, idx)
         mac_qps = nq / (_time.perf_counter() - t0)
         kernel_qps = mac_qps
     return e2e_qps, mac_qps, kernel_qps

@@ -48,7 +48,9 @@ class HEClient:
         if he.scheme == "bfv":
             self.params = bfv_params_for(he.n, he.t_bits, he.n_limbs)
             self.ctx = BFVContext(self.params)
-            self.sk, self.pk = self.ctx.keygen(self._rng)
+            self.sk, self.pk = self.ctx.keygen(
+                self._rng, sparse_h=getattr(he, "sparse_h", None)
+            )
         elif he.scheme == "ckks":
             from prefhetch_tpu.crypto.ckks import CKKSContext
 
@@ -177,6 +179,46 @@ class HEClient:
         frac -= np.floor(frac)
         ips = np.round(t * frac).astype(np.int64) % t
         ips = np.where(ips > t // 2, ips - t, ips)             # centered
+        ips = ips.reshape(nq, nb * B)[:, :P]
+        out = np.empty((nq, P), np.float32)
+        for i in range(nq):
+            out[i] = distances_from_inner_products(
+                queries[i], ips[i], np.asarray(norms[i])
+            )
+        return out
+
+    def decrypt_scores_trunc_q1(
+        self,
+        c1_q1: np.ndarray,     # [nq, nb, N] int32 — response c1 mod q1,
+                               # COEFFICIENT domain (see hecompute *_q1)
+        c0_ip: np.ndarray,     # [nq, nb, B] int32 — c0 ip coeffs mod q1
+        norms: np.ndarray,     # [nq, P]
+        queries: np.ndarray,   # [nq, d]
+    ) -> np.ndarray:
+        """Decrypt the modulus-switched single-limb wire → exact distances.
+
+        Needs a sparse secret (HEParams.sparse_h ≤ 48): the server's
+        mod-down left rounding error ≤ (1+h)/2 which must stay under
+        q1/(2t) — see engine/hecompute._trunc_mac_q1_fn's budget."""
+        from prefhetch_tpu.crypto.ntt import intt, ntt
+
+        assert self.scheme == "bfv"
+        p = self.params
+        nq, P = norms.shape
+        d = queries.shape[1]
+        B = p.n // d
+        nb = c1_q1.shape[1]
+        tb = self.ctx.tables[0]
+        q1, t = tb.q, p.t
+        pos = np.arange(B) * d + (d - 1)
+        s_ntt = ntt(self.sk.s_rns[0], tb)
+        w = ntt(
+            np.mod(c1_q1.astype(np.int64).reshape(-1, p.n), q1), tb
+        )
+        cs = intt(w * s_ntt % q1, tb)[:, pos].reshape(nq, nb, B)
+        v = (cs + c0_ip) % q1
+        ips = np.round(t * (v.astype(np.float64) / q1)).astype(np.int64) % t
+        ips = np.where(ips > t // 2, ips - t, ips)
         ips = ips.reshape(nq, nb * B)[:, :P]
         out = np.empty((nq, P), np.float32)
         for i in range(nq):

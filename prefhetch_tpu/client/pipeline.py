@@ -288,11 +288,24 @@ class ClientPipeline:
             "encryptedPreciseQuery": he_client.encrypt_query_batch(query),
             "nearestCoarseVectorIndexes": cand.tolist(),
         }
+        if getattr(self.config.he, "resp_mod", "full") == "q1":
+            # modulus-switched single-limb response (~2× smaller download;
+            # requires HEParams.sparse_h — see engine/hecompute *_q1)
+            payload["respMod"] = "q1"
         gks = he_client.galois_keys_wire(query.shape[1])
         if gks is not None:
             payload["galoisKeys"] = gks
         resp = self._post("encryptedsearch", payload)
-        if "c1Ntt" in resp:
+        if "c1Q1" in resp:
+            from prefhetch_tpu.utils.wire import unpack_i32
+
+            scores = he_client.decrypt_scores_trunc_q1(
+                unpack_i32(resp["c1Q1"]),
+                unpack_i32(resp["c0Ip"]),
+                np.asarray(resp["candidateNorms"], np.int64),
+                query,
+            )
+        elif "c1Ntt" in resp:
             # BFV truncated-response wire: ~4× smaller than full result cts
             from prefhetch_tpu.utils.wire import unpack_i32
 

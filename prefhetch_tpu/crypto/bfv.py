@@ -16,7 +16,7 @@ binomial; ternary secrets.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -127,6 +127,27 @@ def _sample_ternary(rng, shape) -> np.ndarray:
     return rng.integers(-1, 2, size=shape).astype(np.int64)
 
 
+def _sample_sparse_ternary(rng, n: int, h: int) -> np.ndarray:
+    """Ternary secret with EXACTLY h nonzero (±1) coefficients.
+
+    The modulus-switched response wire (engine/hecompute.py *_q1) needs the
+    mod-down rounding error (1+‖s‖₁)/2 under Δ'/2 = q1/(2t) ≈ 32 at the
+    config-2 operating point, so ‖s‖₁ = h must stay ≤ ~62; h=48 leaves a
+    deterministic margin. Sparse ternary keys are the standard HE
+    trade-off for rescaling headroom (HEAAN uses h=64); at N=4096 with
+    q ≈ 2^60 the lattice-security margin over 128 bits absorbs it."""
+    # partial Fisher-Yates over [0, n): needs only rng.integers, which both
+    # numpy Generators and the OS-entropy SecureRNG provide
+    pool = np.arange(n)
+    for i in range(h):
+        j = int(rng.integers(i, n))
+        pool[i], pool[j] = pool[j], pool[i]
+    s = np.zeros(n, np.int64)
+    signs = np.where(rng.integers(0, 2, size=h) == 0, -1, 1)
+    s[pool[:h]] = signs
+    return s
+
+
 def _binomial_half(rng, k: int, shape) -> np.ndarray:
     if hasattr(rng, "binomial_half"):           # SecureRNG (production)
         return rng.binomial_half(k, shape)
@@ -197,9 +218,12 @@ class BFVContext:
         return np.stack([intt(x[i], tb) for i, tb in enumerate(self.tables)])
 
     # -- keygen ---------------------------------------------------------
-    def keygen(self, rng: np.random.Generator) -> Tuple[SecretKey, PublicKey]:
+    def keygen(
+        self, rng: np.random.Generator, sparse_h: Optional[int] = None
+    ) -> Tuple[SecretKey, PublicKey]:
         p = self.params
-        s = _sample_ternary(rng, p.n)
+        s = (_sample_sparse_ternary(rng, p.n, sparse_h)
+             if sparse_h else _sample_ternary(rng, p.n))
         e = _sample_error(rng, p.n)
         # 'a' must be one ring element mod q = Π q_i: sample big-int coeffs
         a_int = [int(rng.integers(0, 1 << 62)) % p.q for _ in range(p.n)]

@@ -179,6 +179,161 @@ class HEComputeService:
         return jax.jit(trunc_mac)
 
     @functools.cached_property
+    def _trunc_mac_q1_fn(self):
+        """Modulus-switched truncated response (VERDICT r02 item 4):
+
+        Same MAC as _trunc_mac_fn, but the result ciphertext is RNS
+        mod-switched down to the FIRST limb before it leaves the device —
+        the wire shrinks ~2× to [nq, nb, N+B] i32 (c1 in COEFFICIENT
+        domain ‖ c0 inner-product coefficients, both mod q1).
+
+        Domain subtlety: RNS mod-down centers the q2-residue per
+        coefficient, which is only meaningful in the COEFFICIENT domain —
+        mod-switching NTT-domain values would turn the ±1/2 rounding into
+        full-magnitude coefficient noise after iNTT. So c1 pays one extra
+        device iNTT per limb and ships in coefficient domain; the client
+        forward-NTTs it at q1 only (half its former pointwise work).
+
+        Noise budget (deterministic): Δ' = q1/t ≈ 2^6; mod-down error
+        ≤ (1+‖s‖₁)/2 + |e⊛pt|/q2 + t/q2 < 25 + 0.02 + 0.01 < Δ'/2 = 32
+        for a sparse ternary secret with h = ‖s‖₁ ≤ 48
+        (crypto/bfv._sample_sparse_ternary). Dense ternary keys
+        (‖s‖₁ ≈ 2N/3) would NOT decrypt — callers opting into resp_mod
+        ="q1" must use HEParams.sparse_h."""
+        from prefhetch_tpu.ops.ntt_mxu import (
+            build_ntt4_tables, intt4, modmul, ntt4, shift_mod_reduce,
+        )
+
+        tables = [build_ntt4_tables(q, self.params.n) for q in self.params.qs]
+        n = self.params.n
+        t0 = tables[0]
+        q1, q2 = self.params.qs
+        inv_q2 = pow(q2 % q1, -1, q1)
+        j1, j2 = np.meshgrid(
+            np.arange(t0.n1), np.arange(t0.n2), indexing="ij"
+        )
+        perm = (j2 * t0.n1 + j1).reshape(-1)   # natural → four-step
+        perm_j = jnp.asarray(perm)
+
+        def mod_down(x1, x2):
+            # residues [..,] mod q1 / mod q2 → value mod q1 after exact
+            # division by q2 (centered q2-residue)
+            r2c = jnp.where(x2 > q2 // 2, x2 - q2, x2)
+            diff = shift_mod_reduce(x1 - r2c + 2 * q1, q1, t0.delta, 33)
+            return modmul(diff, jnp.int64(inv_q2), q1, t0.delta)
+
+        def trunc_mac_q1(base_pad, ctq, idx):
+            nq, npad = idx.shape
+            d = base_pad.shape[1]
+            B = n // d
+            nb = npad // B
+            c0q = ctq[:, 0][..., perm_j]
+            c1q = ctq[:, 1][..., perm_j]
+            rows = base_pad[idx]
+            polys = rows[:, :, ::-1].reshape(nq * nb, n)
+            c1c, c0ip = [], []
+            for i, tb in enumerate(tables):
+                q = tb.q
+                lifted = jnp.where(polys < 0, polys + q, polys)
+                pt = ntt4(lifted, tb).reshape(nq, nb, n)
+                o1 = modmul(c1q[:, None, i], pt, q, tb.delta)
+                o0 = modmul(c0q[:, None, i], pt, q, tb.delta)
+                c0ip.append(intt4(
+                    o0.reshape(nq * nb, n), tb
+                ).reshape(nq, nb, B, d)[..., d - 1])          # [nq, nb, B]
+                c1c.append(intt4(
+                    o1.reshape(nq * nb, n), tb
+                ).reshape(nq, nb, n))                          # coeff dom.
+            c1_q1 = mod_down(c1c[0], c1c[1])
+            c0_q1 = mod_down(c0ip[0], c0ip[1])
+            return jnp.concatenate(
+                [c1_q1.astype(jnp.int32), c0_q1.astype(jnp.int32)], axis=-1
+            )                                                  # [nq,nb,N+B]
+
+        return jax.jit(trunc_mac_q1)
+
+    def _trunc_mac_q1_numpy(self, c0q, c1q, idx):
+        """Host-path equivalent of _trunc_mac_q1_fn."""
+        from prefhetch_tpu.crypto.ntt import intt
+
+        p = self.params
+        n = p.n
+        q1, q2 = p.qs
+        inv_q2 = pow(q2 % q1, -1, q1)
+        nq, npad = idx.shape
+        d = self._base_host.shape[1]
+        B = n // d
+        nb = npad // B
+        rows = self._base_host[idx].astype(np.int64)
+        polys = rows[:, :, ::-1].reshape(nq * nb, n)
+        c1c = []
+        c0ip = []
+        for i, tb in enumerate(self.ctx.tables):
+            q = tb.q
+            pt = ntt(polys % q, tb).reshape(nq, nb, n)
+            o1 = c1q[:, None, i].astype(np.int64) * pt % q
+            o0 = c0q[:, None, i].astype(np.int64) * pt % q
+            c0ip.append(
+                intt(o0.reshape(nq * nb, n), tb)
+                .reshape(nq, nb, B, d)[..., d - 1]
+            )
+            c1c.append(intt(o1.reshape(nq * nb, n), tb).reshape(nq, nb, n))
+
+        def mod_down(x1, x2):
+            r2c = np.where(x2 > q2 // 2, x2 - q2, x2)
+            return (x1 - r2c) * inv_q2 % q1
+
+        return np.concatenate(
+            [mod_down(c1c[0], c1c[1]).astype(np.int32),
+             mod_down(c0ip[0], c0ip[1]).astype(np.int32)], axis=-1,
+        )
+
+    def encrypted_scores_trunc_q1(
+        self,
+        cts: List[Ciphertext],
+        cand_idx: np.ndarray,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Modulus-switched truncated MACs → (c1_q1 [nq,nb,N] i32 coeff-dom,
+        c0_ip [nq,nb,B] i32, norms [nq,P] i64) — all mod q1 only; ~2× less
+        wire than encrypted_scores_trunc."""
+        bundled, norms = self.encrypted_scores_trunc_q1_async(cts, cand_idx)
+        return self.trunc_unbundle_q1(np.asarray(bundled), norms)
+
+    def encrypted_scores_trunc_q1_async(
+        self, cts: List[Ciphertext], cand_idx: np.ndarray
+    ):
+        assert self._base_host is not None, "call set_base() first"
+        assert len(self.params.qs) == 2, "q1 wire assumes 2 RNS limbs"
+        p = self.params
+        nq, P = cand_idx.shape
+        d = self._base_host.shape[1]
+        B = p.n // d
+        nb = -(-P // B)
+        pad_idx = np.full((nq, nb * B), self._base_host.shape[0] - 1, np.int32)
+        pad_idx[:, :P] = cand_idx
+        cts = [self.ctx.to_ntt(c) if not c.is_ntt else c for c in cts]
+        ctq = np.stack(
+            [np.stack([c.c0 for c in cts]), np.stack([c.c1 for c in cts])],
+            axis=1,
+        ).astype(np.int32)
+        gathered = self._base_host[cand_idx.astype(np.int64)].astype(np.int64)
+        norms = (gathered ** 2).sum(-1)
+        if self.backend == "tpu":
+            bundled = self._trunc_mac_q1_fn(
+                self._base_dev, jnp.asarray(ctq), jnp.asarray(pad_idx),
+            )
+        else:
+            bundled = self._trunc_mac_q1_numpy(
+                ctq[:, 0], ctq[:, 1], pad_idx
+            )
+        return bundled, norms
+
+    def trunc_unbundle_q1(self, bundled: np.ndarray, norms: np.ndarray):
+        """[nq, nb, N+B] → (c1_q1 [nq,nb,N], c0_ip [nq,nb,B], norms)."""
+        n = self.params.n
+        return bundled[..., :n], bundled[..., n:], norms
+
+    @functools.cached_property
     def _dev_digit_mats(self):
         """Device-resident NTT matrix digits (args, not jit constants)."""
         from prefhetch_tpu.ops.ntt_mxu import build_mxu_tables

@@ -690,6 +690,7 @@ class QueryEngine:
         scheme: str = "bfv",
         key_id: str | None = None,
         galois_keys: dict | None = None,
+        resp_mod: str = "full",
     ):
         """Encrypted re-rank: Enc(⟨q,x⟩) MACs for the named candidates.
 
@@ -726,8 +727,20 @@ class QueryEngine:
                 self.he_service.ctx.ct_from_wire(w)
                 for w in encrypted_queries
             ]
+            cand = np.asarray(nearest_coarse_vector_idx, np.int64)
+            if resp_mod == "q1":
+                # modulus-switched single-limb wire, ~2× smaller (client
+                # must hold a sparse secret — hecompute._trunc_mac_q1_fn)
+                c1_q1, c0_ip, norms = (
+                    self.he_service.encrypted_scores_trunc_q1(cts_in, cand)
+                )
+                return {
+                    "c1Q1": pack_i32(c1_q1),
+                    "c0Ip": pack_i32(c0_ip),
+                    "candidateNorms": norms.tolist(),
+                }
             c1_ntt, c0_ip, norms = self.he_service.encrypted_scores_trunc(
-                cts_in, np.asarray(nearest_coarse_vector_idx, np.int64)
+                cts_in, cand
             )
             return {
                 "c1Ntt": pack_i32(c1_ntt),

@@ -384,6 +384,7 @@ class Dispatcher:
             scheme=body.get("scheme", "bfv"),
             key_id=body.get("keyId"),
             galois_keys=body.get("galoisKeys"),
+            resp_mod=body.get("respMod", "full"),
         )
         if isinstance(result, dict):
             # BFV truncated-response wire (c1 NTT-domain + c0 ip coeffs)

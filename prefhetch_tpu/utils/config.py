@@ -103,6 +103,14 @@ class HEParams:
     # budget), > 255 (byte-valued rows), and ODD so the 2^logm factor from
     # oblivious query expansion is invertible mod t. 257 is prime.
     pir_plain_modulus: int = 257
+    # Sparse ternary secret hamming weight (None = dense ternary). Required
+    # ≤ ~62 by the modulus-switched response wire (resp_mod="q1"): the
+    # mod-down rounding error (1+h)/2 must stay under q1/(2t) ≈ 32.
+    sparse_h: Optional[int] = None
+    # Encrypted-rerank response form: "full" = 2-limb truncated wire;
+    # "q1" = single-limb modulus-switched wire (~2× smaller download,
+    # needs sparse_h). See engine/hecompute.py.
+    resp_mod: str = "full"
 
 
 @dataclasses.dataclass(frozen=True)
