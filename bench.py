@@ -185,9 +185,10 @@ def get_index(data, subdir=""):
     return idx
 
 
-def tpu_pipeline(index, base_j, queries_j):
+def tpu_pipeline(index, base_j, queries_j, nprobe=None, coarse_probe=None):
     """Multi-dispatch full query step on the TILED layout; returns
-    (step fn, args, stats dict).
+    (step fn, args, stats dict). nprobe/coarse_probe default to the
+    headline operating point; the hard-set frontier sweep passes others.
 
     Three device programs (scan | top-k | gather+rerank): XLA's fast TPU
     top-k only pattern-matches a bare top_k program — fusing the scan, a
@@ -210,6 +211,8 @@ def tpu_pipeline(index, base_j, queries_j):
     from prefhetch_tpu.ops.rerank import exact_rerank
     from prefhetch_tpu.ops.topk import topk_select_segmented
 
+    nprobe = NPROBE if nprobe is None else nprobe
+    coarse_probe = COARSE_PROBE if coarse_probe is None else coarse_probe
     quant = os.environ.get("PFH_BENCH_QUANT", "none")
     # pq: 256-slot tiles keep the Pallas one-hot within VMEM
     tile = int(os.environ.get("PFH_BENCH_TILE", 256 if quant == "pq" else 1024))
@@ -219,7 +222,7 @@ def tpu_pipeline(index, base_j, queries_j):
     # stage 3 of the protocol is client work (it ranks the downloaded
     # centroids); use the same kernel as the device path so probe sets are
     # bit-identical across pipelines
-    _, probes = rank_centroids(queries_j, index.centroids, NPROBE)
+    _, probes = rank_centroids(queries_j, index.centroids, nprobe)
     probes = np.asarray(probes)
     tiles_np, counts = view.expand_probes(probes)
     tiles_j = jnp.asarray(tiles_np)
@@ -282,17 +285,26 @@ def tpu_pipeline(index, base_j, queries_j):
         # the PRUNE_J most promising tiles per query (per-tile min-distance
         # prefilter) — the wide top-k is the binding primitive (~7 GB/s),
         # so shrinking its input max_t→J is a direct headline lever.
-        # 0 disables. J must keep J·T ≥ COARSE_PROBE.
-        prune_j = min(int(os.environ.get("PFH_BENCH_PRUNE_J", 16)), max_t)
-        if prune_j * T < COARSE_PROBE:
+        # 0 disables. J must keep J·T ≥ coarse_probe.
+        default_j = 16 * max(1, coarse_probe // 256)   # scale the kept-tile
+        # budget with the funnel width, else a wide frontier point would be
+        # selected from too few tiles
+        prune_j = min(int(os.environ.get("PFH_BENCH_PRUNE_J", default_j)),
+                      max_t)
+        if prune_j * T < coarse_probe:
             prune_j = 0
 
         if prune_j:
             # fused Pallas path (per-tile min in the VMEM epilogue + bf16
             # store + kept-tiles-only extraction) unless explicitly off;
             # the XLA formulation stays as the fallback/oracle
-            fused = os.environ.get("PFH_BENCH_PRUNE_FUSED", "1") != "0"
-            interp = jax.default_backend() not in ("tpu",)
+            env_f = os.environ.get("PFH_BENCH_PRUNE_FUSED")
+            # default: fused Pallas on real TPU only — in interpret mode
+            # (CPU) the kernel is orders of magnitude slower than the XLA
+            # formulation, which is bit-compatible anyway
+            on_tpu_b = jax.default_backend() == "tpu"
+            fused = on_tpu_b if env_f is None else env_f != "0"
+            interp = not on_tpu_b
 
             if fused:
                 def prog_scan(payload, norms, sizes, q, tiles):
@@ -336,14 +348,14 @@ def tpu_pipeline(index, base_j, queries_j):
         def step(payload, norms, sizes, ids, base, q, tiles):
             dist, sel = prog_scan(payload, norms, sizes, q, tiles)
             _, pos = topk_select_segmented(
-                dist, COARSE_PROBE, prune_j, level1_bf16=True
+                dist, coarse_probe, prune_j, level1_bf16=True
             )
             return prog_tail(ids, tiles, pos, base, q, sel)
     else:
         def step(payload, norms, sizes, ids, base, q, tiles):
             dist = prog_scan(payload, norms, sizes, q, tiles)
             _, pos = topk_select_segmented(
-                dist, COARSE_PROBE, max_t, level1_bf16=True
+                dist, coarse_probe, max_t, level1_bf16=True
             )
             return prog_tail(ids, tiles, pos, base, q)
 
@@ -568,12 +580,44 @@ def main():
             _ivf_oracle_topk(hard_data, hard_index),
             hard_data["groundtruth"][:BATCH], k=K,
         )
-        return {
+        out = {
             "hard_recall_at_10": round(hrep.recall_10, 4),
             "hard_recall_at_100": round(hrep.recall_100, 4),
             "hard_oracle_recall_at_10": round(orep.recall_10, 4),
             "hard_oracle_recall_at_100": round(orep.recall_100, 4),
         }
+        # recall-vs-throughput FRONTIER (VERDICT r02 item 7): widen the
+        # candidate funnel on the workload where recall genuinely suffers.
+        # Each point recompiles once (cached across runs); deadline-guarded.
+        frontier = []
+        for npb, cp in ((16, 256), (16, 512), (32, 512), (32, 1024)):
+            if _time_left() < 90 and (npb, cp) != (16, 256):
+                out["hard_frontier_truncated"] = True
+                break
+            fstep, fargs, _ = tpu_pipeline(
+                hard_index, hbase, hq, nprobe=npb, coarse_probe=cp
+            )
+            _, fids = fstep(*fargs)
+            fids.block_until_ready()
+            t0 = time.perf_counter()
+            for _ in range(3):
+                _, fids = fstep(*fargs)
+            fids.block_until_ready()
+            fqps = BATCH * 3 / (time.perf_counter() - t0)
+            frep = benchmark_results(
+                np.asarray(fids), hard_data["groundtruth"][:BATCH], k=K
+            )
+            frontier.append({
+                "nprobe": npb, "coarse_probe": cp,
+                "recall_at_100": round(frep.recall_100, 4),
+                "qps": round(fqps, 1),
+            })
+        out["hard_frontier"] = frontier
+        if frontier:
+            out["hard_best_recall_at_100"] = max(
+                f["recall_at_100"] for f in frontier
+            )
+        return out
 
     # ANGULAR workload (BASELINE "GloVe-1.2M with PQ lists" family):
     # unit-normalized vectors — cosine ranking == L2 ranking on the unit
@@ -626,7 +670,11 @@ def main():
         else:
             from prefhetch_tpu.crypto.pir import PIR2Server as Srv
         base = data["base"]
-        server = Srv(base, p)
+        kw = (
+            {"cache_dir": CACHE}
+            if jax.default_backend() == "tpu" else {}
+        )  # packed-DB NTT cache: cold build is ~8 min at 1M
+        server = Srv(base, p, **kw)
         server.register_galois_keys(
             client.key_id, client.galois_keys_wire_2d(len(base), D)
         )
@@ -682,7 +730,7 @@ def main():
     _section("hard", "PFH_BENCH_SKIP_HARD", run_hard, est_s=120)
     _section("angular", "PFH_BENCH_SKIP_ANGULAR", run_angular, est_s=120)
     _section("ckks", "PFH_BENCH_SKIP_CKKS", run_ckks, est_s=80)
-    _section("pir", "PFH_BENCH_SKIP_PIR", run_pir, est_s=80)
+    _section("pir", "PFH_BENCH_SKIP_PIR", run_pir, est_s=150)
 
     _RESULT["extra"]["status"] = "complete"
     _RESULT["extra"]["bench_wall_s"] = round(time.time() - _T0, 1)
@@ -712,7 +760,7 @@ def _ivf_oracle_topk(data, index) -> np.ndarray:
 
 
 def http_serving_bench(
-    data, index, n_clients: int = 32, reqs_per_client: int = 30
+    data, index, n_clients: int = 64, reqs_per_client: int = 30
 ):
     """BASELINE config 5: batched serving measured through the REAL wire.
 
@@ -1006,7 +1054,7 @@ def run_phase(fn, n_cl, n_rq):
 
 
 one_round_fused(boot, 0)
-t0, t1, l1 = run_phase(one_round, n_clients, n_reqs)
+t0, t1, l1 = run_phase(one_round, min(n_clients, 32), n_reqs)
 print(f"{t0:.6f} {t1:.6f} " + " ".join(f"{x:.6f}" for x in l1))
 t0, t1, l2 = run_phase(one_round_allcand, min(n_clients, 16), 4)
 print(f"{t0:.6f} {t1:.6f} " + " ".join(f"{x:.6f}" for x in l2))

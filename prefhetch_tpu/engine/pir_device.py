@@ -19,6 +19,7 @@ reference's own dataset scale.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict
 
 import jax
@@ -33,10 +34,10 @@ from prefhetch_tpu.crypto.pir import (
     pack_database,
 )
 from prefhetch_tpu.ops.ntt_mxu import (
-    build_mxu_tables,
-    intt_mxu,
+    build_ntt4_tables,
+    intt4,
     modmul,
-    ntt_mxu,
+    ntt4,
     shift_mod_reduce,
 )
 
@@ -47,7 +48,8 @@ N_KS_DIGITS = 2          # 30-bit limbs → two 15-bit key-switch digits
 class DevicePIR2:
     """Device twin of crypto/pir.PIR2Server (same wire contract)."""
 
-    def __init__(self, base: np.ndarray, params: BFVParams):
+    def __init__(self, base: np.ndarray, params: BFVParams,
+                 cache_dir: str | None = None):
         assert len(params.qs) == 2, "device PIR expects 2 RNS limbs"
         self.params = params
         self.ctx = BFVContext(params)
@@ -61,28 +63,41 @@ class DevicePIR2:
         while (params.t ** self._n_digits) < params.qs[0]:
             self._n_digits += 1
 
-        polys = pack_database(base, params)              # [G, N]
-        padded = np.zeros((self.g1 * self.g2, params.n), np.int64)
-        padded[: polys.shape[0]] = polys
-        # batched forward NTT of the whole packed DB per limb (the per-poly
-        # python loop took ~3 min at nbase=1M); native C++ Shoup NTT when
-        # built, vectorized numpy butterflies otherwise
-        db = np.empty(
-            (self.g1 * self.g2, len(params.qs), params.n), np.int64
-        )
-        from prefhetch_tpu import native as _native
-        from prefhetch_tpu.crypto.ntt import ntt as _host_ntt
+        db32 = self._load_db_cache(base, cache_dir)
+        if db32 is None:
+            polys = pack_database(base, params)              # [G, N]
+            padded = np.zeros((self.g1 * self.g2, params.n), np.int64)
+            padded[: polys.shape[0]] = polys
+            # batched forward NTT of the whole packed DB per limb (the
+            # per-poly python loop took ~3 min at nbase=1M); native C++
+            # Shoup NTT when built, vectorized numpy butterflies otherwise
+            db = np.empty(
+                (self.g1 * self.g2, len(params.qs), params.n), np.int64
+            )
+            from prefhetch_tpu import native as _native
+            from prefhetch_tpu.crypto.ntt import ntt as _host_ntt
 
-        for i, tb in enumerate(self.ctx.tables):
-            rows = padded % tb.q
-            if _native.available():
-                db[:, i] = _native.NativeNTT(tb.q, params.n)(rows)
-            else:
-                db[:, i] = _host_ntt(rows, tb)
-        self.db = jnp.asarray(
-            db.reshape(self.g1, self.g2, len(params.qs), params.n)
-            .astype(np.int32)
+            for i, tb in enumerate(self.ctx.tables):
+                rows = padded % tb.q
+                if _native.available():
+                    db[:, i] = _native.NativeNTT(tb.q, params.n)(rows)
+                else:
+                    db[:, i] = _host_ntt(rows, tb)
+            db32 = db.reshape(
+                self.g1, self.g2, len(params.qs), params.n
+            ).astype(np.int32)
+            self._save_db_cache(base, cache_dir, db32)
+        # device transforms are FOUR-STEP NTTs (ops/ntt_mxu.ntt4 — N·(N1+N2)
+        # MACs/row vs the dense form's N², ~32× fewer at N=4096; the dense
+        # pipeline measured an 86 ms/row NTT-bound floor at 1M). All
+        # NTT-domain device tensors live in four-step order; the cache and
+        # the host oracle stay natural-order, permuted here once.
+        t4 = build_ntt4_tables(params.qs[0], params.n)
+        jj1, jj2 = np.meshgrid(
+            np.arange(t4.n1), np.arange(t4.n2), indexing="ij"
         )
+        self._fs_perm = (jj2 * t4.n1 + jj1).reshape(-1)  # natural→four-step
+        self.db = jnp.asarray(db32[..., self._fs_perm])
 
         # per-level monomial/automorphism tables [logm, N]
         n = params.n
@@ -120,6 +135,47 @@ class DevicePIR2:
         self._keys: Dict[str, tuple] = {}
         self._ks_meta = None     # (ext primes, inv_p per limb) — key-indep
 
+    # -- packed-DB disk cache -------------------------------------------
+    # NTT-ing 1M rows costs ~8 min on this one-core host; the result is a
+    # pure function of (base, params), so cache it keyed by a sampled
+    # fingerprint (full-byte hashing a 512 MB base would itself take
+    # noticeable time).
+    def _db_cache_key(self, base: np.ndarray) -> str:
+        import hashlib
+
+        h = hashlib.sha256()
+        h.update(repr((base.shape, str(base.dtype), self.params.n,
+                       self.params.t, self.params.qs)).encode())
+        stride = max(1, base.shape[0] // 1024)
+        h.update(np.ascontiguousarray(base[::stride]).tobytes())
+        return h.hexdigest()[:24]
+
+    def _db_cache_path(self, base, cache_dir):
+        if not cache_dir:
+            return None
+        return os.path.join(
+            cache_dir, f"pirdb_{self._db_cache_key(base)}.npy"
+        )
+
+    def _load_db_cache(self, base, cache_dir):
+        path = self._db_cache_path(base, cache_dir)
+        if path and os.path.exists(path):
+            db = np.load(path)
+            if db.shape == (self.g1, self.g2, len(self.params.qs),
+                            self.params.n):
+                return db
+        return None
+
+    def _save_db_cache(self, base, cache_dir, db32) -> None:
+        path = self._db_cache_path(base, cache_dir)
+        if not path:
+            return
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.save(f, db32)
+        os.replace(tmp, path)
+
     @property
     def n_selectors(self) -> int:
         return self.m
@@ -144,8 +200,9 @@ class DevicePIR2:
                 from prefhetch_tpu.crypto.ntt import build_tables, ntt
 
                 tb = build_tables(q, self.params.n)
-                kb[j, :, e] = ntt(rk.b[:, e] % q, tb)
-                ka[j, :, e] = ntt(rk.a[:, e] % q, tb)
+                # four-step order: every NTT-domain device tensor is
+                kb[j, :, e] = ntt(rk.b[:, e] % q, tb)[:, self._fs_perm]
+                ka[j, :, e] = ntt(rk.a[:, e] % q, tb)[:, self._fs_perm]
         inv_p = np.array(
             [pow(sp, -1, qi) for qi in self.params.qs], np.int64
         )
@@ -170,8 +227,8 @@ class DevicePIR2:
         ext, sp, inv_p_np = self._ks_meta
         L = len(p.qs)
         n_comp = L * N_KS_DIGITS
-        tabs = [build_mxu_tables(q, n) for q in ext]
-        tabs_q = [build_mxu_tables(q, n) for q in p.qs]
+        tabs = [build_ntt4_tables(q, n) for q in ext]
+        tabs_q = [build_ntt4_tables(q, n) for q in p.qs]
         inv_q2_mod_q1 = pow(q2, -1, q1)
 
         def lift_sign(x, sign, q):
@@ -187,7 +244,7 @@ class DevicePIR2:
                 out.append(lift_sign(y[:, i : i + 1], sign, q))
             return jnp.concatenate(out, axis=1)
 
-        def key_switch_batch(c1g, kb_l, ka_l, fdigs, gdigs):
+        def key_switch_batch(c1g, kb_l, ka_l):
             """[M, L, N] int32 → (ks0, ks1) [M, L, N] int32.
 
             kb_l/ka_l: [n_comp, n_ext, N] int32 NTT-domain key components."""
@@ -202,7 +259,7 @@ class DevicePIR2:
             acc = []                                     # per ext prime
             for e, q in enumerate(ext):
                 tb = tabs[e]
-                Dn = ntt_mxu(flat, tb, fdigs[e]).reshape(M, n_comp, n)
+                Dn = ntt4(flat, tb).reshape(M, n_comp, n)
                 s0 = jnp.zeros((M, n), jnp.int64)
                 s1 = jnp.zeros((M, n), jnp.int64)
                 for c in range(n_comp):
@@ -211,10 +268,7 @@ class DevicePIR2:
                 # sums of n_comp values < q: reduce with conditional subs
                 s0 = shift_mod_reduce(s0, q, tb.delta, 34)
                 s1 = shift_mod_reduce(s1, q, tb.delta, 34)
-                acc.append((
-                    intt_mxu(s0, tb, gdigs[e]),
-                    intt_mxu(s1, tb, gdigs[e]),
-                ))
+                acc.append((intt4(s0, tb), intt4(s1, tb)))
             half = sp // 2
             cp0 = acc[-1][0]
             cp1 = acc[-1][1]
@@ -235,7 +289,7 @@ class DevicePIR2:
                 jnp.stack(outs1, axis=1).astype(jnp.int32),
             )
 
-        def expand(c0, c1, kb, ka, fdigs, gdigs):
+        def expand(c0, c1, kb, ka):
             """[L, N] query ct → [m_pad, L, N] selectors (breadth-first)."""
             c0s = jnp.zeros((m_pad, L, n), jnp.int32).at[0].set(c0)
             c1s = jnp.zeros((m_pad, L, n), jnp.int32).at[0].set(c1)
@@ -247,7 +301,7 @@ class DevicePIR2:
                 both1 = jnp.concatenate([c1s[:half_m], sh1[:half_m]])
                 gb0 = apply_perm(both0, self.gal_perm[j], self.gal_sign[j])
                 gb1 = apply_perm(both1, self.gal_perm[j], self.gal_sign[j])
-                ks0, ks1 = key_switch_batch(gb1, kb[j], ka[j], fdigs, gdigs)
+                ks0, ks1 = key_switch_batch(gb1, kb[j], ka[j])
                 qs_b = jnp.array(p.qs, jnp.int64)[None, :, None]
 
                 def red3q(x):
@@ -280,15 +334,15 @@ class DevicePIR2:
             )
             return modmul(diff, jnp.int64(inv_q2_mod_q1), q1, tb.delta)
 
-        def answer(db, c0, c1, kb, ka, fdigs, gdigs):
-            sel0, sel1 = expand(c0, c1, kb, ka, fdigs, gdigs)
+        def answer(db, c0, c1, kb, ka):
+            sel0, sel1 = expand(c0, c1, kb, ka)
             # NTT the needed selectors once per limb
             sel = jnp.stack([sel0[: self.m], sel1[: self.m]], axis=1)
             sel_ntt = []
             for i, q in enumerate(p.qs):
                 tb = tabs_q[i]
                 sel_ntt.append(
-                    ntt_mxu(sel.reshape(-1, L, n)[:, i], tb, fdigs[i])
+                    ntt4(sel.reshape(-1, L, n)[:, i], tb)
                 )                                        # [m·2, N]
             sel_ntt = jnp.stack(sel_ntt, axis=1).reshape(self.m, 2, L, n)
 
@@ -323,12 +377,10 @@ class DevicePIR2:
             (C0n, C1n), _ = jax.lax.scan(fold_row, (z, z), (s1sel, db))
             # back to coeff domain
             C0 = jnp.stack(
-                [intt_mxu(C0n[:, i], tabs_q[i], gdigs[i]) for i in range(L)],
-                axis=1,
+                [intt4(C0n[:, i], tabs_q[i]) for i in range(L)], axis=1,
             )
             C1 = jnp.stack(
-                [intt_mxu(C1n[:, i], tabs_q[i], gdigs[i]) for i in range(L)],
-                axis=1,
+                [intt4(C1n[:, i], tabs_q[i]) for i in range(L)], axis=1,
             )
             c0d = mod_down(C0)                            # [g2, N] mod q1
             c1d = mod_down(C1)
@@ -345,7 +397,7 @@ class DevicePIR2:
                     r1 = jnp.zeros((L, n), jnp.int64)
                     for i, q in enumerate(p.qs):
                         tb = tabs_q[i]
-                        dn = ntt_mxu(dig, tb, fdigs[i])   # [g2, N]
+                        dn = ntt4(dig, tb)                # [g2, N]
                         p0 = modmul(s2[:, 0, i], dn, q, tb.delta)
                         p1 = modmul(s2[:, 1, i], dn, q, tb.delta)
                         # sum over g2 with staged reduction (each < q)
@@ -360,12 +412,10 @@ class DevicePIR2:
                         r0 = r0.at[i].set(s0_)
                         r1 = r1.at[i].set(s1_)
                     r0c = jnp.stack(
-                        [intt_mxu(r0[i][None], tabs_q[i], gdigs[i])[0]
-                         for i in range(L)]
+                        [intt4(r0[i][None], tabs_q[i])[0] for i in range(L)]
                     )
                     r1c = jnp.stack(
-                        [intt_mxu(r1[i][None], tabs_q[i], gdigs[i])[0]
-                         for i in range(L)]
+                        [intt4(r1[i][None], tabs_q[i])[0] for i in range(L)]
                     )
                     o0 = mod_down(r0c[None])[0]
                     o1 = mod_down(r1c[None])[0]
@@ -388,19 +438,10 @@ class DevicePIR2:
         if fn is None:
             fn = jax.jit(jax.vmap(
                 self._build_answer(),
-                in_axes=(None, 0, 0, None, None, None, None),
+                in_axes=(None, 0, 0, None, None),
             ))
             self._batch_fns[b] = fn
         return fn
-
-    @functools.cached_property
-    def _dev_digit_mats(self):
-        ext, _, _ = self._ks_meta
-        fdigs = [jnp.asarray(build_mxu_tables(q, self.params.n).f_digits)
-                 for q in ext]
-        gdigs = [jnp.asarray(build_mxu_tables(q, self.params.n).g_digits)
-                 for q in ext]
-        return fdigs, gdigs
 
     def _resp_wire(self, outs: np.ndarray) -> dict:
         from prefhetch_tpu.utils.wire import pack_i32
@@ -424,9 +465,8 @@ class DevicePIR2:
     def answer_2d(self, query_wire: dict, key_id: str) -> dict:
         c0, c1 = self._query_c01(query_wire)
         kb, ka = self._keys[key_id]
-        fdigs, gdigs = self._dev_digit_mats
         outs = np.asarray(self._answer_fn(
-            self.db, jnp.asarray(c0), jnp.asarray(c1), kb, ka, fdigs, gdigs,
+            self.db, jnp.asarray(c0), jnp.asarray(c1), kb, ka,
         ))                                               # [2·nd, 2, N]
         return self._resp_wire(outs)
 
@@ -439,7 +479,6 @@ class DevicePIR2:
         against ONE pass over the DB. Buckets bound the number of compiled
         programs (each costs minutes through this sandbox's remote XLA)."""
         kb, ka = self._keys[key_id]
-        fdigs, gdigs = self._dev_digit_mats
         pairs = [self._query_c01(w) for w in query_wires]
         out: list = []
         i = 0
@@ -457,7 +496,7 @@ class DevicePIR2:
             c0 = jnp.asarray(np.stack([c[0] for c in chunk]))
             c1 = jnp.asarray(np.stack([c[1] for c in chunk]))
             outs = np.asarray(self._batched_answer_fn(b)(
-                self.db, c0, c1, kb, ka, fdigs, gdigs,
+                self.db, c0, c1, kb, ka,
             ))                               # [b, 2·nd, 2, N]
             out.extend(self._resp_wire(outs[j]) for j in range(nv))
             i += nv
