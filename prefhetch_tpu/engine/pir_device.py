@@ -34,10 +34,10 @@ from prefhetch_tpu.crypto.pir import (
     pack_database,
 )
 from prefhetch_tpu.ops.ntt_mxu import (
-    build_ntt4_tables,
-    intt4,
+    build_mxu_tables,
+    intt_mxu,
     modmul,
-    ntt4,
+    ntt_mxu,
     shift_mod_reduce,
 )
 
@@ -87,17 +87,7 @@ class DevicePIR2:
                 self.g1, self.g2, len(params.qs), params.n
             ).astype(np.int32)
             self._save_db_cache(base, cache_dir, db32)
-        # device transforms are FOUR-STEP NTTs (ops/ntt_mxu.ntt4 — N·(N1+N2)
-        # MACs/row vs the dense form's N², ~32× fewer at N=4096; the dense
-        # pipeline measured an 86 ms/row NTT-bound floor at 1M). All
-        # NTT-domain device tensors live in four-step order; the cache and
-        # the host oracle stay natural-order, permuted here once.
-        t4 = build_ntt4_tables(params.qs[0], params.n)
-        jj1, jj2 = np.meshgrid(
-            np.arange(t4.n1), np.arange(t4.n2), indexing="ij"
-        )
-        self._fs_perm = (jj2 * t4.n1 + jj1).reshape(-1)  # natural→four-step
-        self.db = jnp.asarray(db32[..., self._fs_perm])
+        self.db = jnp.asarray(db32)
 
         # per-level monomial/automorphism tables [logm, N]
         n = params.n
@@ -200,9 +190,8 @@ class DevicePIR2:
                 from prefhetch_tpu.crypto.ntt import build_tables, ntt
 
                 tb = build_tables(q, self.params.n)
-                # four-step order: every NTT-domain device tensor is
-                kb[j, :, e] = ntt(rk.b[:, e] % q, tb)[:, self._fs_perm]
-                ka[j, :, e] = ntt(rk.a[:, e] % q, tb)[:, self._fs_perm]
+                kb[j, :, e] = ntt(rk.b[:, e] % q, tb)
+                ka[j, :, e] = ntt(rk.a[:, e] % q, tb)
         inv_p = np.array(
             [pow(sp, -1, qi) for qi in self.params.qs], np.int64
         )
@@ -227,8 +216,8 @@ class DevicePIR2:
         ext, sp, inv_p_np = self._ks_meta
         L = len(p.qs)
         n_comp = L * N_KS_DIGITS
-        tabs = [build_ntt4_tables(q, n) for q in ext]
-        tabs_q = [build_ntt4_tables(q, n) for q in p.qs]
+        tabs = [build_mxu_tables(q, n) for q in ext]
+        tabs_q = [build_mxu_tables(q, n) for q in p.qs]
         inv_q2_mod_q1 = pow(q2, -1, q1)
 
         def lift_sign(x, sign, q):
@@ -244,7 +233,7 @@ class DevicePIR2:
                 out.append(lift_sign(y[:, i : i + 1], sign, q))
             return jnp.concatenate(out, axis=1)
 
-        def key_switch_batch(c1g, kb_l, ka_l):
+        def key_switch_batch(c1g, kb_l, ka_l, fdigs, gdigs):
             """[M, L, N] int32 → (ks0, ks1) [M, L, N] int32.
 
             kb_l/ka_l: [n_comp, n_ext, N] int32 NTT-domain key components."""
@@ -259,7 +248,7 @@ class DevicePIR2:
             acc = []                                     # per ext prime
             for e, q in enumerate(ext):
                 tb = tabs[e]
-                Dn = ntt4(flat, tb).reshape(M, n_comp, n)
+                Dn = ntt_mxu(flat, tb, fdigs[e]).reshape(M, n_comp, n)
                 s0 = jnp.zeros((M, n), jnp.int64)
                 s1 = jnp.zeros((M, n), jnp.int64)
                 for c in range(n_comp):
@@ -268,7 +257,10 @@ class DevicePIR2:
                 # sums of n_comp values < q: reduce with conditional subs
                 s0 = shift_mod_reduce(s0, q, tb.delta, 34)
                 s1 = shift_mod_reduce(s1, q, tb.delta, 34)
-                acc.append((intt4(s0, tb), intt4(s1, tb)))
+                acc.append((
+                    intt_mxu(s0, tb, gdigs[e]),
+                    intt_mxu(s1, tb, gdigs[e]),
+                ))
             half = sp // 2
             cp0 = acc[-1][0]
             cp1 = acc[-1][1]
@@ -289,7 +281,7 @@ class DevicePIR2:
                 jnp.stack(outs1, axis=1).astype(jnp.int32),
             )
 
-        def expand(c0, c1, kb, ka):
+        def expand(c0, c1, kb, ka, fdigs, gdigs):
             """[L, N] query ct → [m_pad, L, N] selectors (breadth-first)."""
             c0s = jnp.zeros((m_pad, L, n), jnp.int32).at[0].set(c0)
             c1s = jnp.zeros((m_pad, L, n), jnp.int32).at[0].set(c1)
@@ -301,7 +293,7 @@ class DevicePIR2:
                 both1 = jnp.concatenate([c1s[:half_m], sh1[:half_m]])
                 gb0 = apply_perm(both0, self.gal_perm[j], self.gal_sign[j])
                 gb1 = apply_perm(both1, self.gal_perm[j], self.gal_sign[j])
-                ks0, ks1 = key_switch_batch(gb1, kb[j], ka[j])
+                ks0, ks1 = key_switch_batch(gb1, kb[j], ka[j], fdigs, gdigs)
                 qs_b = jnp.array(p.qs, jnp.int64)[None, :, None]
 
                 def red3q(x):
@@ -334,15 +326,15 @@ class DevicePIR2:
             )
             return modmul(diff, jnp.int64(inv_q2_mod_q1), q1, tb.delta)
 
-        def answer(db, c0, c1, kb, ka):
-            sel0, sel1 = expand(c0, c1, kb, ka)
+        def answer(db, c0, c1, kb, ka, fdigs, gdigs):
+            sel0, sel1 = expand(c0, c1, kb, ka, fdigs, gdigs)
             # NTT the needed selectors once per limb
             sel = jnp.stack([sel0[: self.m], sel1[: self.m]], axis=1)
             sel_ntt = []
             for i, q in enumerate(p.qs):
                 tb = tabs_q[i]
                 sel_ntt.append(
-                    ntt4(sel.reshape(-1, L, n)[:, i], tb)
+                    ntt_mxu(sel.reshape(-1, L, n)[:, i], tb, fdigs[i])
                 )                                        # [m·2, N]
             sel_ntt = jnp.stack(sel_ntt, axis=1).reshape(self.m, 2, L, n)
 
@@ -377,10 +369,12 @@ class DevicePIR2:
             (C0n, C1n), _ = jax.lax.scan(fold_row, (z, z), (s1sel, db))
             # back to coeff domain
             C0 = jnp.stack(
-                [intt4(C0n[:, i], tabs_q[i]) for i in range(L)], axis=1,
+                [intt_mxu(C0n[:, i], tabs_q[i], gdigs[i]) for i in range(L)],
+                axis=1,
             )
             C1 = jnp.stack(
-                [intt4(C1n[:, i], tabs_q[i]) for i in range(L)], axis=1,
+                [intt_mxu(C1n[:, i], tabs_q[i], gdigs[i]) for i in range(L)],
+                axis=1,
             )
             c0d = mod_down(C0)                            # [g2, N] mod q1
             c1d = mod_down(C1)
@@ -397,7 +391,7 @@ class DevicePIR2:
                     r1 = jnp.zeros((L, n), jnp.int64)
                     for i, q in enumerate(p.qs):
                         tb = tabs_q[i]
-                        dn = ntt4(dig, tb)                # [g2, N]
+                        dn = ntt_mxu(dig, tb, fdigs[i])   # [g2, N]
                         p0 = modmul(s2[:, 0, i], dn, q, tb.delta)
                         p1 = modmul(s2[:, 1, i], dn, q, tb.delta)
                         # sum over g2 with staged reduction (each < q)
@@ -412,10 +406,12 @@ class DevicePIR2:
                         r0 = r0.at[i].set(s0_)
                         r1 = r1.at[i].set(s1_)
                     r0c = jnp.stack(
-                        [intt4(r0[i][None], tabs_q[i])[0] for i in range(L)]
+                        [intt_mxu(r0[i][None], tabs_q[i], gdigs[i])[0]
+                         for i in range(L)]
                     )
                     r1c = jnp.stack(
-                        [intt4(r1[i][None], tabs_q[i])[0] for i in range(L)]
+                        [intt_mxu(r1[i][None], tabs_q[i], gdigs[i])[0]
+                         for i in range(L)]
                     )
                     o0 = mod_down(r0c[None])[0]
                     o1 = mod_down(r1c[None])[0]
@@ -429,7 +425,9 @@ class DevicePIR2:
         return jax.jit(self._build_answer())
 
     # batched-answer programs, one compiled program per bucket size
-    _BATCH_BUCKETS = (4, 16, 64)
+    # bucket cap 16: the vmapped answer at B=64 exceeds HBM at 1M scale
+    # (AOT compile OOM: 16.33G needed of 15.75G); B=16 measured 99 ms/row
+    _BATCH_BUCKETS = (4, 16)
 
     def _batched_answer_fn(self, b: int):
         if not hasattr(self, "_batch_fns"):
@@ -438,10 +436,19 @@ class DevicePIR2:
         if fn is None:
             fn = jax.jit(jax.vmap(
                 self._build_answer(),
-                in_axes=(None, 0, 0, None, None),
+                in_axes=(None, 0, 0, None, None, None, None),
             ))
             self._batch_fns[b] = fn
         return fn
+
+    @functools.cached_property
+    def _dev_digit_mats(self):
+        ext, _, _ = self._ks_meta
+        fdigs = [jnp.asarray(build_mxu_tables(q, self.params.n).f_digits)
+                 for q in ext]
+        gdigs = [jnp.asarray(build_mxu_tables(q, self.params.n).g_digits)
+                 for q in ext]
+        return fdigs, gdigs
 
     def _resp_wire(self, outs: np.ndarray) -> dict:
         from prefhetch_tpu.utils.wire import pack_i32
@@ -465,8 +472,9 @@ class DevicePIR2:
     def answer_2d(self, query_wire: dict, key_id: str) -> dict:
         c0, c1 = self._query_c01(query_wire)
         kb, ka = self._keys[key_id]
+        fdigs, gdigs = self._dev_digit_mats
         outs = np.asarray(self._answer_fn(
-            self.db, jnp.asarray(c0), jnp.asarray(c1), kb, ka,
+            self.db, jnp.asarray(c0), jnp.asarray(c1), kb, ka, fdigs, gdigs,
         ))                                               # [2·nd, 2, N]
         return self._resp_wire(outs)
 
@@ -479,25 +487,50 @@ class DevicePIR2:
         against ONE pass over the DB. Buckets bound the number of compiled
         programs (each costs minutes through this sandbox's remote XLA)."""
         kb, ka = self._keys[key_id]
+        fdigs, gdigs = self._dev_digit_mats
         pairs = [self._query_c01(w) for w in query_wires]
         out: list = []
         i = 0
         while i < len(pairs):
             rem = len(pairs) - i
             # largest bucket not wastefully larger than the remainder
+            broken = getattr(self, "_batch_broken", ())
+            usable = [bb for bb in self._BATCH_BUCKETS if bb not in broken]
             b = next(
-                (bb for bb in reversed(self._BATCH_BUCKETS) if bb <= rem),
-                self._BATCH_BUCKETS[0],
+                (bb for bb in reversed(usable) if bb <= rem),
+                usable[0] if usable else 0,
             )
+            if b == 0:      # every bucket OOM'd: per-query answers
+                c0j, c1j = pairs[i]
+                out.append(self._resp_wire(np.asarray(self._answer_fn(
+                    self.db, jnp.asarray(c0j), jnp.asarray(c1j),
+                    kb, ka, fdigs, gdigs,
+                ))))
+                i += 1
+                continue
             chunk = pairs[i : i + b]
             nv = len(chunk)                  # valid rows (tail pads repeat)
             while len(chunk) < b:
                 chunk.append(chunk[-1])
             c0 = jnp.asarray(np.stack([c[0] for c in chunk]))
             c1 = jnp.asarray(np.stack([c[1] for c in chunk]))
-            outs = np.asarray(self._batched_answer_fn(b)(
-                self.db, c0, c1, kb, ka,
-            ))                               # [b, 2·nd, 2, N]
+            try:
+                outs = np.asarray(self._batched_answer_fn(b)(
+                    self.db, c0, c1, kb, ka, fdigs, gdigs,
+                ))                           # [b, 2·nd, 2, N]
+            except Exception:   # noqa: BLE001 — compile OOM on some
+                # topologies: drop to per-query answers rather than fail
+                # the fetch (the single program is the smallest)
+                if not hasattr(self, "_batch_broken"):
+                    self._batch_broken = set()
+                self._batch_broken.add(b)
+                out.extend(
+                    self._resp_wire(np.asarray(self._answer_fn(
+                        self.db, c0[j], c1[j], kb, ka, fdigs, gdigs,
+                    ))) for j in range(nv)
+                )
+                i += nv
+                continue
             out.extend(self._resp_wire(outs[j]) for j in range(nv))
             i += nv
         return out
