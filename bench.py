@@ -647,10 +647,14 @@ def main():
 
     def run_ckks():
         ckks_qps, ckks_err = ckks_scoring_qps(data, np.asarray(ids))
-        return {
+        out = {
             "ckks_scoring_qps": round(ckks_qps, 2),
             "ckks_max_rel_err": round(ckks_err, 6),
         }
+        dev = getattr(ckks_scoring_qps, "device_qps", None)
+        if dev is not None:
+            out["ckks_device_qps"] = round(dev, 2)
+        return out
 
     def run_pir():
         # real single-server PIR at FULL dataset scale: 2-D hypercube
@@ -1016,12 +1020,22 @@ def one_round_allcand(conn, ci):
     conn.req("POST", "/precisesearch", bencode(5, [q, ids]))
 
 
+# fused request bodies are per-client constants: encode ONCE — on this
+# one-core host the client farm's per-request Python otherwise eats a
+# large share of the core at high q/s and caps the measurement
+_fused_bodies = [
+    bencode(11, [
+        queries[i % len(queries)][None].astype(np.float32),
+        probes[i % len(probes)][None].astype(np.int64),
+        np.asarray([100], np.uint32),
+    ])
+    for i in range(n_clients)
+]
+
+
 def one_round_fused(conn, ci):
     # fused one-round /search: the whole triage in ONE request
-    q = queries[ci % len(queries)][None].astype(np.float32)
-    p = probes[ci % len(probes)][None].astype(np.int64)
-    resp = conn.req("POST", "/search",
-                    bencode(11, [q, p, np.asarray([100], np.uint32)]))
+    resp = conn.req("POST", "/search", _fused_bodies[ci % n_clients])
     _, (ids, dists) = bdecode(resp)
     assert ids.shape[1] == 100
 
@@ -1063,7 +1077,7 @@ print(f"{t0:.6f} {t1:.6f} " + " ".join(f"{x:.6f}" for x in l3))
 '''
 
 
-def ckks_scoring_qps(data, cand_ids, nq: int = 4):
+def ckks_scoring_qps(data, cand_ids, nq: int = 16):
     """BASELINE config 3: CKKS slot-packed encrypted scoring, N=8192.
 
     Client CKKS-encrypts the query replicated across slots; the server
@@ -1114,8 +1128,33 @@ def ckks_scoring_qps(data, cand_ids, nq: int = 4):
     ]
 
     # warm (compile + key upload)
-    if hasattr(svc, "encrypted_scores_batch"):
+    if hasattr(svc, "encrypted_scores_batch_async"):
         # warm at the TIMED shape — a different nq is a different program
+        svc.encrypted_scores_batch(cts, cands, "bench")
+        # pipelined: batch i's d2h resolves while batch i+1's device work
+        # runs (the d2h through the relay, not compute, dominates)
+        n_it = 3
+        t0 = _time.perf_counter()
+        pend = svc.encrypted_scores_batch_async(cts, cands, "bench")
+        for _ in range(n_it - 1):
+            nxt = svc.encrypted_scores_batch_async(cts, cands, "bench")
+            res_b, norms_b = pend()
+            pend = nxt
+        res_b, norms_b = pend()
+        qps = nq * n_it / (_time.perf_counter() - t0)
+        results = [(res_b[i], norms_b[i]) for i in range(nq)]
+        # device-only sustained rate (chained dispatches, one 4-value
+        # sync): the serving ceiling on hardware without this sandbox's
+        # ~15 MB/s d2h relay — e2e above is wire-bound (1.05 MB/query)
+        t0 = _time.perf_counter()
+        n_dev = 6
+        for _ in range(n_dev):
+            r = svc.encrypted_scores_batch_async(cts, cands, "bench")
+        np.asarray(r.dev_out[0, 0, 0, :4])      # sync, 16-byte fetch
+        ckks_scoring_qps.device_qps = nq * n_dev / (
+            _time.perf_counter() - t0
+        )
+    elif hasattr(svc, "encrypted_scores_batch"):
         svc.encrypted_scores_batch(cts, cands, "bench")
         t0 = _time.perf_counter()
         res_b, norms_b = svc.encrypted_scores_batch(cts, cands, "bench")

@@ -311,13 +311,24 @@ class DeviceCKKS:
 
     def encrypted_scores_batch(
         self,
+        cts: List[CKKSCiphertext],
+        candidates: np.ndarray,
+        key_id: str,
+    ):
+        return self.encrypted_scores_batch_async(cts, candidates, key_id)()
+
+    def encrypted_scores_batch_async(
+        self,
         cts: List[CKKSCiphertext],       # [nq] encrypted queries
         candidates: np.ndarray,          # [nq, P, d]
         key_id: str,
     ):
         """Multi-query scoring in ONE device program: all (query, block)
         plaintexts share each per-prime NTT call, amortizing the digit-
-        matrix HBM reads that dominate at small batch.
+        matrix HBM reads that dominate at small batch. ASYNC form: returns
+        a zero-arg resolver; the device work and the d2h are not awaited
+        until it is called (see engine/server.py coarse_search_tiled_async
+        for the relay-latency rationale).
 
         Returns ([nq][n_blocks] result cts, norms [nq, P])."""
         gks = self._keys[key_id]
@@ -363,22 +374,28 @@ class DeviceCKKS:
             ).astype(np.int32)
         )                                            # [nq, 2, L_in, N]
         fn = self._score_fn(level_in, len(steps))
-        out = np.asarray(
-            fn(ct_dev, jnp.asarray(pt_rns.astype(np.int32)),
-               keys_b, keys_a, perms, signs)
-        ).astype(np.int64)                          # [nq·blocks, 2, lvl, N]
+        dev_out = fn(ct_dev, jnp.asarray(pt_rns.astype(np.int32)),
+                     keys_b, keys_a, perms, signs)   # UNFETCHED device array
 
         out_scale = cts[0].scale * ctx.scale / self.ext[level_in - 1]
-        result = [
-            [
-                CKKSCiphertext(
-                    c0=out[qi * n_blocks + b, 0],
-                    c1=out[qi * n_blocks + b, 1],
-                    level=level_in - 1, scale=out_scale,
-                )
-                for b in range(n_blocks)
-            ]
-            for qi in range(nq)
-        ]
         norms = (np.round(candidates).astype(np.int64) ** 2).sum(-1)
-        return result, norms
+
+        def resolve():
+            # one d2h roundtrip (the ~300 ms dominant cost at nq=4 —
+            # callers overlap it with the next batch's dispatch)
+            out = np.asarray(dev_out).astype(np.int64)  # [nq·blk, 2, lvl, N]
+            result = [
+                [
+                    CKKSCiphertext(
+                        c0=out[qi * n_blocks + b, 0],
+                        c1=out[qi * n_blocks + b, 1],
+                        level=level_in - 1, scale=out_scale,
+                    )
+                    for b in range(n_blocks)
+                ]
+                for qi in range(nq)
+            ]
+            return result, norms
+
+        resolve.dev_out = dev_out    # unfetched handle (device-rate bench)
+        return resolve
