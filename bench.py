@@ -903,6 +903,15 @@ def http_serving_bench(
         "http_allcand_wire_bytes_per_query": wire_q,
     }
     out["http_frontend"] = frontend
+    tm = getattr(srv, "timing", None)
+    if tm and tm.get("waves"):
+        # per-phase host seconds across the whole run — the serving-gap
+        # work is driven by these (decode → dispatch → resolve → encode)
+        out["http_server_phases"] = {
+            k: round(v, 2) for k, v in tm.items() if isinstance(v, float)
+        }
+        ws = tm.get("wave_sizes") or [0]
+        out["http_mean_wave"] = round(sum(ws) / max(len(ws), 1), 1)
     if ac_lat:
         ac_ms = sorted(x * 1e3 for x in ac_lat)
         out["http_allcand_qps"] = round(len(ac_lat) / ac_wall, 2)
@@ -920,8 +929,12 @@ def http_serving_bench(
 # binary precise) n_reqs times over ONE keep-alive connection; prints
 # "<t_start> <t_end> <lat0> <lat1> ..." (request window excludes warmup).
 # The binary container decode is inlined (utils/wire_bin.py format).
+# Transport is a raw keep-alive socket with a minimal HTTP/1.1 reader:
+# http.client's per-request parsing measured ~0.5 ms/request of pure
+# client-side Python, which — client and server sharing this one core —
+# was a first-order term in the serving measurement itself.
 _HTTP_CLIENT_WORKER_SRC = '''
-import http.client, os, struct, sys, threading, time, urllib.parse
+import os, re, socket, struct, sys, threading, time, urllib.parse
 import numpy as np
 
 addr, td, n_clients, n_reqs, cp = (
@@ -934,7 +947,8 @@ u = urllib.parse.urlparse(addr)
 HOST, PORT = u.hostname, u.port
 BIN_CT = "application/x-prefhetch-bin"
 DT = {0: "u1", 1: "i4", 2: "i8", 3: "f4", 4: "u2", 5: "f2", 6: "u4"}
-DTC = {"int32": 1, "int64": 2, "float32": 3}
+DTC = {"int32": 1, "int64": 2, "float32": 3, "uint32": 6}
+_CL_RE = re.compile(rb"[Cc]ontent-[Ll]ength:\\s*(\\d+)")
 
 
 def bencode(kind, arrs):
@@ -972,70 +986,108 @@ def bdecode(buf):
     return kind, out
 
 
+def raw_req(method, path, body=b""):
+    hdr = (
+        f"{method} {path} HTTP/1.1\\r\\nHost: b\\r\\nAccept: {BIN_CT}\\r\\n"
+        + (f"Content-Type: {BIN_CT}\\r\\n" if body else "")
+        + f"Content-Length: {len(body)}\\r\\n\\r\\n"
+    ).encode()
+    return hdr + body
+
+
 class Conn:
     def __init__(self):
-        self.c = http.client.HTTPConnection(HOST, PORT, timeout=600)
+        self.s = socket.create_connection((HOST, PORT), timeout=600)
+        self.s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self.buf = b""
+
+    def _recv_more(self):
+        chunk = self.s.recv(262144)
+        if not chunk:
+            raise RuntimeError("connection closed by server")
+        self.buf += chunk
+
+    def req_raw(self, raw):
+        self.s.sendall(raw)
+        while True:
+            i = self.buf.find(b"\\r\\n\\r\\n")
+            if i >= 0:
+                break
+            self._recv_more()
+        head = self.buf[:i]
+        status = int(head.split(b" ", 2)[1])
+        m = _CL_RE.search(head)
+        need = i + 4 + (int(m.group(1)) if m else 0)
+        while len(self.buf) < need:
+            self._recv_more()
+        data = self.buf[i + 4 : need]
+        self.buf = self.buf[need:]
+        if status != 200:
+            raise RuntimeError(f"-> {status}: {data[:200]!r}")
+        return data
 
     def req(self, method, path, body=b""):
-        hdrs = {"Accept": BIN_CT}
-        if body:
-            hdrs["Content-Type"] = BIN_CT
-        self.c.request(method, path, body=body or None, headers=hdrs)
-        r = self.c.getresponse()
-        data = r.read()
-        if r.status != 200:
-            raise RuntimeError(f"{path} -> {r.status}: {data[:200]!r}")
-        return data
+        return self.req_raw(raw_req(method, path, body))
 
 
 # shared static tile table (one download — all-candidates phase only)
 boot = Conn()
 _, (tsizes, tids) = bdecode(boot.req("GET", "/tiletable"))
 T = tids.shape[1]
-DTC["uint32"] = 6
+
+# request bytes that are per-client constants are built ONCE: on this
+# one-core host the client farm's per-request Python eats a share of the
+# very core the server needs, capping the measurement
+_coarse_raw = [
+    raw_req("POST", "/coarsesearch", bencode(9, [
+        queries[i % len(queries)][None].astype(np.float32),
+        probes[i % len(probes)][None].astype(np.int64),
+        np.asarray([cp], np.uint32),
+    ]))
+    for i in range(n_clients)
+]
+_allcand_raw = [
+    raw_req("POST", "/coarsesearch", bencode(4, [
+        queries[i % len(queries)][None].astype(np.float32),
+        probes[i % len(probes)][None].astype(np.int64),
+    ]))
+    for i in range(n_clients)
+]
+_fused_raw = [
+    raw_req("POST", "/search", bencode(11, [
+        queries[i % len(queries)][None].astype(np.float32),
+        probes[i % len(probes)][None].astype(np.int64),
+        np.asarray([100], np.uint32),
+    ]))
+    for i in range(n_clients)
+]
 
 
 def one_round(conn, ci):
     # server-select wire: coarse top-CP on device, ~2 KB response
     # (privacy-equivalent: the precise request names the kept set anyway)
-    q = queries[ci % len(queries)][None].astype(np.float32)
-    p = probes[ci % len(probes)][None].astype(np.int64)
-    resp = conn.req("POST", "/coarsesearch",
-                    bencode(9, [q, p, np.asarray([cp], np.uint32)]))
+    resp = conn.req_raw(_coarse_raw[ci % n_clients])
     _, (ids, dists, counts) = bdecode(resp)
+    q = queries[ci % len(queries)][None].astype(np.float32)
     conn.req("POST", "/precisesearch",
              bencode(5, [q, ids.astype(np.int64)]))
 
 
 def one_round_allcand(conn, ci):
     # all-candidates wire: padded u16 distances, client-side selection
-    q = queries[ci % len(queries)][None].astype(np.float32)
-    p = probes[ci % len(probes)][None].astype(np.int64)
-    resp = conn.req("POST", "/coarsesearch", bencode(4, [q, p]))
+    resp = conn.req_raw(_allcand_raw[ci % n_clients])
     _, (tile_idx, qdist, dmin, dstep, counts) = bdecode(resp)
     qd = qdist[0]
     part = np.argpartition(qd, cp)[:cp]
     order = part[np.argsort(qd[part], kind="stable")]
     ids = tids[tile_idx[0]].reshape(-1)[order].astype(np.int64)[None]
+    q = queries[ci % len(queries)][None].astype(np.float32)
     conn.req("POST", "/precisesearch", bencode(5, [q, ids]))
-
-
-# fused request bodies are per-client constants: encode ONCE — on this
-# one-core host the client farm's per-request Python otherwise eats a
-# large share of the core at high q/s and caps the measurement
-_fused_bodies = [
-    bencode(11, [
-        queries[i % len(queries)][None].astype(np.float32),
-        probes[i % len(probes)][None].astype(np.int64),
-        np.asarray([100], np.uint32),
-    ])
-    for i in range(n_clients)
-]
 
 
 def one_round_fused(conn, ci):
     # fused one-round /search: the whole triage in ONE request
-    resp = conn.req("POST", "/search", _fused_bodies[ci % n_clients])
+    resp = conn.req_raw(_fused_raw[ci % n_clients])
     _, (ids, dists) = bdecode(resp)
     assert ids.shape[1] == 100
 

@@ -324,6 +324,11 @@ def get_http_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_uint64,
         ]
         lib.pfh_http_respond.restype = None
+        lib.pfh_http_respond_multi.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.pfh_http_respond_multi.restype = None
         lib.pfh_http_port.argtypes = [ctypes.c_void_p]
         lib.pfh_http_port.restype = ctypes.c_uint16
         lib.pfh_http_stop.argtypes = [ctypes.c_void_p]

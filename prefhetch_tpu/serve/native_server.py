@@ -362,48 +362,54 @@ class NativeHTTPServer:
                 with self._inflight_lock:
                     self._inflight -= 1
 
+    def _respond_multi(self, members: List[_Req], buf: np.ndarray,
+                       offsets: np.ndarray) -> None:
+        """One FFI call + ONE eventfd wake for the whole group (the
+        per-request respond path measured n ctypes transitions + n
+        syscalls per wave)."""
+        ids = np.array([m.req_id for m in members], np.uint64)
+        sts = np.full(len(members), 200, np.int32)
+        self._lib.pfh_http_respond_multi(
+            self._h, len(members),
+            ids.ctypes.data_as(ctypes.c_void_p),
+            sts.ctypes.data_as(ctypes.c_void_p),
+            _CT_BIN,
+            buf.ctypes.data_as(ctypes.c_void_p),
+            offsets.ctypes.data_as(ctypes.c_void_p),
+        )
+
     def _encode_respond(self, route: str, members: List[_Req],
                         rows: List[int], out) -> None:
-        off = 0
         if route == "ctopk":
             ids, dists, counts = out
-            for m, n in zip(members, rows):
-                body = wire_bin.encode(wire_bin.KIND_COARSE_TOPK, [
-                    ids[off:off + n].astype(np.int32, copy=False),
-                    dists[off:off + n].astype(np.float32, copy=False),
-                    counts[off:off + n].astype(np.int64, copy=False),
-                ])
-                self._respond(m, 200, _CT_BIN, body)
-                off += n
+            secs = [
+                ids.astype(np.int32, copy=False),
+                dists.astype(np.float32, copy=False),
+                counts.astype(np.int64, copy=False),
+            ]
+            kind = wire_bin.KIND_COARSE_TOPK
         elif route == "ctiled":
             tile_idx, qdist, dmin, dstep, counts = out
-            for m, n in zip(members, rows):
-                body = wire_bin.encode(wire_bin.KIND_COARSE_TILED, [
-                    tile_idx[off:off + n].astype(np.int32, copy=False),
-                    qdist[off:off + n],
-                    dmin[off:off + n].astype(np.float32, copy=False),
-                    dstep[off:off + n].astype(np.float32, copy=False),
-                    counts[off:off + n].astype(np.int64, copy=False),
-                ])
-                self._respond(m, 200, _CT_BIN, body)
-                off += n
+            secs = [
+                tile_idx.astype(np.int32, copy=False),
+                qdist,
+                dmin.astype(np.float32, copy=False),
+                dstep.astype(np.float32, copy=False),
+                counts.astype(np.int64, copy=False),
+            ]
+            kind = wire_bin.KIND_COARSE_TILED
         elif route == "precise":
-            scores = out
-            for m, n in zip(members, rows):
-                body = wire_bin.encode(wire_bin.KIND_PRECISE, [
-                    np.asarray(scores[off:off + n], np.float32),
-                ])
-                self._respond(m, 200, _CT_BIN, body)
-                off += n
+            secs = [np.asarray(out, np.float32)]
+            kind = wire_bin.KIND_PRECISE
         else:   # fused
             ids, dists = out
-            for m, n in zip(members, rows):
-                body = wire_bin.encode(wire_bin.KIND_SEARCH, [
-                    ids[off:off + n].astype(np.int64, copy=False),
-                    dists[off:off + n].astype(np.float32, copy=False),
-                ])
-                self._respond(m, 200, _CT_BIN, body)
-                off += n
+            secs = [
+                ids.astype(np.int64, copy=False),
+                dists.astype(np.float32, copy=False),
+            ]
+            kind = wire_bin.KIND_SEARCH
+        buf, offsets = wire_bin.encode_rows(kind, secs, rows)
+        self._respond_multi(members, buf, offsets)
 
 
 def serve_forever_native(

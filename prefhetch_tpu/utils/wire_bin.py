@@ -119,6 +119,49 @@ def decode(buf: bytes) -> tuple[int, List[np.ndarray]]:
     return kind, out
 
 
+def encode_rows(
+    kind: int, sections: Sequence[np.ndarray], rows: Sequence[int]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch encode: split each section's leading axis by `rows` and pack
+    one container per member. Returns (buf u8 [Σlen], offsets u64 [B+1]) —
+    the shape the native frontend's bulk respond consumes.
+
+    Serving waves coalesce B requests into one engine call and must then
+    emit B separate response bodies; per-member encode() calls measured a
+    visible slice of the wave on a one-core host. When every member has
+    the same row count (the dominant case: independent clients send nq=1),
+    all bodies share one byte layout, so this builds a single [B, L] u8
+    matrix — one template fill + one strided copy per section."""
+    rows = [int(r) for r in rows]
+    b = len(rows)
+    secs = [np.ascontiguousarray(a) for a in sections]
+    if b > 0 and all(r == rows[0] for r in rows) and sum(rows) > 0:
+        r = rows[0]
+        template = encode(kind, [a[:r] for a in secs])
+        length = len(template)
+        buf = np.empty((b, length), np.uint8)
+        buf[:] = np.frombuffer(template, np.uint8)
+        pos = 8
+        for a in secs:
+            hdr_len = 4 + 4 * a.ndim
+            pos = _align8(pos + hdr_len)
+            dlen = (a.size // a.shape[0]) * r * a.itemsize
+            buf[:, pos : pos + dlen] = a.reshape(b, -1).view(np.uint8)
+            pos = _align8(pos + dlen)
+        offsets = np.arange(b + 1, dtype=np.uint64) * np.uint64(length)
+        return buf.reshape(-1), offsets
+    # ragged fallback: per-member encode
+    bodies = []
+    offsets = np.empty(b + 1, np.uint64)
+    offsets[0] = 0
+    start = 0
+    for j, r in enumerate(rows):
+        bodies.append(encode(kind, [a[start : start + r] for a in secs]))
+        start += r
+        offsets[j + 1] = offsets[j] + len(bodies[-1])
+    return np.frombuffer(b"".join(bodies), np.uint8), offsets
+
+
 # ---------------------------------------------------------------------------
 # u16 distance quantization (client side of the tiled coarse wire)
 # ---------------------------------------------------------------------------

@@ -248,3 +248,43 @@ def test_aio_json_parity(engine):
         assert ei.value.code == 400
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+def test_encode_rows_uniform_matches_per_member_encode():
+    """Batch body building (one [B, L] matrix) must be byte-identical to
+    per-member encode() for a uniform-row group (the native frontend's
+    bulk respond path)."""
+    ids = np.arange(12, dtype=np.int64).reshape(4, 3)
+    dists = np.linspace(0.0, 1.0, 8, dtype=np.float32).reshape(4, 2)
+    counts = np.arange(4, dtype=np.int64)
+    buf, offs = wire_bin.encode_rows(
+        wire_bin.KIND_COARSE_TOPK, [ids, dists, counts], [1, 1, 1, 1]
+    )
+    assert offs.dtype == np.uint64 and len(offs) == 5
+    for j in range(4):
+        body = buf[int(offs[j]) : int(offs[j + 1])].tobytes()
+        ref = wire_bin.encode(
+            wire_bin.KIND_COARSE_TOPK,
+            [ids[j : j + 1], dists[j : j + 1], counts[j : j + 1]],
+        )
+        assert body == ref
+        kind, secs = wire_bin.decode(body)
+        assert kind == wire_bin.KIND_COARSE_TOPK
+        np.testing.assert_array_equal(secs[0], ids[j : j + 1])
+        np.testing.assert_allclose(secs[1], dists[j : j + 1])
+        np.testing.assert_array_equal(secs[2], counts[j : j + 1])
+
+
+def test_encode_rows_ragged_fallback():
+    ids = np.arange(12, dtype=np.int64).reshape(4, 3)
+    dists = np.linspace(0.0, 1.0, 8, dtype=np.float32).reshape(4, 2)
+    counts = np.arange(4, dtype=np.int64)
+    buf, offs = wire_bin.encode_rows(
+        wire_bin.KIND_COARSE_TOPK, [ids, dists, counts], [1, 3]
+    )
+    kind, secs = wire_bin.decode(buf[int(offs[0]) : int(offs[1])].tobytes())
+    np.testing.assert_array_equal(secs[0], ids[:1])
+    kind, secs = wire_bin.decode(buf[int(offs[1]) : int(offs[2])].tobytes())
+    np.testing.assert_array_equal(secs[0], ids[1:4])
+    np.testing.assert_array_equal(secs[2], counts[1:4])
