@@ -25,6 +25,17 @@ import signal
 import sys
 import time
 
+# first thing, before numpy allocates anything big: THP first-touch runs
+# ~6 MB/s on this VM vs ~70 MB/s with 4 KB pages (prefhetch_tpu._disable_thp
+# docstring) — and the dataset build below touches gigabytes
+if not os.environ.get("PFH_KEEP_THP"):
+    try:
+        import ctypes as _ctypes
+
+        _ctypes.CDLL(None).prctl(41, 1, 0, 0, 0)  # PR_SET_THP_DISABLE
+    except Exception:
+        pass
+
 import numpy as np
 
 # ---------------------------------------------------------------------------

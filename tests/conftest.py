@@ -7,6 +7,15 @@ path). Must run before the first jax import in any test module.
 
 import os
 
+# THP first-touch is ~11× slower than 4 KB faults on this VM (see
+# prefhetch_tpu._disable_thp) — tests allocate fixture datasets constantly
+try:
+    import ctypes as _ctypes
+
+    _ctypes.CDLL(None).prctl(41, 1, 0, 0, 0)  # PR_SET_THP_DISABLE
+except Exception:
+    pass
+
 # The sandbox pre-sets JAX_PLATFORMS=axon (the real TPU) and its
 # sitecustomize force-updates jax.config to "axon,cpu" at interpreter start,
 # so the env var alone is not enough — override the config post-import.
