@@ -665,6 +665,9 @@ def main():
         dev = getattr(ckks_scoring_qps, "device_qps", None)
         if dev is not None:
             out["ckks_device_qps"] = round(dev, 2)
+        wire = getattr(ckks_scoring_qps, "wire_kb_per_query", None)
+        if wire is not None:
+            out["ckks_wire_kb_per_query"] = wire
         return out
 
     def run_pir():
@@ -1141,29 +1144,39 @@ print(f"{t0:.6f} {t1:.6f} " + " ".join(f"{x:.6f}" for x in l3))
 
 
 def ckks_scoring_qps(data, cand_ids, nq: int = 16):
-    """BASELINE config 3: CKKS slot-packed encrypted scoring, N=8192.
+    """BASELINE config 3: CKKS slot-packed encrypted scoring, N=8192,
+    COMBINED single-ct response (engine/hecompute.py
+    encrypted_scores_combined / the DeviceCKKS twin).
 
     Client CKKS-encrypts the query replicated across slots; the server
     (DeviceCKKS on TPU — MXU-NTT key-switching; host service on CPU) packs
-    COARSE_PROBE candidates 32/ciphertext and rotate-accumulates log2(d)=7
-    key-switched rotations so slot j·d carries ⟨q, x_j⟩. Returns
-    (server_scoring_qps, max relative distance error vs plaintext)."""
+    COARSE_PROBE candidates 32/ciphertext, rotate-accumulates log2(d)=7
+    key-switched rotations per block, slot-masks, and tree-combines the 8
+    blocks into ONE level-1 result ct per query — 64 KB on the wire vs the
+    per-block form's 1.05 MB (the r02 e2e was d2h-relay-bound at 12 q/s).
+    Returns (server_scoring_qps, max relative distance error vs plaintext)."""
     import time as _time
 
     import jax
 
-    from prefhetch_tpu.crypto.ckks import CKKSContext
+    from prefhetch_tpu.crypto.ckks import CKKSContext, extract_combined_ips
     from prefhetch_tpu.crypto.params import ckks_params_for
 
     params = ckks_params_for(8192, 26, 3)
     ctx = CKKSContext(params)
     rng = np.random.default_rng(13)   # pinned: bench must be reproducible
     sk, pk = ctx.keygen(rng)
+    slots = params.n // 2
+    per_ct = slots // D
+    n_blocks = -(-COARSE_PROBE // per_ct)
+    if n_blocks > 1:
+        n_blocks = 1 << (n_blocks - 1).bit_length()
     steps = []
     r = D // 2
     while r >= 1:
         steps.append(r)
         r //= 2
+    steps += ctx.combine_tree_steps(n_blocks)
     gks = ctx.galois_keygen(sk, steps, rng)
     gks_wire = {str(s): k.to_wire() for s, k in gks.items()}
 
@@ -1178,12 +1191,11 @@ def ckks_scoring_qps(data, cand_ids, nq: int = 16):
     svc.register_keys("bench", gks_wire)
 
     queries = data["query"][:nq].astype(np.float64)
-    slots = params.n // 2
     # exactly COARSE_PROBE candidates per query (the pipeline's final ids
     # are only K=100 wide — pad to the config-3 operating point with
     # consecutive rows so the measured workload matches the label)
     idx = _pad_candidates(cand_ids[:nq], COARSE_PROBE, len(data["base"]))
-    cands = data["base"][idx]
+    cands = data["base"][idx].astype(np.float64)
     P = cands.shape[1]
     cts = [
         ctx.encrypt(pk, ctx.encode(np.tile(q, slots // D)), rng)
@@ -1191,16 +1203,20 @@ def ckks_scoring_qps(data, cand_ids, nq: int = 16):
     ]
 
     # warm (compile + key upload)
-    if hasattr(svc, "encrypted_scores_batch_async"):
+    if hasattr(svc, "encrypted_scores_combined_batch_async"):
         # warm at the TIMED shape — a different nq is a different program
-        svc.encrypted_scores_batch(cts, cands, "bench")
+        svc.encrypted_scores_combined_batch(cts, cands, "bench")
         # pipelined: batch i's d2h resolves while batch i+1's device work
-        # runs (the d2h through the relay, not compute, dominates)
+        # runs (the 64 KB/query d2h overlaps compute)
         n_it = 3
         t0 = _time.perf_counter()
-        pend = svc.encrypted_scores_batch_async(cts, cands, "bench")
+        pend = svc.encrypted_scores_combined_batch_async(
+            cts, cands, "bench"
+        )
         for _ in range(n_it - 1):
-            nxt = svc.encrypted_scores_batch_async(cts, cands, "bench")
+            nxt = svc.encrypted_scores_combined_batch_async(
+                cts, cands, "bench"
+            )
             res_b, norms_b = pend()
             pend = nxt
         res_b, norms_b = pend()
@@ -1208,42 +1224,39 @@ def ckks_scoring_qps(data, cand_ids, nq: int = 16):
         results = [(res_b[i], norms_b[i]) for i in range(nq)]
         # device-only sustained rate (chained dispatches, one 4-value
         # sync): the serving ceiling on hardware without this sandbox's
-        # ~15 MB/s d2h relay — e2e above is wire-bound (1.05 MB/query)
+        # ~15 MB/s d2h relay
         t0 = _time.perf_counter()
         n_dev = 6
         for _ in range(n_dev):
-            r = svc.encrypted_scores_batch_async(cts, cands, "bench")
+            r = svc.encrypted_scores_combined_batch_async(
+                cts, cands, "bench"
+            )
         np.asarray(r.dev_out[0, 0, 0, :4])      # sync, 16-byte fetch
         ckks_scoring_qps.device_qps = nq * n_dev / (
             _time.perf_counter() - t0
         )
-    elif hasattr(svc, "encrypted_scores_batch"):
-        svc.encrypted_scores_batch(cts, cands, "bench")
-        t0 = _time.perf_counter()
-        res_b, norms_b = svc.encrypted_scores_batch(cts, cands, "bench")
-        qps = nq / (_time.perf_counter() - t0)
-        results = [(res_b[i], norms_b[i]) for i in range(nq)]
     else:
-        svc.encrypted_scores(cts[0], cands[0], "bench")
+        svc.encrypted_scores_combined(cts[0], cands[0], "bench")
         t0 = _time.perf_counter()
-        results = [
-            svc.encrypted_scores(cts[i], cands[i], "bench")
+        outs = [
+            svc.encrypted_scores_combined(cts[i], cands[i], "bench")
             for i in range(nq)
         ]
         qps = nq / (_time.perf_counter() - t0)
+        results = [(outs[i][0], outs[i][1]) for i in range(nq)]
 
-    # accuracy: decrypt → assemble distances, compare to plaintext
-    per_ct = slots // D
+    # response wire: one level-1 ct = 2 limbs × N × 4 B
+    ckks_scoring_qps.wire_kb_per_query = round(
+        2 * 1 * params.n * 4 / 1024, 1
+    )
+    # accuracy: decrypt the ONE ct → combined-layout ips → distances
     max_rel = 0.0
     for i in range(nq):
-        out_cts, norms = results[i]
-        ips = []
-        for c in out_cts:
-            vals = np.real(ctx.decrypt(sk, c))
-            ips.extend(vals[np.arange(per_ct) * D])
-        ips = np.array(ips[:P])
+        out_ct, norms = results[i]
+        vals = ctx.decrypt(sk, out_ct)
+        ips = extract_combined_ips(vals, P, D)
         qsq = (queries[i] ** 2).sum()
-        got = qsq + (cands[i].astype(np.float64) ** 2).sum(-1) - 2 * ips
+        got = qsq + (cands[i] ** 2).sum(-1) - 2 * ips
         ref = ((cands[i] - queries[i]) ** 2).sum(-1)
         max_rel = max(
             max_rel, float(np.abs(got - ref).max() / max(ref.max(), 1.0))

@@ -70,11 +70,24 @@ class HEClient:
             r //= 2
         return steps
 
-    def galois_keys_wire(self, d: int) -> Optional[dict]:
-        """Public rotation keys for block size d (generated once)."""
+    def combine_blocks(self, p: int, d: int) -> int:
+        """Blocks the combined single-ct response will tree-merge for P
+        candidates of dimension d (pow2, matches the server's padding)."""
+        per_ct = (self.params.n // 2) // d
+        nb = -(-p // per_ct)
+        return 1 << (nb - 1).bit_length() if nb > 1 else 1
+
+    def galois_keys_wire(
+        self, d: int, combine_blocks: int = 1
+    ) -> Optional[dict]:
+        """Public rotation keys for block size d (generated once). With
+        combine_blocks > 1 also includes the −2^k combine-tree steps the
+        combined single-ct response needs (resp_mod="combined")."""
         if self.scheme != "ckks" or self._keys_sent:
             return None
         steps = self._rotation_steps(d)
+        if combine_blocks > 1:
+            steps = steps + self.ctx.combine_tree_steps(combine_blocks)
         missing = [s for s in steps if s not in self._galois]
         if missing:
             self._galois.update(
@@ -224,6 +237,33 @@ class HEClient:
         for i in range(nq):
             out[i] = distances_from_inner_products(
                 queries[i], ips[i], np.asarray(norms[i])
+            )
+        return out
+
+    def decrypt_scores_combined(
+        self,
+        ct_wires: List[dict],           # [nq] ONE level-1 ct per query
+        norms: np.ndarray,              # [nq, P]
+        queries: np.ndarray,            # [nq, d]
+    ) -> np.ndarray:
+        """Decrypt the combined single-ct CKKS response
+        (engine/hecompute.py encrypted_scores_combined: ⟨q, x_{b·per_ct+j}⟩
+        at slot j·d + b) → squared-L2 distances [nq, P]."""
+        from prefhetch_tpu.crypto.ckks import (
+            CKKSCiphertext, extract_combined_ips,
+        )
+
+        assert self.scheme == "ckks"
+        nq, P = norms.shape
+        d = queries.shape[1]
+        out = np.empty((nq, P), np.float32)
+        for i in range(nq):
+            vals = self.ctx.decrypt(
+                self.sk, CKKSCiphertext.from_wire(ct_wires[i])
+            )
+            ips = extract_combined_ips(vals, P, d)
+            out[i] = distances_from_inner_products(
+                queries[i], ips, np.asarray(norms[i])
             )
         return out
 

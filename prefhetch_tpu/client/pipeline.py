@@ -288,15 +288,28 @@ class ClientPipeline:
             "encryptedPreciseQuery": he_client.encrypt_query_batch(query),
             "nearestCoarseVectorIndexes": cand.tolist(),
         }
-        if getattr(self.config.he, "resp_mod", "full") == "q1":
+        resp_mod = getattr(self.config.he, "resp_mod", "full")
+        if resp_mod == "q1":
             # modulus-switched single-limb response (~2× smaller download;
             # requires HEParams.sparse_h — see engine/hecompute *_q1)
             payload["respMod"] = "q1"
-        gks = he_client.galois_keys_wire(query.shape[1])
+        combine_blocks = 1
+        if resp_mod == "combined" and he_client.scheme == "ckks":
+            # combined single-ct response (~16× smaller download); the
+            # galois key set must include the −2^k combine-tree steps
+            payload["respMod"] = "combined"
+            combine_blocks = he_client.combine_blocks(cp, query.shape[1])
+        gks = he_client.galois_keys_wire(query.shape[1], combine_blocks)
         if gks is not None:
             payload["galoisKeys"] = gks
         resp = self._post("encryptedsearch", payload)
-        if "c1Q1" in resp:
+        if "encryptedScoresCombined" in resp:
+            scores = he_client.decrypt_scores_combined(
+                resp["encryptedScoresCombined"],
+                np.asarray(resp["candidateNorms"], np.int64),
+                query,
+            )
+        elif "c1Q1" in resp:
             from prefhetch_tpu.utils.wire import unpack_i32
 
             scores = he_client.decrypt_scores_trunc_q1(

@@ -132,6 +132,22 @@ def _sample_error(rng, n, k=21):
     return (bits[:, 0].sum(-1) - bits[:, 1].sum(-1)).astype(np.int64)
 
 
+def extract_combined_ips(
+    slot_vals: np.ndarray, p: int, d: int
+) -> np.ndarray:
+    """Slot values of a COMBINED scoring response → inner products [p].
+
+    The combined layout (hecompute.encrypted_scores_combined) puts
+    ⟨q, x_{b·per_ct + j}⟩ at slot j·d + b, per_ct = slots/d."""
+    slots = slot_vals.shape[0]
+    per_ct = slots // d
+    out = np.empty(p, np.float64)
+    for c in range(p):
+        b, j = divmod(c, per_ct)
+        out[c] = np.real(slot_vals[j * d + b])
+    return out
+
+
 class CKKSContext:
     def __init__(self, params: CKKSParams):
         self.params = params
@@ -454,6 +470,14 @@ class CKKSContext:
                 self._to_rns(s_rot), sk, rng, step=step
             )
         return out
+
+    def combine_tree_steps(self, n_blocks: int) -> List[int]:
+        """Rotation steps (−1, −2, …) a client must provide Galois keys for
+        to receive the combined single-ct scoring response
+        (engine.hecompute.CKKSComputeService.encrypted_scores_combined)."""
+        if n_blocks <= 1:
+            return []
+        return [-(1 << k) for k in range((n_blocks - 1).bit_length())]
 
     def rotate(self, ct: CKKSCiphertext, step: int, gk: GaloisKey) -> CKKSCiphertext:
         """Rotate slots left by `step` positions: apply the automorphism to

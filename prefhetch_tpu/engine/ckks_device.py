@@ -118,20 +118,22 @@ class DeviceCKKS:
             jnp.asarray(np.stack(signs).astype(np.int32)),
         )
 
-    def _score_fn(self, level_in: int, n_steps: int):
+    def _score_fn(self, level_in: int, n_steps: int,
+                  combine_tree: int | None = None):
         # per-instance cache (a functools.lru_cache on the bound method
         # would key the GLOBAL cache on self and pin every DeviceCKKS
         # instance — device keys, tables, executables — for process life)
         if not hasattr(self, "_score_cache"):
             self._score_cache = {}
-        key = (level_in, n_steps)
+        key = (level_in, n_steps, combine_tree)
         if key in self._score_cache:
             return self._score_cache[key]
-        fn = self._build_score_fn(level_in, n_steps)
+        fn = self._build_score_fn(level_in, n_steps, combine_tree)
         self._score_cache[key] = fn
         return fn
 
-    def _build_score_fn(self, level_in: int, n_steps: int):
+    def _build_score_fn(self, level_in: int, n_steps: int,
+                        combine_tree: int | None = None):
         """jit: (fdigs…, gdigs…, ct [2, L, N], pt_rns [B, L, N],
         keys_b [n_steps, n_comp, n_ext_all, N], keys_a …,
         perms [n_steps, N], signs [n_steps, N]) → [B, 2, level, N].
@@ -143,6 +145,7 @@ class DeviceCKKS:
         primes = self.ext[:level]
         p = self.ext[-1]                          # special modulus
         p_idx = len(self.ext) - 1
+        n = self.params.n
         tabs = self.mxu
         n_digits = self.n_digits
         mask = (1 << DIGIT_BITS) - 1
@@ -152,23 +155,26 @@ class DeviceCKKS:
         inv_p = [int(pow(p % q, -1, q)) for q in primes]
         half_p = p // 2
 
-        def keyswitch(c1r, keys_b, keys_a):
+        def keyswitch(c1r, keys_b, keys_a, lvl=None):
             """c1r [B, level, N] coeff residues → (ks0, ks1) [B, level, N].
 
             keys_*: [n_comp_full, n_ext_all, N] — sliced to the active
             level's components/primes statically."""
+            lvl = level if lvl is None else lvl
+            primes_l = self.ext[:lvl]
+            inv_p_l = [int(pow(p % q, -1, q)) for q in primes_l]
             B, _, n = c1r.shape
             # 15-bit digits of each active limb: [B, level·n_digits, N]
             digs = []
-            for i in range(level):
+            for i in range(lvl):
                 limb = c1r[:, i].astype(jnp.int32)
                 for d in range(n_digits):
                     digs.append((limb >> (d * DIGIT_BITS)) & mask)
             digits = jnp.stack(digs, axis=1)        # [B, n_comp, N]
-            n_comp = level * n_digits
+            n_comp = lvl * n_digits
             flat = digits.reshape(B * n_comp, n)
             acc0, acc1 = [], []
-            for e_prime in list(primes) + [p]:
+            for e_prime in list(primes_l) + [p]:
                 e_all = self.ext.index(e_prime)
                 tb = tabs[e_all]
                 D = ntt4(flat, tb).reshape(B, n_comp, n)
@@ -193,7 +199,7 @@ class DeviceCKKS:
             cp0s = jnp.where(cp0 > half_p, cp0 - p, cp0)
             cp1s = jnp.where(cp1 > half_p, cp1 - p, cp1)
             out0, out1 = [], []
-            for i, q in enumerate(primes):
+            for i, q in enumerate(primes_l):
                 tb = tabs[self.ext.index(q)]
                 d0 = acc0[i] - cp0s
                 d0 = jnp.where(d0 < 0, d0 + q, d0)
@@ -201,11 +207,11 @@ class DeviceCKKS:
                 d1 = acc1[i] - cp1s
                 d1 = jnp.where(d1 < 0, d1 + q, d1)
                 d1 = jnp.where(d1 >= q, d1 - q, d1)
-                out0.append(modmul(d0, jnp.int64(inv_p[i]), q, tb.delta))
-                out1.append(modmul(d1, jnp.int64(inv_p[i]), q, tb.delta))
+                out0.append(modmul(d0, jnp.int64(inv_p_l[i]), q, tb.delta))
+                out1.append(modmul(d1, jnp.int64(inv_p_l[i]), q, tb.delta))
             return jnp.stack(out0, 1), jnp.stack(out1, 1)
 
-        def score(ct, pt_rns, keys_b, keys_a, perms, signs):
+        def score_core(ct, pt_rns, keys_b, keys_a, perms, signs):
             # four-step NTT tables are jit constants (kilobytes) — the
             # dense form's 268 MB matrices needed argument plumbing
             # ct: [nq, 2, level_in, N] i32 — one per query;
@@ -291,11 +297,101 @@ class DeviceCKKS:
                     ],
                     1,
                 )
+            return acc0, acc1                    # [B, level, N] each
+
+        def score(ct, pt_rns, keys_b, keys_a, perms, signs):
+            acc0, acc1 = score_core(ct, pt_rns, keys_b, keys_a, perms, signs)
             return jnp.stack(
                 [acc0.astype(jnp.int32), acc1.astype(jnp.int32)], axis=1
             )                                        # [B, 2, level, N]
 
-        return jax.jit(score)
+        if combine_tree is None:      # plain per-block response
+            return jax.jit(score)
+
+        # ---- combined single-ct response (CKKSComputeService
+        # .encrypted_scores_combined is the host oracle): mask-mult the
+        # rotate-accumulate result (ct×pt + exact rescale → one fewer
+        # limb), then tree-combine the 2^combine_tree blocks of each query
+        # with rotations by −2^k so block b's inner products land at slots
+        # j·d + b — ONE level-(level−1) ct per query crosses the wire.
+        lvl2 = level - 1
+        assert lvl2 >= 1, "combined scoring needs a level-3 query ct"
+        q_drop = primes[-1]
+        inv_qd = [int(pow(q_drop % q, -1, q)) for q in primes[:lvl2]]
+
+        def score_combined(
+            ct, pt_rns, keys_b, keys_a, perms, signs,
+            mask_ntt, tkeys_b, tkeys_a, tperms, tsigns,
+        ):
+            # mask_ntt: [level, N] i32 four-step-NTT-domain mask residues;
+            # tkeys_*: [n_tree, n_comp_full, n_ext_all, N]; tperms/tsigns:
+            # [n_tree, N] automorphism tables for steps −1, −2, …
+            acc0, acc1 = score_core(ct, pt_rns, keys_b, keys_a, perms, signs)
+            B = acc0.shape[0]
+            nq = ct.shape[0]
+            blocks = B // nq
+            # --- slot mask: ct×pt per active prime -----------------------
+            m0, m1 = [], []
+            for i, q in enumerate(primes):
+                tb = tabs[self.ext.index(q)]
+                rows = jnp.concatenate([acc0[:, i], acc1[:, i]], 0)
+                nt = ntt4(rows, tb)
+                mm = modmul(nt, mask_ntt[i][None], q, tb.delta)
+                cc = intt4(mm, tb)
+                m0.append(cc[:B])
+                m1.append(cc[B:])
+            # --- exact rescale: drop primes[-1] → lvl2 limbs --------------
+            c0l, c1l = [], []
+            for i in range(lvl2):
+                q = primes[i]
+                tb = tabs[self.ext.index(q)]
+                l0 = jnp.where(m0[-1] >= q, m0[-1] - q, m0[-1])
+                l1 = jnp.where(m1[-1] >= q, m1[-1] - q, m1[-1])
+                d0 = _mod_sub(m0[i], l0, q)
+                d1 = _mod_sub(m1[i], l1, q)
+                c0l.append(modmul(d0, jnp.int64(inv_qd[i]), q, tb.delta))
+                c1l.append(modmul(d1, jnp.int64(inv_qd[i]), q, tb.delta))
+            cur0 = jnp.stack(c0l, 1).reshape(nq, blocks, lvl2, n)
+            cur1 = jnp.stack(c1l, 1).reshape(nq, blocks, lvl2, n)
+            # --- tree combine: round k merges pairs via rot by −2^k ------
+            for k in range(combine_tree):
+                nb_k = cur0.shape[1]
+                ev0 = cur0[:, 0::2].reshape(-1, lvl2, n)
+                ev1 = cur1[:, 0::2].reshape(-1, lvl2, n)
+                od0 = cur0[:, 1::2].reshape(-1, lvl2, n)
+                od1 = cur1[:, 1::2].reshape(-1, lvl2, n)
+                perm = tperms[k]
+                sign = tsigns[k]
+                r0l, r1l = [], []
+                for i in range(lvl2):
+                    q = primes[i]
+                    v0 = od0[:, i, :][:, perm]
+                    v1 = od1[:, i, :][:, perm]
+                    r0l.append(jnp.where(
+                        sign[None, :] > 0, v0,
+                        jnp.where(v0 == 0, 0, q - v0),
+                    ))
+                    r1l.append(jnp.where(
+                        sign[None, :] > 0, v1,
+                        jnp.where(v1 == 0, 0, q - v1),
+                    ))
+                c0r = jnp.stack(r0l, 1)
+                c1r = jnp.stack(r1l, 1)
+                ks0, ks1 = keyswitch(c1r, tkeys_b[k], tkeys_a[k], lvl2)
+                n0l, n1l = [], []
+                for i in range(lvl2):
+                    q = primes[i]
+                    rot0 = _mod_add(c0r[:, i], ks0[:, i], q)
+                    n0l.append(_mod_add(ev0[:, i], rot0, q))
+                    n1l.append(_mod_add(ev1[:, i], ks1[:, i], q))
+                cur0 = jnp.stack(n0l, 1).reshape(nq, nb_k // 2, lvl2, n)
+                cur1 = jnp.stack(n1l, 1).reshape(nq, nb_k // 2, lvl2, n)
+            return jnp.stack(
+                [cur0[:, 0].astype(jnp.int32), cur1[:, 0].astype(jnp.int32)],
+                axis=1,
+            )                                        # [nq, 2, lvl2, N]
+
+        return jax.jit(score_combined)
 
     # ------------------------------------------------------------------
     def encrypted_scores(
@@ -398,4 +494,133 @@ class DeviceCKKS:
             return result, norms
 
         resolve.dev_out = dev_out    # unfetched handle (device-rate bench)
+        return resolve
+
+    def encrypted_scores_combined_batch(
+        self,
+        cts: List[CKKSCiphertext],
+        candidates: np.ndarray,
+        key_id: str,
+    ):
+        return self.encrypted_scores_combined_batch_async(cts, candidates, key_id)()
+
+    def encrypted_scores_combined_batch_async(
+        self,
+        cts: List[CKKSCiphertext],       # [nq] level-3 encrypted queries
+        candidates: np.ndarray,          # [nq, P, d]
+        key_id: str,
+    ):
+        """Combined single-ct response: device twin of
+        CKKSComputeService.encrypted_scores_combined (see its docstring for
+        the construction and scale bookkeeping). ONE level-(L_in−2) result
+        ct per query — 2·(L_in−2)/(blocks·2·(L_in−1)) of the per-block
+        wire (~16× smaller at the config-3 operating point). Requires
+        Galois keys for the IP-tree steps AND the combine steps −2^k.
+
+        Returns a resolver → ([nq] CKKSCiphertext, norms [nq, P])."""
+        from prefhetch_tpu.engine.hecompute import CKKSComputeService as _H
+
+        gks = self._keys[key_id]
+        ctx = self.ctx
+        nq, P, d = candidates.shape
+        slots = self.params.n // 2
+        per_ct = slots // d
+        n_blocks = -(-P // per_ct)
+        if n_blocks > 1:
+            n_blocks = 1 << (n_blocks - 1).bit_length()     # pow2 tree
+        if n_blocks > d:
+            raise ValueError("combine needs n_blocks <= d distinct offsets")
+        n_tree = (n_blocks - 1).bit_length() if n_blocks > 1 else 0
+        padded = np.zeros((nq, n_blocks * per_ct, d), np.float64)
+        padded[:, :P] = candidates
+        cand_scale = float(1 << _H.CAND_SCALE_BITS)
+        mask_scale = float(1 << _H.MASK_SCALE_BITS)
+
+        steps = []
+        r = d // 2
+        while r >= 1:
+            steps.append(r)
+            r //= 2
+        tree_steps = [-(1 << k) for k in range(n_tree)]
+        for s in steps + tree_steps:
+            if s not in gks:
+                raise ValueError(f"missing Galois key for step {s}")
+
+        level_in = cts[0].level
+        assert all(c.level == level_in for c in cts)
+        if level_in < 3:
+            raise ValueError("combined scoring needs a level-3 query ct")
+        level = level_in - 1
+        pt_rns = np.empty(
+            (nq * n_blocks, level_in, self.params.n), np.int64
+        )
+        qs_in = np.array(self.ext[:level_in], np.int64)
+        for qi in range(nq):
+            for b in range(n_blocks):
+                coeffs = ctx.encode(
+                    padded[qi, b * per_ct : (b + 1) * per_ct].reshape(-1)
+                    / cand_scale
+                )
+                pt_rns[qi * n_blocks + b] = np.mod(
+                    coeffs[None, :], qs_in[:, None]
+                )
+
+        # slot mask residues, four-step NTT domain (matches ntt4's layout)
+        if not hasattr(self, "_mask_cache"):
+            self._mask_cache = {}
+        mkey = (d, level)
+        if mkey not in self._mask_cache:
+            mask_slots = np.zeros(slots, np.float64)
+            mask_slots[::d] = 1.0
+            mask_coeffs = ctx.encode(mask_slots, scale=mask_scale)
+            m_ntt = np.empty((level, self.params.n), np.int64)
+            for i in range(level):
+                tb = ctx.tables[i]
+                m_ntt[i] = host_ntt(
+                    mask_coeffs % self.ext[i], tb
+                )[self._four_perm]
+            self._mask_cache[mkey] = jnp.asarray(m_ntt.astype(np.int32))
+        mask_ntt = self._mask_cache[mkey]
+
+        perms, signs = self._auto_tables(tuple(steps))
+        keys_b = jnp.stack([gks[s][0] for s in steps])
+        keys_a = jnp.stack([gks[s][1] for s in steps])
+        if n_tree:
+            tperms, tsigns = self._auto_tables(tuple(tree_steps))
+            tkeys_b = jnp.stack([gks[s][0] for s in tree_steps])
+            tkeys_a = jnp.stack([gks[s][1] for s in tree_steps])
+        else:
+            # tree-less degenerate case: empty tables keep the signature
+            tperms, tsigns = self._auto_tables((0,))
+            tkeys_b = keys_b[:1]
+            tkeys_a = keys_a[:1]
+        ct_dev = jnp.asarray(
+            np.stack(
+                [np.stack([c.c0, c.c1]) for c in cts]
+            ).astype(np.int32)
+        )
+        fn = self._score_fn(level_in, len(steps), combine_tree=n_tree)
+        dev_out = fn(
+            ct_dev, jnp.asarray(pt_rns.astype(np.int32)),
+            keys_b, keys_a, perms, signs,
+            mask_ntt, tkeys_b, tkeys_a, tperms, tsigns,
+        )                                            # [nq, 2, level-1, N]
+
+        scale1 = cts[0].scale * ctx.scale / self.ext[level_in - 1]
+        scale2 = scale1 * mask_scale / self.ext[level - 1]
+        out_scale = scale2 / cand_scale
+        norms = (np.round(candidates).astype(np.int64) ** 2).sum(-1)
+
+        def resolve():
+            out = np.asarray(dev_out).astype(np.int64)   # [nq, 2, lvl2, N]
+            result = [
+                CKKSCiphertext(
+                    c0=out[qi, 0], c1=out[qi, 1],
+                    level=level - 1, scale=out_scale,
+                )
+                for qi in range(nq)
+            ]
+            return result, norms
+
+        resolve.dev_out = dev_out
         return resolve

@@ -81,6 +81,88 @@ class CKKSComputeService:
         norms = (np.round(candidates).astype(np.int64) ** 2).sum(-1)
         return out, norms
 
+    # candidates scaled 2^-CAND_SCALE_BITS at encode so the inner products
+    # fit ONE 30-bit limb after two rescales; the mask plaintext's scale
+    # sets the final precision (see encrypted_scores_combined)
+    CAND_SCALE_BITS = 16
+    # 29 puts the worst-case message (IP=128·255², i.e. 2^7 after the 2^-16
+    # candidate scale) at 2^28 against q1/2 ≈ 2^29 — 2× headroom, and each
+    # extra scale bit halves the (key-switch-noise-dominated) output error
+    MASK_SCALE_BITS = 29
+
+    def encrypted_scores_combined(self, ct, candidates: np.ndarray, key_id: str):
+        """ONE single-limb result ciphertext for ALL candidates of a query.
+
+        The per-block path (encrypted_scores) returns n_blocks level-2 cts
+        per query — ~1 MB at the config-3 operating point, 32 useful slots
+        per 4096-slot ciphertext. This variant:
+
+        1. scales candidates by 2^-16 at encode (server-side, exact in
+           float64) so every inner product fits a single 30-bit limb;
+        2. after each block's rotate-accumulate, multiplies by the slot
+           mask (1 at slots j·d, 0 elsewhere — one ct×pt whose rescale
+           drops to level 1), killing the garbage partial sums;
+        3. tree-combines the blocks with rotations by −2^k, landing block
+           b's inner products at slots j·d + b.
+
+        Response: ONE level-1 ct (~16× smaller). The returned ct's `scale`
+        is pre-divided by 2^16 so decode() yields RAW inner products; slot
+        j·d + b carries ⟨q, x_{b·per_ct + j}⟩. The client needs Galois keys
+        for the IP tree steps (d/2 … 1) AND the combine steps
+        (−1, −2, … −2^⌈log2 blocks⌉⁻¹). Returns (ct, norms [P])."""
+        gks = self._galois[key_id]
+        ctx = self.ctx
+        P, d = candidates.shape
+        slots = self.params.n // 2
+        per_ct = slots // d
+        n_blocks = -(-P // per_ct)
+        if n_blocks > 1:
+            n_blocks = 1 << (n_blocks - 1).bit_length()   # pow2 tree
+        if n_blocks > d:
+            raise ValueError("combine needs n_blocks <= d distinct offsets")
+        if ct.level < 3:
+            raise ValueError("combined scoring needs a level-3 query ct")
+        padded = np.zeros((n_blocks * per_ct, d), np.float64)
+        padded[:P] = candidates
+        cand_scale = float(1 << self.CAND_SCALE_BITS)
+
+        steps = []
+        r = d // 2
+        while r >= 1:
+            steps.append(r)
+            r //= 2
+
+        mask_slots = np.zeros(slots, np.float64)
+        mask_slots[::d] = 1.0
+        mask_scale = float(1 << self.MASK_SCALE_BITS)
+        mask_pt = ctx.encode(mask_slots, scale=mask_scale)
+
+        blocks_out = []
+        for b in range(n_blocks):
+            block = padded[b * per_ct : (b + 1) * per_ct].reshape(-1)
+            prod = ctx.mul_plain(
+                ct, ctx.encode(block / cand_scale), ctx.scale
+            )
+            acc = prod
+            for s in steps:
+                acc = ctx.add(acc, ctx.rotate(acc, s, gks[s]))
+            blocks_out.append(ctx.mul_plain(acc, mask_pt, mask_scale))
+        k = 0
+        cur = blocks_out
+        while len(cur) > 1:
+            nxt = []
+            for i in range(0, len(cur), 2):
+                rot = ctx.rotate(cur[i + 1], -(1 << k), gks[-(1 << k)])
+                nxt.append(ctx.add(cur[i], rot))
+            cur = nxt
+            k += 1
+        out = cur[0]
+        # decode divides by `scale`: report it 2^16 smaller so slot values
+        # come back as RAW inner products
+        out.scale = out.scale / cand_scale
+        norms = (np.round(candidates).astype(np.int64) ** 2).sum(-1)
+        return out, norms
+
 
 class HEComputeService:
     """Holds a BFV parameter context (no keys) + the batched MAC kernel.

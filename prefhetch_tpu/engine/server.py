@@ -713,6 +713,34 @@ class QueryEngine:
                 svc.register_keys(key_id, galois_keys)
             if not svc.has_keys(key_id):
                 raise ValueError("unknown CKKS keyId — register Galois keys first")
+            if resp_mod == "combined":
+                # ONE level-1 result ct per query (~16× smaller download):
+                # hecompute.encrypted_scores_combined / the device twin.
+                # Client must have registered the combine-tree Galois keys
+                # (crypto/ckks.combine_tree_steps) alongside the IP tree's.
+                cts_in = [
+                    CKKSCiphertext.from_wire(w) for w in encrypted_queries
+                ]
+                cand = base[
+                    np.asarray(nearest_coarse_vector_idx, np.int64)
+                ].astype(np.float64)                      # [nq, P, d]
+                if hasattr(svc, "encrypted_scores_combined_batch"):
+                    res, norms = svc.encrypted_scores_combined_batch(
+                        cts_in, cand, key_id
+                    )
+                else:                                     # host service
+                    res, norms_l = [], []
+                    for i, ct in enumerate(cts_in):
+                        c, nm = svc.encrypted_scores_combined(
+                            ct, cand[i], key_id
+                        )
+                        res.append(c)
+                        norms_l.append(nm)
+                    norms = np.stack(norms_l)
+                return {
+                    "encryptedScoresCombined": [c.to_wire() for c in res],
+                    "candidateNorms": norms.tolist(),
+                }
             for i, ct_wire in enumerate(encrypted_queries):
                 ct = CKKSCiphertext.from_wire(ct_wire)
                 cands = base[np.asarray(nearest_coarse_vector_idx[i], np.int64)]

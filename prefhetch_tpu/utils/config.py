@@ -107,9 +107,11 @@ class HEParams:
     # ≤ ~62 by the modulus-switched response wire (resp_mod="q1"): the
     # mod-down rounding error (1+h)/2 must stay under q1/(2t) ≈ 32.
     sparse_h: Optional[int] = None
-    # Encrypted-rerank response form: "full" = 2-limb truncated wire;
-    # "q1" = single-limb modulus-switched wire (~2× smaller download,
-    # needs sparse_h). See engine/hecompute.py.
+    # Encrypted-rerank response form: "full" = 2-limb truncated wire (BFV)
+    # / per-block result cts (CKKS); "q1" = single-limb modulus-switched
+    # BFV wire (~2× smaller download, needs sparse_h); "combined" = CKKS
+    # single-ct tree-combined response (~16× smaller download, needs the
+    # −2^k combine-tree Galois keys). See engine/hecompute.py.
     resp_mod: str = "full"
 
 

@@ -115,3 +115,59 @@ def test_device_missing_key_raises(setup):
     ct = _encrypt_query(ctx, pk, q, rng)
     with pytest.raises(ValueError, match="missing Galois key"):
         dev.encrypted_scores(ct, np.ones((3, D)), "k")
+
+
+def test_combined_single_ct_device_matches_host_and_decodes():
+    """Combined single-ct response: device program == host oracle
+    bit-for-bit, and the one level-1 ct decodes to the inner products at
+    the combined slot layout (j·d + b).
+
+    Own params at the PRODUCTION scale (2^26): the combined path's final
+    effective scale is ct·ctx·mask/(q2·q1·cand) = 2^(3·26+29-2·30-16); at
+    the module's 2^20 that is 2^-7 (noise amplified 128× at decode), at
+    2^26 it is 2^5 — the operating regime the feature ships at."""
+    from prefhetch_tpu.crypto.ckks import extract_combined_ips
+
+    params = CKKSParams(
+        n=N, scale_bits=26, qs=tuple(find_ntt_primes(N, 30, LIMBS))
+    )
+    rng = insecure_rng(7)
+    ctx = CKKSContext(params)
+    sk, pk = ctx.keygen(rng)
+    steps = []
+    r = D // 2
+    while r >= 1:
+        steps.append(r)
+        r //= 2
+    # combine-tree keys on top of the IP-tree keys
+    n_blocks = 4                      # P=10, per_ct=4 → padded to 4 blocks
+    tree_steps = ctx.combine_tree_steps(n_blocks)
+    gks = ctx.galois_keygen(sk, steps + tree_steps, rng)
+    gks_all = {str(s): k.to_wire() for s, k in gks.items()}
+
+    q = insecure_rng(5).integers(0, 30, size=D).astype(np.float64)
+    cands = insecure_rng(6).integers(0, 30, size=(10, D)).astype(np.float64)
+    ct = _encrypt_query(ctx, pk, q, rng)
+
+    host = CKKSComputeService(params)
+    host.register_keys("k", gks_all)
+    h_ct, h_norms = host.encrypted_scores_combined(ct, cands, "k")
+
+    dev = DeviceCKKS(params)
+    dev.register_keys("k", gks_all)
+    d_cts, d_norms = dev.encrypted_scores_combined_batch(
+        [ct], cands[None], "k"
+    )
+    d_ct = d_cts[0]
+
+    assert d_ct.level == 1 and h_ct.level == 1
+    assert abs(d_ct.scale - h_ct.scale) < 1e-6 * abs(h_ct.scale)
+    np.testing.assert_array_equal(d_ct.c0, h_ct.c0)
+    np.testing.assert_array_equal(d_ct.c1, h_ct.c1)
+    np.testing.assert_array_equal(d_norms[0], h_norms)
+
+    ips = extract_combined_ips(ctx.decrypt(sk, d_ct), 10, D)
+    ref = cands @ q
+    # small-N/small-Δ test config: scoring-grade accuracy only (the bench
+    # measures the production-scale error)
+    assert np.abs(ips - ref).max() <= max(2e-2 * np.abs(ref).max(), 1.0)

@@ -144,6 +144,57 @@ def test_ckks_encrypted_scores_close_to_plaintext(served):
     assert "galoisKeys" not in captured["encryptedsearch"]
 
 
+def test_ckks_combined_response_over_http(served):
+    """resp_mod="combined": ONE level-1 ct per query crosses the wire and
+    decodes to the same distances as the per-block CKKS response."""
+    import dataclasses
+
+    cfg, engine, addr = served
+    ckks_cfg = dataclasses.replace(
+        cfg,
+        he=dataclasses.replace(cfg.he, scheme="ckks", resp_mod="combined"),
+    )
+    client = ClientPipeline(ckks_cfg, server_addr=addr)
+    q = client.get_query()
+    cent = client.get_centroids()
+    _, sorted_cent = client.sort_nearest_centroids(q, cent)
+    cs, ci, sizes = client.get_coarse_scores(sorted_cent, q)
+    sorted_coarse = client.compute_nearest_coarse_vectors(cs, ci, sizes)
+
+    captured = {}
+    orig = client._post
+
+    def spy(route, payload):
+        resp = orig(route, payload)
+        captured[route] = (payload, resp)
+        return resp
+
+    client._post = spy
+    enc_scores, cand = client.get_encrypted_precise_scores(sorted_coarse, q)
+    plain_scores, cand2 = client.get_precise_scores(sorted_coarse, q)
+    np.testing.assert_array_equal(cand, cand2)
+    # combined trades precision for wire: the tree-combine key-switch noise
+    # decodes at the final 2^5 scale → ~2% distance error (scoring-grade).
+    # What stage 6 needs is RANKING fidelity, asserted below.
+    np.testing.assert_allclose(enc_scores, plain_scores, rtol=4e-2, atol=200.0)
+    k = 10
+    for i in range(enc_scores.shape[0]):
+        top_enc = set(np.argsort(enc_scores[i])[:k].tolist())
+        top_ref = set(np.argsort(plain_scores[i])[:k].tolist())
+        assert len(top_enc & top_ref) >= k - 1
+
+    payload, resp = captured["encryptedsearch"]
+    assert payload["respMod"] == "combined"
+    # one single-limb ct per query (vs coarse_probe/per_ct level-1 2-limb
+    # blocks on the plain path): the wire shrink is the point
+    nq = len(payload["encryptedPreciseQuery"])
+    assert len(resp["encryptedScoresCombined"]) == nq
+    from prefhetch_tpu.crypto.ckks import CKKSCiphertext
+
+    ct = CKKSCiphertext.from_wire(resp["encryptedScoresCombined"][0])
+    assert ct.level == 1
+
+
 def test_encrypted_mode_precise_query_never_travels(served):
     """VERDICT-closing privacy contract: in encrypted mode, NO request on
     ANY route carries the full-precision query — /coarsesearch gets only
