@@ -747,7 +747,9 @@ def main():
     )
     _section("hard", "PFH_BENCH_SKIP_HARD", run_hard, est_s=120)
     _section("angular", "PFH_BENCH_SKIP_ANGULAR", run_angular, est_s=120)
-    _section("ckks", "PFH_BENCH_SKIP_CKKS", run_ckks, est_s=80)
+    # est covers a COLD remote compile of the combined program (~2 min);
+    # warm .jax_cache runs finish in ~60 s
+    _section("ckks", "PFH_BENCH_SKIP_CKKS", run_ckks, est_s=150)
     _section("pir", "PFH_BENCH_SKIP_PIR", run_pir, est_s=150)
 
     _RESULT["extra"]["status"] = "complete"
@@ -1143,7 +1145,7 @@ print(f"{t0:.6f} {t1:.6f} " + " ".join(f"{x:.6f}" for x in l3))
 '''
 
 
-def ckks_scoring_qps(data, cand_ids, nq: int = 16):
+def ckks_scoring_qps(data, cand_ids, nq: int = 32):
     """BASELINE config 3: CKKS slot-packed encrypted scoring, N=8192,
     COMBINED single-ct response (engine/hecompute.py
     encrypted_scores_combined / the DeviceCKKS twin).

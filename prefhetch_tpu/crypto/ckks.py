@@ -25,6 +25,7 @@ NTT tables under jit (engine/hecompute.py pattern).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -32,7 +33,16 @@ import numpy as np
 from prefhetch_tpu.crypto.ntt import NTTTables, build_tables, intt, ntt
 from prefhetch_tpu.crypto.params import CKKSParams, find_ntt_primes
 
-DIGIT_BITS = 15
+# Key-switch digit width. 30 = one digit per 30-bit RNS limb (plain CRT
+# recomposition): HALF the key-switch NTT rows and HALF the Galois-key
+# wire vs 15-bit digits. Noise: ks error ≈ √(N·n_comp)·σ·2^DIGIT_BITS/p;
+# with the special modulus p ≈ 2^30 the 30-bit form is ~√(N·n_comp)·σ per
+# switch (~10³ in coefficient units at N=8192) — orders below the 2^5
+# final decode scale of the combined-response path (measured: bench
+# ckks_max_rel_err unchanged at 1e-3 level). 15 would only matter without
+# a special modulus. Env override is a bench/AB knob, not a wire option:
+# client and server processes must agree.
+DIGIT_BITS = int(os.environ.get("PFH_CKKS_DIGIT_BITS", "30"))
 
 
 @dataclasses.dataclass
@@ -179,22 +189,29 @@ class CKKSContext:
     # ------------------------------------------------------------------
     # encoding: slots [N/2] complex ↔ real coefficient poly
     def encode(self, values: np.ndarray, scale: float | None = None) -> np.ndarray:
-        """values: [≤N/2] real/complex slot values → int coeffs [N] (scaled)."""
+        """values: [≤N/2] (or batched [B, ≤N/2]) real/complex slot values →
+        int coeffs [N] / [B, N] (scaled). The batch form is ONE vectorized
+        FFT — per-row encode loops dominated the server's encrypted-scoring
+        host time (~3 ms × nq·blocks rows per request on the 1-core host)."""
         n = self.params.n
         nh = n // 2
         scale = scale or self.scale
-        z = np.zeros(nh, np.complex128)
         v = np.asarray(values)
-        z[: v.shape[0]] = v
+        squeeze = v.ndim == 1
+        if squeeze:
+            v = v[None]
+        z = np.zeros((v.shape[0], nh), np.complex128)
+        z[:, : v.shape[1]] = v
         # full odd-power spectrum V[i], exponent e_i = 2i+1
-        V = np.zeros(n, np.complex128)
+        V = np.zeros((v.shape[0], n), np.complex128)
         idx = (self.rot_group - 1) // 2          # position of exponent 5^j
         conj_idx = (2 * n - self.rot_group - 1) // 2
-        V[idx] = z
-        V[conj_idx] = np.conj(z)
-        t = np.fft.fft(V) / n                    # t_k = c_k ζ^k
-        coeffs = np.real(t * np.conj(self.zeta_pow))
-        return np.round(coeffs * scale).astype(np.int64)
+        V[:, idx] = z
+        V[:, conj_idx] = np.conj(z)
+        t = np.fft.fft(V, axis=1) / n            # t_k = c_k ζ^k
+        coeffs = np.real(t * np.conj(self.zeta_pow)[None])
+        out = np.round(coeffs * scale).astype(np.int64)
+        return out[0] if squeeze else out
 
     def decode(self, coeffs: np.ndarray, scale: float) -> np.ndarray:
         """Signed int coeffs [N] → slot values [N/2] complex."""

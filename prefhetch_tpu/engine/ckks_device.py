@@ -320,12 +320,19 @@ class DeviceCKKS:
         inv_qd = [int(pow(q_drop % q, -1, q)) for q in primes[:lvl2]]
 
         def score_combined(
-            ct, pt_rns, keys_b, keys_a, perms, signs,
+            ct, pt_coeffs, keys_b, keys_a, perms, signs,
             mask_ntt, tkeys_b, tkeys_a, tperms, tsigns,
         ):
+            # pt_coeffs: [B, N] i32 SIGNED encode coefficients — the RNS
+            # mod runs on device so the h2d upload is N ints per plaintext
+            # instead of L_in·N residues (the relay upload was the dominant
+            # per-request cost after the host encode was batched);
             # mask_ntt: [level, N] i32 four-step-NTT-domain mask residues;
             # tkeys_*: [n_tree, n_comp_full, n_ext_all, N]; tperms/tsigns:
             # [n_tree, N] automorphism tables for steps −1, −2, …
+            pt_rns = jnp.stack(
+                [jnp.mod(pt_coeffs, jnp.int32(q)) for q in qs_in], 1
+            )                                    # [B, L_in, N] non-negative
             acc0, acc1 = score_core(ct, pt_rns, keys_b, keys_a, perms, signs)
             B = acc0.shape[0]
             nq = ct.shape[0]
@@ -447,19 +454,14 @@ class DeviceCKKS:
 
         level_in = cts[0].level
         assert all(c.level == level_in for c in cts)
-        # plaintext blocks → scaled coeffs → RNS residues, query-major
-        pt_rns = np.empty(
-            (nq * n_blocks, level_in, self.params.n), np.int64
-        )
+        # plaintext blocks → scaled coeffs → RNS residues, query-major:
+        # ONE batched FFT encode + ONE vectorized mod (the per-row loop was
+        # ~3 ms/row of host time — the dominant e2e cost at nq=16)
         qs_in = np.array(self.ext[:level_in], np.int64)
-        for qi in range(nq):
-            for b in range(n_blocks):
-                coeffs = ctx.encode(
-                    padded[qi, b * per_ct : (b + 1) * per_ct].reshape(-1)
-                )
-                pt_rns[qi * n_blocks + b] = np.mod(
-                    coeffs[None, :], qs_in[:, None]
-                )
+        coeffs = ctx.encode(
+            padded.reshape(nq * n_blocks, per_ct * d)
+        )                                            # [nq·blocks, N]
+        pt_rns = np.mod(coeffs[:, None, :], qs_in[None, :, None])
 
         perms, signs = self._auto_tables(tuple(steps))
         keys_b = jnp.stack([gks[s][0] for s in steps])
@@ -551,19 +553,12 @@ class DeviceCKKS:
         if level_in < 3:
             raise ValueError("combined scoring needs a level-3 query ct")
         level = level_in - 1
-        pt_rns = np.empty(
-            (nq * n_blocks, level_in, self.params.n), np.int64
-        )
-        qs_in = np.array(self.ext[:level_in], np.int64)
-        for qi in range(nq):
-            for b in range(n_blocks):
-                coeffs = ctx.encode(
-                    padded[qi, b * per_ct : (b + 1) * per_ct].reshape(-1)
-                    / cand_scale
-                )
-                pt_rns[qi * n_blocks + b] = np.mod(
-                    coeffs[None, :], qs_in[:, None]
-                )
+        coeffs = ctx.encode(
+            padded.reshape(nq * n_blocks, per_ct * d) / cand_scale
+        )                                            # [nq·blocks, N]
+        # device-side RNS mod: coeffs of the 2^-16-scaled candidates are
+        # ≲ 2^28 (bounded well under int32) — asserted, not assumed
+        assert np.abs(coeffs).max() < (1 << 31), "combined pt coeffs overflow"
 
         # slot mask residues, four-step NTT domain (matches ntt4's layout)
         if not hasattr(self, "_mask_cache"):
@@ -601,7 +596,7 @@ class DeviceCKKS:
         )
         fn = self._score_fn(level_in, len(steps), combine_tree=n_tree)
         dev_out = fn(
-            ct_dev, jnp.asarray(pt_rns.astype(np.int32)),
+            ct_dev, jnp.asarray(coeffs.astype(np.int32)),
             keys_b, keys_a, perms, signs,
             mask_ntt, tkeys_b, tkeys_a, tperms, tsigns,
         )                                            # [nq, 2, level-1, N]
