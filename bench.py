@@ -780,7 +780,7 @@ def _ivf_oracle_topk(data, index) -> np.ndarray:
 
 
 def http_serving_bench(
-    data, index, n_clients: int = 64, reqs_per_client: int = 30
+    data, index, n_clients: int = 128, reqs_per_client: int = 30
 ):
     """BASELINE config 5: batched serving measured through the REAL wire.
 
@@ -825,8 +825,11 @@ def http_serving_bench(
     try:
         from prefhetch_tpu.serve.native_server import serve_forever_native
 
+        # max_batch 128: the ~30 ms relay d2h per wave is size-independent,
+        # so the serving ceiling is wave_rows/30ms — double the wave, double
+        # the q/s (row padding is cheap: scan cost is us/row)
         srv = serve_forever_native(
-            engine, port=port, background=True, max_batch=64, grace_ms=1.5,
+            engine, port=port, background=True, max_batch=128, grace_ms=1.5,
         )
     except (RuntimeError, OSError):
         frontend = "aio"
@@ -1136,7 +1139,7 @@ def run_phase(fn, n_cl, n_rq):
 
 
 one_round_fused(boot, 0)
-t0, t1, l1 = run_phase(one_round, min(n_clients, 32), n_reqs)
+t0, t1, l1 = run_phase(one_round, min(n_clients, 64), n_reqs)
 print(f"{t0:.6f} {t1:.6f} " + " ".join(f"{x:.6f}" for x in l1))
 t0, t1, l2 = run_phase(one_round_allcand, min(n_clients, 16), 4)
 print(f"{t0:.6f} {t1:.6f} " + " ".join(f"{x:.6f}" for x in l2))
@@ -1361,7 +1364,7 @@ def encrypted_rerank_qps(data, cand_ids, nq: int = 64):
         last = None
         for _ in range(n_mac):
             last, _nm = svc.encrypted_scores_trunc_q1_async(cts, idx)
-        _ = np.asarray(last[0, 0, 0, :4])
+        _ = np.asarray(last[0, 0, :4])     # bundled is [nq, nb, N+B]
         mac_qps = nq * n_mac / (_time.perf_counter() - t0)
         # pure kernel rate: ct + index args pre-uploaded and device-resident
         # — the serving ceiling on hardware without this sandbox's relay
@@ -1390,7 +1393,7 @@ def encrypted_rerank_qps(data, cand_ids, nq: int = 64):
         t0 = _time.perf_counter()
         for _ in range(n_k):
             last = kernel_call()
-        _ = np.asarray(last[0, 0, 0, :4])
+        _ = np.asarray(last[0, 0, :4])     # bundled is [nq, nb, N+B]
         kernel_qps = nq * n_k / (_time.perf_counter() - t0)
     else:
         t0 = _time.perf_counter()

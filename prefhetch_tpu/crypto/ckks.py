@@ -35,14 +35,16 @@ from prefhetch_tpu.crypto.params import CKKSParams, find_ntt_primes
 
 # Key-switch digit width. 30 = one digit per 30-bit RNS limb (plain CRT
 # recomposition): HALF the key-switch NTT rows and HALF the Galois-key
-# wire vs 15-bit digits. Noise: ks error ≈ √(N·n_comp)·σ·2^DIGIT_BITS/p;
-# with the special modulus p ≈ 2^30 the 30-bit form is ~√(N·n_comp)·σ per
-# switch (~10³ in coefficient units at N=8192) — orders below the 2^5
-# final decode scale of the combined-response path (measured: bench
-# ckks_max_rel_err unchanged at 1e-3 level). 15 would only matter without
-# a special modulus. Env override is a bench/AB knob, not a wire option:
-# client and server processes must agree.
-DIGIT_BITS = int(os.environ.get("PFH_CKKS_DIGIT_BITS", "30"))
+# wire vs 15-bit digits — the raw combined-score device program measured
+# 73 vs 103 ms per 16-query batch at N=8192. But key-switch noise scales
+# with 2^DIGIT_BITS/p: at the combined response's final 2^5 decode scale
+# the measured worst-case distance error was 0.43% (15-bit) vs 5.1%
+# (30-bit) on the production bench — and the sandbox e2e is host/relay
+# bound, so the device saving doesn't reach the wire. Accuracy wins the
+# default; flip via env on hardware where the kernel is the binder.
+# Env override is a bench/AB knob, not a wire option: client and server
+# processes must agree.
+DIGIT_BITS = int(os.environ.get("PFH_CKKS_DIGIT_BITS", "15"))
 
 
 @dataclasses.dataclass
