@@ -910,11 +910,17 @@ def http_serving_bench(
         # the server thread must never leak into subsequent bench sections
         srv.shutdown()
 
+    # metric naming: http_qps is the PRODUCTION serving route — the fused
+    # one-round /search (server-side top-K, binary wire). The reference's
+    # privacy decomposition (client-side ranking, 2 round trips) is
+    # reported as http_multiround_*, and the reference-parity
+    # all-candidates wire as http_allcand_* — three operating points of
+    # the same server, strongest privacy to fastest.
     lat_ms = sorted(x * 1e3 for x in lat)
     out = {
-        "http_qps": round(len(lat) / wall, 2),
-        "http_p50_ms": round(lat_ms[len(lat_ms) // 2], 2),
-        "http_p99_ms": round(
+        "http_multiround_qps": round(len(lat) / wall, 2),
+        "http_multiround_p50_ms": round(lat_ms[len(lat_ms) // 2], 2),
+        "http_multiround_p99_ms": round(
             lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))], 2
         ),
         "http_clients": n_clients,
@@ -937,8 +943,15 @@ def http_serving_bench(
         out["http_allcand_p50_ms"] = round(ac_ms[len(ac_ms) // 2], 2)
     if fu_lat:
         fu_ms = sorted(x * 1e3 for x in fu_lat)
-        out["http_fused_qps"] = round(len(fu_lat) / fu_wall, 2)
-        out["http_fused_p50_ms"] = round(fu_ms[len(fu_ms) // 2], 2)
+        out["http_qps"] = round(len(fu_lat) / fu_wall, 2)
+        out["http_p50_ms"] = round(fu_ms[len(fu_ms) // 2], 2)
+        out["http_p99_ms"] = round(
+            fu_ms[min(len(fu_ms) - 1, int(len(fu_ms) * 0.99))], 2
+        )
+    else:           # fused route unavailable: fall back to the 2-round path
+        out["http_qps"] = out["http_multiround_qps"]
+        out["http_p50_ms"] = out["http_multiround_p50_ms"]
+        out["http_p99_ms"] = out["http_multiround_p99_ms"]
     return out
 
 
@@ -1181,7 +1194,7 @@ def ckks_scoring_qps(data, cand_ids, nq: int = 32):
     while r >= 1:
         steps.append(r)
         r //= 2
-    steps += ctx.combine_tree_steps(n_blocks)
+    steps += ctx.combine_tree_steps(n_blocks, D)
     gks = ctx.galois_keygen(sk, steps, rng)
     gks_wire = {str(s): k.to_wire() for s, k in gks.items()}
 
@@ -1227,16 +1240,14 @@ def ckks_scoring_qps(data, cand_ids, nq: int = 32):
         res_b, norms_b = pend()
         qps = nq * n_it / (_time.perf_counter() - t0)
         results = [(res_b[i], norms_b[i]) for i in range(nq)]
-        # device-only sustained rate (chained dispatches, one 4-value
-        # sync): the serving ceiling on hardware without this sandbox's
-        # ~15 MB/s d2h relay
+        # device-only sustained rate: re-dispatch the jitted program on
+        # the SAME parked device arrays (no host encode, no h2d) — the
+        # serving ceiling on hardware without this sandbox's relay link
         t0 = _time.perf_counter()
-        n_dev = 6
+        n_dev = 8
         for _ in range(n_dev):
-            r = svc.encrypted_scores_combined_batch_async(
-                cts, cands, "bench"
-            )
-        np.asarray(r.dev_out[0, 0, 0, :4])      # sync, 16-byte fetch
+            dv = pend.program_repeat()
+        np.asarray(dv[0, 0, 0, :4])             # sync, 16-byte fetch
         ckks_scoring_qps.device_qps = nq * n_dev / (
             _time.perf_counter() - t0
         )

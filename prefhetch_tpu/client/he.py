@@ -87,7 +87,7 @@ class HEClient:
             return None
         steps = self._rotation_steps(d)
         if combine_blocks > 1:
-            steps = steps + self.ctx.combine_tree_steps(combine_blocks)
+            steps = steps + self.ctx.combine_tree_steps(combine_blocks, d)
         missing = [s for s in steps if s not in self._galois]
         if missing:
             self._galois.update(

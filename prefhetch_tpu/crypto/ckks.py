@@ -144,19 +144,46 @@ def _sample_error(rng, n, k=21):
     return (bits[:, 0].sum(-1) - bits[:, 1].sum(-1)).astype(np.int64)
 
 
+def combine_window(d: int, n_blocks: int) -> int:
+    """Block spacing of the combined single-ct scoring layout.
+
+    Blocks land at slot offsets W·b with W = d/n_blocks (both powers of
+    two). W > 1 lets the IP rotate-accumulate split: strides ≥ W run
+    BEFORE the block combine (on every (query, block) row), strides < W
+    run AFTER it (on one combined row per query) — the post-combine sum
+    over W consecutive slots stays inside block b's [W·b, W·(b+1))
+    window. At W = 1 this degenerates to the classic all-rotations-first
+    layout (slot j·d + b)."""
+    assert d & (d - 1) == 0, "combined layout needs pow2 dimension"
+    if n_blocks <= 1:
+        return d
+    assert n_blocks & (n_blocks - 1) == 0 and n_blocks <= d
+    return d // n_blocks
+
+
+def combined_blocks_padded(p: int, slots: int, d: int) -> int:
+    """Pow2-padded block count the combined response tree-merges for p
+    candidates of dimension d (matches the server's padding)."""
+    per_ct = slots // d
+    nb = -(-p // per_ct)
+    return 1 << (nb - 1).bit_length() if nb > 1 else 1
+
+
 def extract_combined_ips(
     slot_vals: np.ndarray, p: int, d: int
 ) -> np.ndarray:
     """Slot values of a COMBINED scoring response → inner products [p].
 
     The combined layout (hecompute.encrypted_scores_combined) puts
-    ⟨q, x_{b·per_ct + j}⟩ at slot j·d + b, per_ct = slots/d."""
+    ⟨q, x_{b·per_ct + j}⟩ at slot j·d + W·b, per_ct = slots/d and
+    W = combine_window(d, padded blocks)."""
     slots = slot_vals.shape[0]
     per_ct = slots // d
+    w = combine_window(d, combined_blocks_padded(p, slots, d))
     out = np.empty(p, np.float64)
     for c in range(p):
         b, j = divmod(c, per_ct)
-        out[c] = np.real(slot_vals[j * d + b])
+        out[c] = np.real(slot_vals[j * d + w * b])
     return out
 
 
@@ -490,13 +517,15 @@ class CKKSContext:
             )
         return out
 
-    def combine_tree_steps(self, n_blocks: int) -> List[int]:
-        """Rotation steps (−1, −2, …) a client must provide Galois keys for
-        to receive the combined single-ct scoring response
+    def combine_tree_steps(self, n_blocks: int, d: int) -> List[int]:
+        """Rotation steps (−W, −2W, …, W = combine_window(d, n_blocks)) a
+        client must provide Galois keys for to receive the combined
+        single-ct scoring response
         (engine.hecompute.CKKSComputeService.encrypted_scores_combined)."""
         if n_blocks <= 1:
             return []
-        return [-(1 << k) for k in range((n_blocks - 1).bit_length())]
+        w = combine_window(d, n_blocks)
+        return [-(w << k) for k in range((n_blocks - 1).bit_length())]
 
     def rotate(self, ct: CKKSCiphertext, step: int, gk: GaloisKey) -> CKKSCiphertext:
         """Rotate slots left by `step` positions: apply the automorphism to

@@ -119,21 +119,21 @@ class DeviceCKKS:
         )
 
     def _score_fn(self, level_in: int, n_steps: int,
-                  combine_tree: int | None = None):
+                  combine_tree: int | None = None, n_post: int = 0):
         # per-instance cache (a functools.lru_cache on the bound method
         # would key the GLOBAL cache on self and pin every DeviceCKKS
         # instance — device keys, tables, executables — for process life)
         if not hasattr(self, "_score_cache"):
             self._score_cache = {}
-        key = (level_in, n_steps, combine_tree)
+        key = (level_in, n_steps, combine_tree, n_post)
         if key in self._score_cache:
             return self._score_cache[key]
-        fn = self._build_score_fn(level_in, n_steps, combine_tree)
+        fn = self._build_score_fn(level_in, n_steps, combine_tree, n_post)
         self._score_cache[key] = fn
         return fn
 
     def _build_score_fn(self, level_in: int, n_steps: int,
-                        combine_tree: int | None = None):
+                        combine_tree: int | None = None, n_post: int = 0):
         """jit: (fdigs…, gdigs…, ct [2, L, N], pt_rns [B, L, N],
         keys_b [n_steps, n_comp, n_ext_all, N], keys_a …,
         perms [n_steps, N], signs [n_steps, N]) → [B, 2, level, N].
@@ -309,11 +309,15 @@ class DeviceCKKS:
             return jax.jit(score)
 
         # ---- combined single-ct response (CKKSComputeService
-        # .encrypted_scores_combined is the host oracle): mask-mult the
-        # rotate-accumulate result (ct×pt + exact rescale → one fewer
-        # limb), then tree-combine the 2^combine_tree blocks of each query
-        # with rotations by −2^k so block b's inner products land at slots
-        # j·d + b — ONE level-(level−1) ct per query crosses the wire.
+        # .encrypted_scores_combined is the host oracle), WINDOWED layout:
+        # only the IP strides ≥ W = d/n_blocks run pre-combine (n_steps
+        # here); mask-mult keeps each block's W-slot partial window
+        # (ct×pt + exact rescale → one fewer limb); the tree combines the
+        # 2^combine_tree blocks with rotations by −W·2^k so block b's
+        # window lands at [j·d + W·b); the n_post strides < W then finish
+        # the inner products on ONE row per query — the dominant
+        # pre-combine rotate-accumulate shrinks n_blocks×. ONE
+        # level-(level−1) ct per query crosses the wire.
         lvl2 = level - 1
         assert lvl2 >= 1, "combined scoring needs a level-3 query ct"
         q_drop = primes[-1]
@@ -322,6 +326,7 @@ class DeviceCKKS:
         def score_combined(
             ct, pt_coeffs, keys_b, keys_a, perms, signs,
             mask_ntt, tkeys_b, tkeys_a, tperms, tsigns,
+            pkeys_b, pkeys_a, pperms, psigns,
         ):
             # pt_coeffs: [B, N] i32 SIGNED encode coefficients — the RNS
             # mod runs on device so the h2d upload is N ints per plaintext
@@ -393,8 +398,39 @@ class DeviceCKKS:
                     n1l.append(_mod_add(ev1[:, i], ks1[:, i], q))
                 cur0 = jnp.stack(n0l, 1).reshape(nq, nb_k // 2, lvl2, n)
                 cur1 = jnp.stack(n1l, 1).reshape(nq, nb_k // 2, lvl2, n)
+            # --- post-combine IP rotations: strides < W at lvl2, one row
+            # per query (n_blocks× fewer rows than the pre-combine side)
+            a0 = cur0[:, 0]
+            a1 = cur1[:, 0]
+            for si in range(n_post):
+                perm = pperms[si]
+                sign = psigns[si]
+                r0l, r1l = [], []
+                for i in range(lvl2):
+                    q = primes[i]
+                    v0 = a0[:, i, :][:, perm]
+                    v1 = a1[:, i, :][:, perm]
+                    r0l.append(jnp.where(
+                        sign[None, :] > 0, v0,
+                        jnp.where(v0 == 0, 0, q - v0),
+                    ))
+                    r1l.append(jnp.where(
+                        sign[None, :] > 0, v1,
+                        jnp.where(v1 == 0, 0, q - v1),
+                    ))
+                c0r = jnp.stack(r0l, 1)
+                c1r = jnp.stack(r1l, 1)
+                ks0, ks1 = keyswitch(c1r, pkeys_b[si], pkeys_a[si], lvl2)
+                n0l, n1l = [], []
+                for i in range(lvl2):
+                    q = primes[i]
+                    rot0 = _mod_add(c0r[:, i], ks0[:, i], q)
+                    n0l.append(_mod_add(a0[:, i], rot0, q))
+                    n1l.append(_mod_add(a1[:, i], ks1[:, i], q))
+                a0 = jnp.stack(n0l, 1)
+                a1 = jnp.stack(n1l, 1)
             return jnp.stack(
-                [cur0[:, 0].astype(jnp.int32), cur1[:, 0].astype(jnp.int32)],
+                [a0.astype(jnp.int32), a1.astype(jnp.int32)],
                 axis=1,
             )                                        # [nq, 2, lvl2, N]
 
@@ -514,12 +550,14 @@ class DeviceCKKS:
     ):
         """Combined single-ct response: device twin of
         CKKSComputeService.encrypted_scores_combined (see its docstring for
-        the construction and scale bookkeeping). ONE level-(L_in−2) result
-        ct per query — 2·(L_in−2)/(blocks·2·(L_in−1)) of the per-block
-        wire (~16× smaller at the config-3 operating point). Requires
-        Galois keys for the IP-tree steps AND the combine steps −2^k.
+        the WINDOWED construction and scale bookkeeping). ONE
+        level-(L_in−2) result ct per query — 2·(L_in−2)/(blocks·2·(L_in−1))
+        of the per-block wire (~16× smaller at the config-3 operating
+        point). Requires Galois keys for the IP-tree steps AND the combine
+        steps −W·2^k (crypto/ckks.combine_tree_steps).
 
         Returns a resolver → ([nq] CKKSCiphertext, norms [nq, P])."""
+        from prefhetch_tpu.crypto.ckks import combine_window
         from prefhetch_tpu.engine.hecompute import CKKSComputeService as _H
 
         gks = self._keys[key_id]
@@ -538,12 +576,15 @@ class DeviceCKKS:
         cand_scale = float(1 << _H.CAND_SCALE_BITS)
         mask_scale = float(1 << _H.MASK_SCALE_BITS)
 
+        window = combine_window(d, n_blocks)
         steps = []
         r = d // 2
         while r >= 1:
             steps.append(r)
             r //= 2
-        tree_steps = [-(1 << k) for k in range(n_tree)]
+        pre_steps = [s for s in steps if s >= window]
+        post_steps = [s for s in steps if s < window]
+        tree_steps = [-(window << k) for k in range(n_tree)]
         for s in steps + tree_steps:
             if s not in gks:
                 raise ValueError(f"missing Galois key for step {s}")
@@ -560,13 +601,17 @@ class DeviceCKKS:
         # ≲ 2^28 (bounded well under int32) — asserted, not assumed
         assert np.abs(coeffs).max() < (1 << 31), "combined pt coeffs overflow"
 
-        # slot mask residues, four-step NTT domain (matches ntt4's layout)
-        if not hasattr(self, "_mask_cache"):
-            self._mask_cache = {}
-        mkey = (d, level)
-        if mkey not in self._mask_cache:
+        # per-(key_id, shape) device-arg bundle: mask NTT residues, stacked
+        # key/automorphism tables for the pre/tree/post schedules. Cached —
+        # restacking ~7 MB of key material per request measurably dented
+        # the e2e rate through this sandbox's relay
+        if not hasattr(self, "_combined_args_cache"):
+            self._combined_args_cache = {}
+        akey = (key_id, d, n_blocks, level_in)
+        if akey not in self._combined_args_cache:
             mask_slots = np.zeros(slots, np.float64)
-            mask_slots[::d] = 1.0
+            for w in range(window):
+                mask_slots[w::d] = 1.0
             mask_coeffs = ctx.encode(mask_slots, scale=mask_scale)
             m_ntt = np.empty((level, self.params.n), np.int64)
             for i in range(level):
@@ -574,31 +619,57 @@ class DeviceCKKS:
                 m_ntt[i] = host_ntt(
                     mask_coeffs % self.ext[i], tb
                 )[self._four_perm]
-            self._mask_cache[mkey] = jnp.asarray(m_ntt.astype(np.int32))
-        mask_ntt = self._mask_cache[mkey]
+            mask_ntt = jnp.asarray(m_ntt.astype(np.int32))
 
-        perms, signs = self._auto_tables(tuple(steps))
-        keys_b = jnp.stack([gks[s][0] for s in steps])
-        keys_a = jnp.stack([gks[s][1] for s in steps])
-        if n_tree:
-            tperms, tsigns = self._auto_tables(tuple(tree_steps))
-            tkeys_b = jnp.stack([gks[s][0] for s in tree_steps])
-            tkeys_a = jnp.stack([gks[s][1] for s in tree_steps])
-        else:
-            # tree-less degenerate case: empty tables keep the signature
-            tperms, tsigns = self._auto_tables((0,))
-            tkeys_b = keys_b[:1]
-            tkeys_a = keys_a[:1]
+            any_key = gks[steps[0]]
+            if pre_steps:
+                perms, signs = self._auto_tables(tuple(pre_steps))
+                keys_b = jnp.stack([gks[s][0] for s in pre_steps])
+                keys_a = jnp.stack([gks[s][1] for s in pre_steps])
+            else:                  # window == d: all strides post-combine
+                perms, signs = self._auto_tables((0,))
+                keys_b = any_key[0][None]
+                keys_a = any_key[1][None]
+            if post_steps:
+                pperms, psigns = self._auto_tables(tuple(post_steps))
+                pkeys_b = jnp.stack([gks[s][0] for s in post_steps])
+                pkeys_a = jnp.stack([gks[s][1] for s in post_steps])
+            else:
+                pperms, psigns = self._auto_tables((0,))
+                pkeys_b = any_key[0][None]
+                pkeys_a = any_key[1][None]
+            if n_tree:
+                tperms, tsigns = self._auto_tables(tuple(tree_steps))
+                tkeys_b = jnp.stack([gks[s][0] for s in tree_steps])
+                tkeys_a = jnp.stack([gks[s][1] for s in tree_steps])
+            else:
+                # tree-less degenerate case: empty tables keep the signature
+                tperms, tsigns = self._auto_tables((0,))
+                tkeys_b = keys_b[:1]
+                tkeys_a = keys_a[:1]
+            self._combined_args_cache[akey] = (
+                mask_ntt, keys_b, keys_a, perms, signs,
+                tkeys_b, tkeys_a, tperms, tsigns,
+                pkeys_b, pkeys_a, pperms, psigns,
+            )
+        (mask_ntt, keys_b, keys_a, perms, signs,
+         tkeys_b, tkeys_a, tperms, tsigns,
+         pkeys_b, pkeys_a, pperms, psigns) = self._combined_args_cache[akey]
         ct_dev = jnp.asarray(
             np.stack(
                 [np.stack([c.c0, c.c1]) for c in cts]
             ).astype(np.int32)
         )
-        fn = self._score_fn(level_in, len(steps), combine_tree=n_tree)
+        fn = self._score_fn(
+            level_in, len(pre_steps), combine_tree=n_tree,
+            n_post=len(post_steps),
+        )
+        coeffs_dev = jnp.asarray(coeffs.astype(np.int32))
         dev_out = fn(
-            ct_dev, jnp.asarray(coeffs.astype(np.int32)),
+            ct_dev, coeffs_dev,
             keys_b, keys_a, perms, signs,
             mask_ntt, tkeys_b, tkeys_a, tperms, tsigns,
+            pkeys_b, pkeys_a, pperms, psigns,
         )                                            # [nq, 2, level-1, N]
 
         scale1 = cts[0].scale * ctx.scale / self.ext[level_in - 1]
@@ -618,4 +689,12 @@ class DeviceCKKS:
             return result, norms
 
         resolve.dev_out = dev_out
+        # pure device-program re-dispatch on the SAME parked arrays: the
+        # bench's device-rate probe (serving ceiling with a local, non-relay
+        # host↔device link — no host encode, no h2d in the timed loop)
+        resolve.program_repeat = lambda: fn(
+            ct_dev, coeffs_dev, keys_b, keys_a, perms, signs,
+            mask_ntt, tkeys_b, tkeys_a, tperms, tsigns,
+            pkeys_b, pkeys_a, pperms, psigns,
+        )
         return resolve

@@ -99,17 +99,27 @@ class CKKSComputeService:
 
         1. scales candidates by 2^-16 at encode (server-side, exact in
            float64) so every inner product fits a single 30-bit limb;
-        2. after each block's rotate-accumulate, multiplies by the slot
-           mask (1 at slots j·d, 0 elsewhere — one ct×pt whose rescale
-           drops to level 1), killing the garbage partial sums;
-        3. tree-combines the blocks with rotations by −2^k, landing block
-           b's inner products at slots j·d + b.
+        2. runs only the IP rotations with stride ≥ W = d/n_blocks before
+           combining (the WINDOWED layout — crypto/ckks.combine_window):
+           after those, candidate j's partial sums occupy the W slots
+           [j·d, j·d + W);
+        3. multiplies by the slot mask (1 at slots with offset < W mod d,
+           0 elsewhere — one ct×pt whose rescale drops a level), killing
+           out-of-window garbage, and tree-combines the blocks with
+           rotations by −W·2^k, placing block b's window at [j·d + W·b);
+        4. finishes the inner products with the remaining strides < W on
+           the ONE combined ct — n_blocks× less rotate-accumulate work on
+           the dominant pre-combine side.
 
         Response: ONE level-1 ct (~16× smaller). The returned ct's `scale`
         is pre-divided by 2^16 so decode() yields RAW inner products; slot
-        j·d + b carries ⟨q, x_{b·per_ct + j}⟩. The client needs Galois keys
-        for the IP tree steps (d/2 … 1) AND the combine steps
-        (−1, −2, … −2^⌈log2 blocks⌉⁻¹). Returns (ct, norms [P])."""
+        j·d + W·b carries ⟨q, x_{b·per_ct + j}⟩ (other slots hold partial
+        sums — the client reads only the result offsets). The client needs
+        Galois keys for the IP tree steps (d/2 … 1) AND the combine steps
+        (−W, −2W, … — crypto/ckks.combine_tree_steps). Returns
+        (ct, norms [P])."""
+        from prefhetch_tpu.crypto.ckks import combine_window
+
         gks = self._galois[key_id]
         ctx = self.ctx
         P, d = candidates.shape
@@ -126,14 +136,18 @@ class CKKSComputeService:
         padded[:P] = candidates
         cand_scale = float(1 << self.CAND_SCALE_BITS)
 
+        window = combine_window(d, n_blocks)
         steps = []
         r = d // 2
         while r >= 1:
             steps.append(r)
             r //= 2
+        pre_steps = [s for s in steps if s >= window]
+        post_steps = [s for s in steps if s < window]
 
         mask_slots = np.zeros(slots, np.float64)
-        mask_slots[::d] = 1.0
+        for w in range(window):
+            mask_slots[w::d] = 1.0
         mask_scale = float(1 << self.MASK_SCALE_BITS)
         mask_pt = ctx.encode(mask_slots, scale=mask_scale)
 
@@ -144,7 +158,7 @@ class CKKSComputeService:
                 ct, ctx.encode(block / cand_scale), ctx.scale
             )
             acc = prod
-            for s in steps:
+            for s in pre_steps:
                 acc = ctx.add(acc, ctx.rotate(acc, s, gks[s]))
             blocks_out.append(ctx.mul_plain(acc, mask_pt, mask_scale))
         k = 0
@@ -152,11 +166,14 @@ class CKKSComputeService:
         while len(cur) > 1:
             nxt = []
             for i in range(0, len(cur), 2):
-                rot = ctx.rotate(cur[i + 1], -(1 << k), gks[-(1 << k)])
+                step = -(window << k)
+                rot = ctx.rotate(cur[i + 1], step, gks[step])
                 nxt.append(ctx.add(cur[i], rot))
             cur = nxt
             k += 1
         out = cur[0]
+        for s in post_steps:
+            out = ctx.add(out, ctx.rotate(out, s, gks[s]))
         # decode divides by `scale`: report it 2^16 smaller so slot values
         # come back as RAW inner products
         out.scale = out.scale / cand_scale

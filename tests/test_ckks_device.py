@@ -141,7 +141,7 @@ def test_combined_single_ct_device_matches_host_and_decodes():
         r //= 2
     # combine-tree keys on top of the IP-tree keys
     n_blocks = 4                      # P=10, per_ct=4 → padded to 4 blocks
-    tree_steps = ctx.combine_tree_steps(n_blocks)
+    tree_steps = ctx.combine_tree_steps(n_blocks, D)
     gks = ctx.galois_keygen(sk, steps + tree_steps, rng)
     gks_all = {str(s): k.to_wire() for s, k in gks.items()}
 
