@@ -562,12 +562,16 @@ def main():
         e_qps, m_qps, k_qps = encrypted_rerank_qps(data, np.asarray(ids))
         n_he, b_he = 4096, 4096 // D
         nb_he = -(-COARSE_PROBE // b_he)
+        grp = max(1, D // nb_he)          # queries per packed response ct
         return {
             "encrypted_rerank_qps": round(e_qps, 2),
             "encrypted_mac_device_qps": round(m_qps, 2),
             "encrypted_mac_kernel_qps": round(k_qps, 2),
-            # modulus-switched q1 response wire (single limb, coeff domain)
-            "encrypted_wire_bytes_per_query": nb_he * (n_he + b_he) * 4,
+            # packed single-ct response wire: 2 comps × 2 limbs × N i32
+            # shared by `grp` queries, plus per-candidate i32 norms
+            "encrypted_wire_bytes_per_query": (
+                2 * 2 * n_he * 4 // grp + COARSE_PROBE * 4
+            ),
         }
 
     # recall on the HARD workload (overlapping clusters, heavy-tailed list
@@ -1293,42 +1297,37 @@ def _pad_candidates(ids: np.ndarray, p: int, nbase: int) -> np.ndarray:
 
 
 def encrypted_rerank_qps(data, cand_ids, nq: int = 64):
-    """Encrypted re-rank throughput (BFV N=4096, 2 limbs — BASELINE config 2):
-    client encrypt → server device gather/pack/NTT/MAC + c0 truncation →
-    client batched decrypt → exact distance assembly.
+    """Encrypted re-rank throughput (BFV N=4096, 2 limbs — BASELINE config 2)
+    on the PACKED single-ct response wire (engine/hecompute.py
+    encrypted_scores_packed): client encrypt → server device gather/pack/
+    NTT/MAC, coefficient extraction (log2(d) automorphism key-switch
+    rounds), and monomial shift-pack of d/nb queries into ONE 2-limb ct →
+    client batched decrypt → exact distance assembly. ~2 KB of ciphertext
+    per query vs 132 KB on the q1 wire — the download was the e2e binding
+    constraint through this sandbox's relay; now the device program is.
 
-    The MAC runs on the accelerator when one is the default backend
-    (candidates travel as INDICES; gather+pack on device). Stages are
-    pipelined with a background transfer thread: batch i's device result
-    downloads while batch i+1 encrypts — on this sandbox's relay link the
-    download is the binding constraint, so the pipeline hides host crypto
-    behind it. The response rides the modulus-switched q1 wire
-    (hecompute._trunc_mac_q1_fn): single-limb coefficient-domain c1 +
-    ip coefficients, ~132 KB/query at the config-2 operating point —
-    half the 2-limb truncated wire.
-
-    Returns (end_to_end_qps, device_mac_qps) — the second is the MAC
-    kernel's own sustained rate (dispatch-amortized), i.e. the serving
-    ceiling with a local (non-relay) host↔device link."""
+    Stages are pipelined with a background transfer thread: batch i's
+    result downloads while batch i+1 encrypts. Returns
+    (end_to_end_qps, device_qps, kernel_qps) — device_qps is the async
+    dispatch rate including per-call host prep + h2d; kernel_qps re-runs
+    the jitted program on parked device args (the serving ceiling with a
+    local, non-relay host↔device link)."""
     import time as _time
     from concurrent.futures import ThreadPoolExecutor
 
     import jax
 
     from prefhetch_tpu.client.he import HEClient
-    from prefhetch_tpu.crypto.bfv import Ciphertext
     from prefhetch_tpu.engine.hecompute import HEComputeService
     from prefhetch_tpu.utils.config import HEParams
 
-    # sparse ternary secret (h=48) enables the modulus-switched q1
-    # response wire: single-limb coefficient-domain c1 + ip coeffs, ~2x
-    # less download than the 2-limb truncated wire (the download IS the
-    # e2e bottleneck through this sandbox's relay). Seed pinned: bench
-    # must be reproducible.
-    hc = HEClient(HEParams(sparse_h=48, resp_mod="q1"), seed=11)
+    # Seed pinned: bench must be reproducible. Dense ternary secret — the
+    # packed wire needs no sparse-key assumption (unlike q1 mod-down).
+    hc = HEClient(HEParams(resp_mod="packed"), seed=11)
     backend = "tpu" if jax.default_backend() == "tpu" else "numpy"
     svc = HEComputeService(hc.params, backend=backend)
     svc.set_base(data["base"])
+    svc.register_galois_keys(hc.key_id, hc.bfv_extraction_keys_wire(D))
     queries = data["query"][:nq].astype(np.float32)
     # exactly COARSE_PROBE candidates (cand_ids is the K=100-wide final
     # id set — pad with consecutive rows to the config-2 operating point)
@@ -1342,15 +1341,10 @@ def encrypted_rerank_qps(data, cand_ids, nq: int = 64):
         # seeded symmetric wires: the server expands c1 from the seed
         return [svc.ctx.ct_from_wire(w) for w in wires]
 
-    def fetch(pending):
-        b, nm = pending
-        return svc.trunc_unbundle_q1(np.asarray(b), nm)
-
     # warm (compile + first transfers)
-    out = hc.decrypt_scores_trunc_q1(*fetch(
-        svc.encrypted_scores_trunc_q1_async(encrypt(), idx)
-    ), queries)
-    assert np.abs(out - ref).max() < 1.0, "encrypted distances diverged"
+    res = svc.encrypted_scores_packed_async(encrypt(), idx, hc.key_id)
+    out = hc.decrypt_scores_packed(*res(), queries=queries)
+    assert np.abs(out - ref).max() < 0.5, "encrypted distances diverged"
 
     n_iter = 4
     with ThreadPoolExecutor(max_workers=1) as pool:
@@ -1358,59 +1352,34 @@ def encrypted_rerank_qps(data, cand_ids, nq: int = 64):
         fut = None
         for _ in range(n_iter):
             cts = encrypt()
-            pending = svc.encrypted_scores_trunc_q1_async(cts, idx)
+            pending = svc.encrypted_scores_packed_async(cts, idx, hc.key_id)
             if fut is not None:
-                out = hc.decrypt_scores_trunc_q1(*fut.result(), queries)
-            fut = pool.submit(fetch, pending)
-        out = hc.decrypt_scores_trunc_q1(*fut.result(), queries)
+                out = hc.decrypt_scores_packed(*fut.result(), queries=queries)
+            fut = pool.submit(pending)
+        out = hc.decrypt_scores_packed(*fut.result(), queries=queries)
         dt = _time.perf_counter() - t0
-    assert np.abs(out - ref).max() < 1.0, "encrypted distances diverged"
+    assert np.abs(out - ref).max() < 0.5, "encrypted distances diverged"
     e2e_qps = nq * n_iter / dt
 
-    # device MAC sustained rate: chained dispatches, one sync at the end
-    cts = encrypt()
     if backend == "tpu":
+        # device rate: chained async dispatches (per-call host prep + h2d
+        # included), one 16-byte sync
+        cts = encrypt()
         n_mac = 6
         t0 = _time.perf_counter()
-        last = None
         for _ in range(n_mac):
-            last, _nm = svc.encrypted_scores_trunc_q1_async(cts, idx)
-        _ = np.asarray(last[0, 0, :4])     # bundled is [nq, nb, N+B]
+            pending = svc.encrypted_scores_packed_async(cts, idx, hc.key_id)
+        np.asarray(pending.dev_out[0, 0, 0, :4])
         mac_qps = nq * n_mac / (_time.perf_counter() - t0)
-        # pure kernel rate: ct + index args pre-uploaded and device-resident
-        # — the serving ceiling on hardware without this sandbox's relay
-        # (encrypted_scores_trunc_async re-uploads ~8 MB of ctq per call,
-        # which binds mac_qps here)
-        import jax.numpy as _jnp
-
-        p = svc.params
-        d_ = svc._base_host.shape[1]
-        B_ = p.n // d_
-        nb_ = -(-idx.shape[1] // B_)
-        pad_idx = np.full(
-            (nq, nb_ * B_), svc._base_host.shape[0] - 1, np.int32
-        )
-        pad_idx[:, : idx.shape[1]] = idx
-        ctq_dev = _jnp.asarray(np.stack(
-            [np.stack([c.c0 for c in cts]), np.stack([c.c1 for c in cts])],
-            axis=1,
-        ).astype(np.int32))
-        idx_dev = _jnp.asarray(pad_idx)
-        def kernel_call():
-            return svc._trunc_mac_q1_fn(svc._base_dev, ctq_dev, idx_dev)
-        last = kernel_call()
-        last.block_until_ready()
-        n_k = 10
+        # pure program rate on parked device args
+        n_k = 8
         t0 = _time.perf_counter()
         for _ in range(n_k):
-            last = kernel_call()
-        _ = np.asarray(last[0, 0, :4])     # bundled is [nq, nb, N+B]
+            dv = pending.program_repeat()
+        np.asarray(dv[0, 0, 0, :4])
         kernel_qps = nq * n_k / (_time.perf_counter() - t0)
     else:
-        t0 = _time.perf_counter()
-        svc.encrypted_scores_trunc_q1(cts, idx)
-        mac_qps = nq / (_time.perf_counter() - t0)
-        kernel_qps = mac_qps
+        mac_qps = kernel_qps = e2e_qps
     return e2e_qps, mac_qps, kernel_qps
 
 

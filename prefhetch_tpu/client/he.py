@@ -46,11 +46,17 @@ class HEClient:
         self.key_id = uuid.uuid4().hex
         self._keys_sent = False
         if he.scheme == "bfv":
-            self.params = bfv_params_for(he.n, he.t_bits, he.n_limbs)
+            # packed response mode needs ODD t (the ×d extraction factor
+            # must invert mod t — crypto/params.bfv_params_for)
+            self.params = bfv_params_for(
+                he.n, he.t_bits, he.n_limbs,
+                odd_t=getattr(he, "resp_mod", "full") == "packed",
+            )
             self.ctx = BFVContext(self.params)
             self.sk, self.pk = self.ctx.keygen(
                 self._rng, sparse_h=getattr(he, "sparse_h", None)
             )
+            self._galois_bfv: Dict[int, object] = {}
         elif he.scheme == "ckks":
             from prefhetch_tpu.crypto.ckks import CKKSContext
 
@@ -95,6 +101,64 @@ class HEClient:
             )
         self._keys_sent = True
         return {str(s): self._galois[s].to_wire() for s in steps}
+
+    def bfv_extraction_keys_wire(self, d: int) -> Optional[dict]:
+        """Public Galois keys for the packed single-ct BFV response
+        (resp_mod="packed"): the log2(d) coefficient-extraction elements
+        (crypto/bfv.BFVContext.extraction_elts). Generated once."""
+        if self.scheme != "bfv" or self._keys_sent:
+            return None
+        elts = self.ctx.extraction_elts(self.params.n, d)
+        missing = [g for g in elts if g not in self._galois_bfv]
+        if missing:
+            self._galois_bfv.update(
+                self.ctx.galois_keygen(self.sk, missing, self._rng)
+            )
+        self._keys_sent = True
+        return {str(g): self._galois_bfv[g].to_wire() for g in elts}
+
+    def decrypt_scores_packed(
+        self,
+        packed_wires: List[dict],      # [ceil(nq/G)] coeff-domain ct wires
+        norms: np.ndarray,             # [nq, P]
+        queries: np.ndarray,           # [nq, d]
+        pack_group: int,               # G = queries per response ct
+    ) -> np.ndarray:
+        """Decrypt the packed single-ct response
+        (engine/hecompute.py encrypted_scores_packed: query qi × candidate
+        b·B + j at coefficient j·d + (qi mod G)·nb + b of ct qi//G, scaled
+        by d) → exact squared-L2 distances [nq, P]."""
+        from prefhetch_tpu.crypto.bfv import Ciphertext
+
+        assert self.scheme == "bfv"
+        p = self.params
+        nq, P = norms.shape
+        d = queries.shape[1]
+        B = p.n // d
+        nb = -(-P // B)
+        G = pack_group
+        inv_d = pow(d % p.t, -1, p.t)
+        msgs = self.ctx.decrypt_batch(
+            self.sk,
+            [
+                w if isinstance(w, Ciphertext) else Ciphertext.from_wire(w)
+                for w in packed_wires
+            ],
+        )                                              # [n_out, N] mod t
+        out = np.empty((nq, P), np.float32)
+        j = np.arange(B)
+        for qi in range(nq):
+            m = msgs[qi // G]
+            ips = np.empty(P, np.int64)
+            for b in range(nb):
+                lo, hi = b * B, min((b + 1) * B, P)
+                pos = j[: hi - lo] * d + (qi % G) * nb + b
+                ips[lo:hi] = m[pos]
+            ips = ips * inv_d % p.t                    # undo ×d extraction
+            out[qi] = distances_from_inner_products(
+                queries[qi], ips, np.asarray(norms[qi])
+            )
+        return out
 
     # -- encrypt ----------------------------------------------------------
     def encrypt_query_batch(self, queries: np.ndarray) -> List[dict]:

@@ -299,11 +299,24 @@ class ClientPipeline:
             # galois key set must include the −2^k combine-tree steps
             payload["respMod"] = "combined"
             combine_blocks = he_client.combine_blocks(cp, query.shape[1])
-        gks = he_client.galois_keys_wire(query.shape[1], combine_blocks)
+        if resp_mod == "packed" and he_client.scheme == "bfv":
+            # packed single-ct response (~66× smaller download): extraction
+            # Galois keys travel once, d/nb queries share each response ct
+            payload["respMod"] = "packed"
+            gks = he_client.bfv_extraction_keys_wire(query.shape[1])
+        else:
+            gks = he_client.galois_keys_wire(query.shape[1], combine_blocks)
         if gks is not None:
             payload["galoisKeys"] = gks
         resp = self._post("encryptedsearch", payload)
-        if "encryptedScoresCombined" in resp:
+        if "packedScores" in resp:
+            scores = he_client.decrypt_scores_packed(
+                resp["packedScores"],
+                np.asarray(resp["candidateNorms"], np.int64),
+                query,
+                int(resp["packGroup"]),
+            )
+        elif "encryptedScoresCombined" in resp:
             scores = he_client.decrypt_scores_combined(
                 resp["encryptedScoresCombined"],
                 np.asarray(resp["candidateNorms"], np.int64),

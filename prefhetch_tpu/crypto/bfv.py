@@ -755,6 +755,18 @@ class BFVContext:
         return self._make_switch_key(sk, s2_signed, rng)
 
     # -- Galois automorphisms (X → X^g) -------------------------------------
+    @staticmethod
+    def extraction_elts(n: int, d: int) -> List[int]:
+        """Galois elements g_r = N/2^(r-1) + 1, r = 1..log2(d): after
+        ct += σ_{g_r}(ct) for each r, every plaintext coefficient whose
+        index is not ≡ 0 mod d is zeroed and the survivors are scaled by
+        2^log2(d) (invert mod ODD t on the consumer side). The standard
+        SealPIR oblivious-expansion automorphisms, run in the killing
+        direction — the basis of the packed single-ct response."""
+        rounds = (d - 1).bit_length()
+        assert 1 << rounds == d, "extraction needs pow2 coefficient stride"
+        return [n // (1 << r) + 1 for r in range(rounds)]
+
     def _automorphism_map(self, g: int):
         """Permutation/sign arrays: out[(k·g) mod N] = ± in[k]."""
         if not hasattr(self, "_auto_cache"):

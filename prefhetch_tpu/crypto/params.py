@@ -129,10 +129,17 @@ def default_bfv_params(n: int = 4096, t_bits: int = 24, n_limbs: int = 2) -> BFV
 
 
 @lru_cache(maxsize=None)
-def bfv_params_for(n: int, t_bits: int, n_limbs: int) -> BFVParams:
-    """BFVParams from the runtime HEParams config knobs."""
+def bfv_params_for(
+    n: int, t_bits: int, n_limbs: int, odd_t: bool = False
+) -> BFVParams:
+    """BFVParams from the runtime HEParams config knobs.
+
+    odd_t=True bumps the plaintext modulus to 2^t_bits + 1: the packed
+    single-ct response (resp_mod="packed") needs the coefficient-extraction
+    factor 2^log2(d) invertible mod t, which a power-of-two t is not."""
     return BFVParams(
-        n=n, t=1 << t_bits, qs=tuple(find_ntt_primes(n, 30, n_limbs))
+        n=n, t=(1 << t_bits) + (1 if odd_t else 0),
+        qs=tuple(find_ntt_primes(n, 30, n_limbs)),
     )
 
 

@@ -519,8 +519,444 @@ class HEComputeService:
         n = self.params.n
         return bundled[..., :n], bundled[..., n:], norms
 
+    # -- packed single-ct response ----------------------------------------
+    # The q1 wire still ships one full c1 poly per (query, block) — 132 KB
+    # per query at the config-2 operating point, and the download IS the
+    # e2e bottleneck. This mode extracts the inner-product coefficients
+    # with the SealPIR automorphisms run in the killing direction
+    # (BFVContext.extraction_elts), then monomial-shifts every (query,
+    # block) result to a distinct coefficient offset and SUMS d/nb queries'
+    # worth of blocks into ONE 2-limb ciphertext: ~2 KB of wire per query,
+    # 66× less. Needs client-registered Galois keys (public) and an ODD
+    # plaintext modulus (bfv_params_for odd_t) so the ×d extraction factor
+    # inverts client-side. Fills the same reference slot as the other
+    # response modes (include/client/client_lib.h:28-30).
+
+    def register_galois_keys(self, key_id: str, gks_wire: dict) -> None:
+        """Register client-generated extraction keys {g: RelinKey wire}."""
+        from prefhetch_tpu.crypto.bfv import RelinKey
+
+        if not hasattr(self, "_galois_bfv"):
+            self._galois_bfv = {}
+        self._galois_bfv[key_id] = {
+            int(g): RelinKey.from_wire(w) for g, w in gks_wire.items()
+        }
+        self._packed_keys_dev = getattr(self, "_packed_keys_dev", {})
+        self._packed_keys_dev.pop(key_id, None)
+
+    def has_galois_keys(self, key_id: str) -> bool:
+        return key_id in getattr(self, "_galois_bfv", {})
+
+    def packed_layout(self, nq: int, P: int):
+        """(nb blocks, B cands/block, G queries/output-ct, n_out cts)."""
+        d = self._base_host.shape[1]
+        B = self.params.n // d
+        nb = -(-P // B)
+        G = max(1, d // nb)
+        return nb, B, G, -(-nq // G)
+
+    def encrypted_scores_packed(
+        self,
+        cts: List[Ciphertext],        # [nq] NTT-domain encrypted queries
+        cand_idx: np.ndarray,         # [nq, P] int candidate row indices
+        key_id: str,
+    ) -> Tuple[List[Ciphertext], np.ndarray, int]:
+        """Batched MAC + coefficient extraction + shift-pack.
+
+        Returns ([n_out] coeff-domain 2-limb Ciphertexts, norms [nq, P],
+        G = queries per output ct). Query qi's inner product with candidate
+        b·B + j sits at plaintext coefficient j·d + (qi mod G)·nb + b of
+        output ct qi//G, scaled by d (client multiplies by d⁻¹ mod t —
+        HEClient.decrypt_scores_packed)."""
+        return self.encrypted_scores_packed_async(cts, cand_idx, key_id)()
+
+    def encrypted_scores_packed_async(
+        self,
+        cts: List[Ciphertext],
+        cand_idx: np.ndarray,
+        key_id: str,
+    ):
+        """Async form: launches the device program and returns a zero-arg
+        resolver → (packed cts, norms, G); the d2h download is deferred so
+        callers can overlap it with the next batch's host crypto. The
+        resolver exposes .program_repeat (re-dispatch on the same parked
+        device args — the bench's pure device-rate probe)."""
+        assert self._base_host is not None, "call set_base() first"
+        p = self.params
+        # NOTE: t never enters the server-side ring ops (Δ-scaling and
+        # decrypt are client-side) — the ODD-t requirement for inverting
+        # the ×d extraction factor is the CLIENT's (HEClient picks odd t
+        # when resp_mod="packed"), so any server serves packed requests
+        gks = getattr(self, "_galois_bfv", {}).get(key_id)
+        if gks is None:
+            raise ValueError("unknown BFV keyId — register Galois keys first")
+        n = p.n
+        nq, P = cand_idx.shape
+        d = self._base_host.shape[1]
+        B = n // d
+        nb = -(-P // B)
+        G = max(1, d // nb)
+        assert G * nb <= d, "pack offsets must fit the coefficient stride"
+        pad_idx = np.full((nq, nb * B), self._base_host.shape[0] - 1, np.int32)
+        pad_idx[:, :P] = cand_idx
+        cts = [self.ctx.to_ntt(c) if not c.is_ntt else c for c in cts]
+        ctq = np.stack(
+            [np.stack([c.c0 for c in cts]), np.stack([c.c1 for c in cts])],
+            axis=1,
+        ).astype(np.int64)                               # [nq, 2, L, N]
+        gathered = self._base_host[cand_idx.astype(np.int64)].astype(np.int64)
+        norms = (gathered ** 2).sum(-1)                  # [nq, P]
+        for g in self.ctx.extraction_elts(n, d):
+            if g not in gks:
+                raise ValueError(f"missing Galois key for element {g}")
+        if self.backend == "tpu":
+            # pad queries to a multiple of G with zero cts (a zero ct is a
+            # valid encryption of 0 — contributes nothing to the group sum)
+            nqp = -(-nq // G) * G
+            ctq_p = np.zeros((nqp,) + ctq.shape[1:], np.int32)
+            ctq_p[:nq] = ctq
+            idx_p = np.full(
+                (nqp, nb * B), self._base_host.shape[0] - 1, np.int32
+            )
+            idx_p[:nq] = pad_idx
+            mono_pre, shift_tabs = self._packed_shift_tables(d, nb, G)
+            dev_args = (
+                self._base_dev, jnp.asarray(ctq_p), jnp.asarray(idx_p),
+                *self._packed_dev_keys(key_id), mono_pre, shift_tabs,
+            )
+            dev_out = self._packed_mac_fn(*dev_args)    # UNFETCHED
+
+            def resolve():
+                packed = np.asarray(dev_out).astype(np.int64)
+                out = [
+                    Ciphertext(c0=packed[i, 0], c1=packed[i, 1], is_ntt=False)
+                    for i in range(packed.shape[0])
+                ]
+                return out, norms, G
+
+            resolve.dev_out = dev_out
+            resolve.program_repeat = lambda: self._packed_mac_fn(*dev_args)
+            return resolve
+
+        def resolve_host():
+            packed = self._packed_mac_numpy(ctq, pad_idx, gks)
+            out = [
+                Ciphertext(c0=packed[i, 0], c1=packed[i, 1], is_ntt=False)
+                for i in range(packed.shape[0])
+            ]
+            return out, norms, G
+
+        return resolve_host
+
+    def _packed_mac_numpy(
+        self, ctq: np.ndarray, pad_idx: np.ndarray, gks: dict
+    ) -> np.ndarray:
+        """Host oracle → [n_out, 2, L, N] int64 coeff-domain residues."""
+        from prefhetch_tpu.crypto.ntt import intt
+
+        p = self.params
+        n = p.n
+        qs = np.array(p.qs, np.int64)[None, :, None]
+        nq, npad = pad_idx.shape
+        d = self._base_host.shape[1]
+        B = n // d
+        nb = npad // B
+        G = max(1, d // nb)
+        M = nq * nb
+        rows = self._base_host[pad_idx].astype(np.int64)
+        polys = rows[:, :, ::-1].reshape(M, n)
+        # X^{-(d-1)} pre-shift folded into the MAC: IPs land at coeffs j·d
+        e0 = (2 * n - (d - 1)) % (2 * n)
+        mono = np.zeros(n, np.int64)
+        mono[e0 % n] = 1 if e0 < n else -1
+        c0p = np.empty((M, len(p.qs), n), np.int64)
+        c1p = np.empty_like(c0p)
+        for i, tb in enumerate(self.ctx.tables):
+            q = tb.q
+            pt = ntt(polys % q, tb).reshape(nq, nb, n)
+            mono_ntt = ntt(mono % q, tb)
+            o1 = ctq[:, None, 1, i] * pt % q * mono_ntt % q
+            o0 = ctq[:, None, 0, i] * pt % q * mono_ntt % q
+            c0p[:, i] = intt(o0.reshape(M, n), tb)
+            c1p[:, i] = intt(o1.reshape(M, n), tb)
+        # kill every coefficient except the j·d inner products (×d factor)
+        for g in self.ctx.extraction_elts(n, d):
+            c0g, c1g = self.ctx.apply_galois_batch(c0p, c1p, g, gks[g])
+            c0p = np.mod(c0p + c0g, qs)
+            c1p = np.mod(c1p + c1g, qs)
+        # shift row (qi, b) by X^{(qi mod G)·nb + b}, sum groups of G queries
+        k = np.arange(n)
+        n_out = -(-nq // G)
+        out = np.zeros((n_out, 2, len(p.qs), n), np.int64)
+        for qi in range(nq):
+            for b in range(nb):
+                e = (qi % G) * nb + b
+                dest = (k + e) % (2 * n)
+                sign = np.where(dest < n, 1, -1)
+                m = qi * nb + b
+                grp = qi // G
+                for comp, arr in ((0, c0p), (1, c1p)):
+                    shifted = np.zeros((len(p.qs), n), np.int64)
+                    shifted[:, dest % n] = arr[m] * sign[None, :]
+                    out[grp, comp] = np.mod(
+                        out[grp, comp] + shifted, qs[0]
+                    )
+        return out
+
+    # -- packed response: device pipeline ---------------------------------
     @functools.cached_property
-    def _mac_fn_jax(self):
+    def _packed_tables(self):
+        """Four-step NTT tables over qs + special_p, plus the natural→
+        four-step permutation (device NTT domain layout)."""
+        from prefhetch_tpu.ops.ntt_mxu import build_ntt4_tables
+
+        sp = self.ctx._special_p
+        ext = tuple(self.params.qs) + (sp,)
+        tabs = [build_ntt4_tables(q, self.params.n) for q in ext]
+        t0 = tabs[0]
+        j1, j2 = np.meshgrid(
+            np.arange(t0.n1), np.arange(t0.n2), indexing="ij"
+        )
+        perm = (j2 * t0.n1 + j1).reshape(-1)
+        return ext, tabs, perm
+
+    def _packed_shift_tables(self, d: int, nb: int, G: int):
+        """Device monomial-NTT tables for the packed program: (mono_pre
+        [L, N] i32 = NTT(X^{-(d-1)}), shift_tabs [L, G·nb, N] i32 =
+        NTT(X^{g·nb+b})) in four-step order. Cached per layout."""
+        cache = getattr(self, "_packed_shift_cache", None)
+        if cache is None:
+            cache = self._packed_shift_cache = {}
+        key = (d, nb, G)
+        if key in cache:
+            return cache[key]
+        from prefhetch_tpu.crypto.ntt import build_tables
+        from prefhetch_tpu.crypto.ntt import ntt as host_ntt
+
+        p = self.params
+        n = p.n
+        _ext, _tabs, four_perm = self._packed_tables
+        pre_e = (2 * n - (d - 1)) % (2 * n)
+        pack_shifts = [g * nb + b for g in range(G) for b in range(nb)]
+
+        def mono_rows(shifts, q, tb_host):
+            rows = np.zeros((len(shifts), n), np.int64)
+            for r, e in enumerate(shifts):
+                e = e % (2 * n)
+                rows[r, e % n] = 1 if e < n else q - 1
+            return host_ntt(rows, tb_host)[:, four_perm]
+
+        mono_pre, shift_tabs = [], []
+        for q in p.qs:
+            tb_host = build_tables(q, n)
+            mono_pre.append(mono_rows([pre_e], q, tb_host)[0])
+            shift_tabs.append(mono_rows(pack_shifts, q, tb_host))
+        out = (
+            jnp.asarray(np.stack(mono_pre).astype(np.int32)),
+            jnp.asarray(np.stack(shift_tabs).astype(np.int32)),
+        )
+        cache[key] = out
+        return out
+
+    def _packed_dev_keys(self, key_id: str):
+        """Stacked device args for the packed program (cached per key_id):
+        (kb, ka [n_elts, n_comp, n_ext, N] i32 four-step NTT domain,
+        perms, signs [n_elts, N] i32 automorphism maps)."""
+        cache = getattr(self, "_packed_keys_dev", None)
+        if cache is None:
+            cache = self._packed_keys_dev = {}
+        if key_id in cache:
+            return cache[key_id]
+        from prefhetch_tpu.crypto.ntt import build_tables
+        from prefhetch_tpu.crypto.ntt import ntt as host_ntt
+
+        p = self.params
+        n = p.n
+        d = self._base_host.shape[1]
+        ext, _tabs, four_perm = self._packed_tables
+        ext_tables = [build_tables(q, n) for q in ext]
+        gks = self._galois_bfv[key_id]
+        elts = self.ctx.extraction_elts(n, d)
+        kbs, kas, perms, signs = [], [], [], []
+        for g in elts:
+            rk = gks[g]
+            assert tuple(rk.ext) == ext, "key basis must match params"
+            kb = np.empty_like(rk.b)
+            ka = np.empty_like(rk.a)
+            for e, q in enumerate(ext):
+                tb = ext_tables[e]
+                kb[:, e] = host_ntt(rk.b[:, e] % q, tb)[:, four_perm]
+                ka[:, e] = host_ntt(rk.a[:, e] % q, tb)[:, four_perm]
+            kbs.append(kb.astype(np.int32))
+            kas.append(ka.astype(np.int32))
+            pm, sg = self.ctx._automorphism_map(g)
+            perms.append(pm.astype(np.int32))
+            signs.append(sg.astype(np.int32))
+        out = (
+            jnp.asarray(np.stack(kbs)), jnp.asarray(np.stack(kas)),
+            jnp.asarray(np.stack(perms)), jnp.asarray(np.stack(signs)),
+        )
+        cache[key_id] = out
+        return out
+
+    @functools.cached_property
+    def _packed_mac_fn(self):
+        """jit: (base_pad, ctq [nq', 2, L, N] i32 natural-NTT domain (nq'
+        padded to a multiple of G with zero cts), pad_idx [nq', npad],
+        kb/ka/perms/signs from _packed_dev_keys) → [n_out, 2, L, N] i32
+        coeff-domain packed response cts.
+
+        Device twin of _packed_mac_numpy: MAC with the X^{-(d-1)} shift
+        folded in (NTT-domain monomial multiply), log2(d) extraction
+        rounds (automorphism + hybrid key-switch, every transform an MXU
+        four-step NTT), then the shift-pack as ONE NTT-domain multiply by
+        per-row monomial vectors + a segment sum — no lane-axis gathers on
+        the pack side."""
+        from prefhetch_tpu.ops.ntt_mxu import (
+            intt4, modmul, ntt4, shift_mod_reduce,
+        )
+
+        p = self.params
+        n = p.n
+        L = len(p.qs)
+        ext, tabs, four_perm = self._packed_tables
+        sp = ext[-1]
+        half_p = sp // 2
+        inv_p = [int(pow(sp % q, -1, q)) for q in p.qs]
+        digit_bits = 15
+        n_digits = -(-30 // digit_bits)
+        dmask = (1 << digit_bits) - 1
+        n_comp = L * n_digits
+        perm_j = jnp.asarray(four_perm)
+
+        def keyswitch(c1r, kb, ka):
+            """c1r [M, L, N] coeff → (ks0, ks1) [M, L, N] coeff (mod qs)."""
+            M = c1r.shape[0]
+            digs = []
+            for i in range(L):
+                limb = c1r[:, i].astype(jnp.int32)
+                for dd in range(n_digits):
+                    digs.append((limb >> (dd * digit_bits)) & dmask)
+            digits = jnp.stack(digs, axis=1)          # [M, n_comp, N]
+            flat = digits.reshape(M * n_comp, n)
+            acc0, acc1 = [], []
+            for e, q in enumerate(ext):
+                tb = tabs[e]
+                D = ntt4(flat, tb).reshape(M, n_comp, n)
+                s0 = jnp.zeros((M, n), jnp.int64)
+                s1 = jnp.zeros((M, n), jnp.int64)
+                for c in range(n_comp):
+                    s0 = s0 + modmul(D[:, c], kb[c, e][None], q, tb.delta)
+                    s1 = s1 + modmul(D[:, c], ka[c, e][None], q, tb.delta)
+                s0 = shift_mod_reduce(s0, q, tb.delta, 40)
+                s1 = shift_mod_reduce(s1, q, tb.delta, 40)
+                i01 = intt4(jnp.concatenate([s0, s1], 0), tb)
+                acc0.append(i01[:M])
+                acc1.append(i01[M:])
+            cp0 = acc0[-1]
+            cp1 = acc1[-1]
+            cp0s = jnp.where(cp0 > half_p, cp0 - sp, cp0)
+            cp1s = jnp.where(cp1 > half_p, cp1 - sp, cp1)
+            out0, out1 = [], []
+            for i, q in enumerate(p.qs):
+                tb = tabs[i]
+                d0 = acc0[i] - cp0s
+                d0 = jnp.where(d0 < 0, d0 + q, d0)
+                d0 = jnp.where(d0 >= q, d0 - q, d0)
+                d1 = acc1[i] - cp1s
+                d1 = jnp.where(d1 < 0, d1 + q, d1)
+                d1 = jnp.where(d1 >= q, d1 - q, d1)
+                out0.append(modmul(d0, jnp.int64(inv_p[i]), q, tb.delta))
+                out1.append(modmul(d1, jnp.int64(inv_p[i]), q, tb.delta))
+            return jnp.stack(out0, 1), jnp.stack(out1, 1)
+
+        def madd(a, b, q):
+            s = a + b
+            return jnp.where(s >= q, s - q, s)
+
+        def packed_mac(base_pad, ctq, pad_idx, kb, ka, perms, signs,
+                       mono_pre, shift_tabs):
+            # mono_pre [L, N] i32: NTT(X^{-(d-1)}) per limb (four-step
+            # order); shift_tabs [L, G·nb, N] i32: NTT(X^e) for the pack
+            # offsets — device ARGS, not multi-MB jit constants
+            nq, npad = pad_idx.shape
+            d = base_pad.shape[1]
+            B = n // d
+            nb = npad // B
+            G = max(1, d // nb)
+            M = nq * nb
+            n_out = nq // G
+            elts = self.ctx.extraction_elts(n, d)
+            c0p, c1p = [], []
+            c0q = ctq[:, 0][..., perm_j]
+            c1q = ctq[:, 1][..., perm_j]
+            rows = base_pad[pad_idx]
+            polys = rows[:, :, ::-1].reshape(M, n)
+            for i in range(L):
+                tb = tabs[i]
+                q = tb.q
+                lifted = jnp.where(polys < 0, polys + q, polys)
+                pt = ntt4(lifted, tb)
+                pt = modmul(
+                    pt, mono_pre[i][None], q, tb.delta
+                ).reshape(nq, nb, n)
+                o1 = modmul(c1q[:, None, i], pt, q, tb.delta)
+                o0 = modmul(c0q[:, None, i], pt, q, tb.delta)
+                i01 = intt4(
+                    jnp.concatenate([o0, o1], 0).reshape(2 * M, n), tb
+                )
+                c0p.append(i01[:M])
+                c1p.append(i01[M:])
+            c0 = jnp.stack(c0p, 1)                    # [M, L, N] coeff
+            c1 = jnp.stack(c1p, 1)
+            # extraction rounds: ct += σ_g(ct)
+            for r in range(len(elts)):
+                perm = perms[r]
+                sign = signs[r]
+                g0l, g1l = [], []
+                for i, q in enumerate(p.qs):
+                    v0 = c0[:, i, :][:, perm]
+                    v1 = c1[:, i, :][:, perm]
+                    g0l.append(jnp.where(
+                        sign[None, :] > 0, v0,
+                        jnp.where(v0 == 0, 0, q - v0),
+                    ))
+                    g1l.append(jnp.where(
+                        sign[None, :] > 0, v1,
+                        jnp.where(v1 == 0, 0, q - v1),
+                    ))
+                c0g = jnp.stack(g0l, 1)
+                c1g = jnp.stack(g1l, 1)
+                ks0, ks1 = keyswitch(c1g, kb[r], ka[r])
+                n0l, n1l = [], []
+                for i, q in enumerate(p.qs):
+                    n0l.append(madd(c0[:, i], madd(c0g[:, i], ks0[:, i], q), q))
+                    n1l.append(madd(c1[:, i], ks1[:, i], q))
+                c0 = jnp.stack(n0l, 1)
+                c1 = jnp.stack(n1l, 1)
+            # shift-pack: NTT-domain multiply by per-row monomials + group sum
+            outs = []
+            for i in range(L):
+                tb = tabs[i]
+                q = tb.q
+                tiled = jnp.tile(shift_tabs[i], (n_out, 1))   # [M, N]
+                nt = ntt4(
+                    jnp.concatenate([c0[:, i], c1[:, i]], 0), tb
+                )
+                sh0 = modmul(nt[:M], tiled, q, tb.delta)
+                sh1 = modmul(nt[M:], tiled, q, tb.delta)
+                s0 = sh0.reshape(n_out, G * nb, n).sum(1)
+                s1 = sh1.reshape(n_out, G * nb, n).sum(1)
+                s01 = shift_mod_reduce(
+                    jnp.concatenate([s0, s1], 0), q, tb.delta, 40
+                )
+                cc = intt4(s01, tb)
+                outs.append(
+                    jnp.stack([cc[:n_out], cc[n_out:]], 1)
+                )                                     # [n_out, 2, N]
+            return jnp.stack(outs, 2).astype(jnp.int32)  # [n_out, 2, L, N]
+
+        return jax.jit(packed_mac)
         tables = self.ctx.tables
 
         @jax.jit

@@ -643,7 +643,11 @@ class QueryEngine:
             with self._lock:
                 if not hasattr(self, "_he_service"):
                     svc = HEComputeService(
-                        bfv_params_for(he.n, he.t_bits, he.n_limbs),
+                        bfv_params_for(
+                            he.n, he.t_bits, he.n_limbs,
+                            odd_t=getattr(he, "resp_mod", "full")
+                            == "packed",
+                        ),
                         backend=backend,
                     )
                     svc.set_base(np.asarray(self.base))
@@ -756,6 +760,24 @@ class QueryEngine:
                 for w in encrypted_queries
             ]
             cand = np.asarray(nearest_coarse_vector_idx, np.int64)
+            if resp_mod == "packed":
+                # packed single-ct wire: d/nb queries per 2-limb response
+                # ct (~66× smaller download) — needs client Galois keys
+                svc = self.he_service
+                if galois_keys:
+                    svc.register_galois_keys(key_id, galois_keys)
+                if not svc.has_galois_keys(key_id):
+                    raise ValueError(
+                        "unknown BFV keyId — register Galois keys first"
+                    )
+                packed, norms, grp = svc.encrypted_scores_packed(
+                    cts_in, cand, key_id
+                )
+                return {
+                    "packedScores": [c.to_wire() for c in packed],
+                    "candidateNorms": norms.tolist(),
+                    "packGroup": grp,
+                }
             if resp_mod == "q1":
                 # modulus-switched single-limb wire, ~2× smaller (client
                 # must hold a sparse secret — hecompute._trunc_mac_q1_fn)

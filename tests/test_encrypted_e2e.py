@@ -199,6 +199,49 @@ def test_ckks_combined_response_over_http(served):
     assert ct.level == 1
 
 
+def test_bfv_packed_response_over_http(served):
+    """resp_mod="packed": ONE 2-limb ct per d/nb queries crosses the wire
+    and decodes to EXACTLY the plaintext /precisesearch distances (BFV is
+    exact; the ×d extraction factor is inverted mod the client's odd t)."""
+    import dataclasses
+
+    cfg, engine, addr = served
+    packed_cfg = dataclasses.replace(
+        cfg, he=dataclasses.replace(cfg.he, resp_mod="packed"),
+    )
+    client = ClientPipeline(packed_cfg, server_addr=addr)
+    q = client.get_query()
+    cent = client.get_centroids()
+    _, sorted_cent = client.sort_nearest_centroids(q, cent)
+    cs, ci, sizes = client.get_coarse_scores(sorted_cent, q)
+    sorted_coarse = client.compute_nearest_coarse_vectors(cs, ci, sizes)
+
+    captured = {}
+    orig = client._post
+
+    def spy(route, payload):
+        resp = orig(route, payload)
+        captured[route] = (payload, resp)
+        return resp
+
+    client._post = spy
+    enc_scores, cand = client.get_encrypted_precise_scores(sorted_coarse, q)
+    plain_scores, cand2 = client.get_precise_scores(sorted_coarse, q)
+    np.testing.assert_array_equal(cand, cand2)
+    np.testing.assert_allclose(enc_scores, plain_scores, rtol=1e-6, atol=0.5)
+
+    payload, resp = captured["encryptedsearch"]
+    assert payload["respMod"] == "packed"
+    nq = len(payload["encryptedPreciseQuery"])
+    grp = int(resp["packGroup"])
+    assert len(resp["packedScores"]) == -(-nq // grp) and grp > 1
+
+    # second batch must NOT resend the extraction Galois keys
+    client.get_encrypted_precise_scores(sorted_coarse, q)
+    payload2, _ = captured["encryptedsearch"]
+    assert "galoisKeys" not in payload2
+
+
 def test_encrypted_mode_precise_query_never_travels(served):
     """VERDICT-closing privacy contract: in encrypted mode, NO request on
     ANY route carries the full-precision query — /coarsesearch gets only
