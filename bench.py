@@ -1343,7 +1343,8 @@ def encrypted_rerank_qps(data, cand_ids, nq: int = 64):
 
     # warm (compile + first transfers)
     res = svc.encrypted_scores_packed_async(encrypt(), idx, hc.key_id)
-    out = hc.decrypt_scores_packed(*res(), queries=queries)
+    p_cts, p_norms, p_grp = res()
+    out = hc.decrypt_scores_packed(p_cts, p_norms, queries, p_grp)
     assert np.abs(out - ref).max() < 0.5, "encrypted distances diverged"
 
     n_iter = 4
@@ -1354,9 +1355,11 @@ def encrypted_rerank_qps(data, cand_ids, nq: int = 64):
             cts = encrypt()
             pending = svc.encrypted_scores_packed_async(cts, idx, hc.key_id)
             if fut is not None:
-                out = hc.decrypt_scores_packed(*fut.result(), queries=queries)
+                p_cts, p_norms, p_grp = fut.result()
+                out = hc.decrypt_scores_packed(p_cts, p_norms, queries, p_grp)
             fut = pool.submit(pending)
-        out = hc.decrypt_scores_packed(*fut.result(), queries=queries)
+        p_cts, p_norms, p_grp = fut.result()
+        out = hc.decrypt_scores_packed(p_cts, p_norms, queries, p_grp)
         dt = _time.perf_counter() - t0
     assert np.abs(out - ref).max() < 0.5, "encrypted distances diverged"
     e2e_qps = nq * n_iter / dt

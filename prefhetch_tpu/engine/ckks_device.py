@@ -35,7 +35,7 @@ from prefhetch_tpu.crypto.ckks import (
 from prefhetch_tpu.crypto.ntt import ntt as host_ntt
 from prefhetch_tpu.crypto.params import CKKSParams
 from prefhetch_tpu.ops.ntt_mxu import (
-    build_ntt4_tables, intt4, modmul, ntt4, shift_mod_reduce,
+    build_ntt4_tables, intt4, modmul, modmul_lazy, ntt4, shift_mod_reduce,
 )
 
 
@@ -183,11 +183,12 @@ class DeviceCKKS:
                 for c in range(n_comp):
                     kb = keys_b[c, e_all]
                     ka = keys_a[c, e_all]
-                    s0 = s0 + modmul(D[:, c], kb[None], tb.q, tb.delta)
-                    s1 = s1 + modmul(D[:, c], ka[None], tb.q, tb.delta)
-                # Σ of n_comp reduced residues < n_comp·2^30 — one reduce
-                s0 = shift_mod_reduce(s0, tb.q, tb.delta, 40)
-                s1 = shift_mod_reduce(s1, tb.q, tb.delta, 40)
+                    s0 = s0 + modmul_lazy(D[:, c], kb[None], tb.q, tb.delta)
+                    s1 = s1 + modmul_lazy(D[:, c], ka[None], tb.q, tb.delta)
+                # Σ of n_comp lazy terms < n_comp·2^51 ≤ 2^55 — one reduce
+                # (a full modmul per term cost 3 fold rounds; lazy is 1)
+                s0 = shift_mod_reduce(s0, tb.q, tb.delta, 55)
+                s1 = shift_mod_reduce(s1, tb.q, tb.delta, 55)
                 # one INTT call for s0‖s1: the [4, N, N] matrix read from
                 # HBM dominates at small batch — halve it
                 i01 = intt4(jnp.concatenate([s0, s1], 0), tb)

@@ -813,7 +813,7 @@ class HEComputeService:
         per-row monomial vectors + a segment sum — no lane-axis gathers on
         the pack side."""
         from prefhetch_tpu.ops.ntt_mxu import (
-            intt4, modmul, ntt4, shift_mod_reduce,
+            intt4, modmul, modmul_lazy, ntt4, shift_mod_reduce,
         )
 
         p = self.params
@@ -846,10 +846,15 @@ class HEComputeService:
                 s0 = jnp.zeros((M, n), jnp.int64)
                 s1 = jnp.zeros((M, n), jnp.int64)
                 for c in range(n_comp):
-                    s0 = s0 + modmul(D[:, c], kb[c, e][None], q, tb.delta)
-                    s1 = s1 + modmul(D[:, c], ka[c, e][None], q, tb.delta)
-                s0 = shift_mod_reduce(s0, q, tb.delta, 40)
-                s1 = shift_mod_reduce(s1, q, tb.delta, 40)
+                    s0 = s0 + modmul_lazy(
+                        D[:, c], kb[c, e][None], q, tb.delta
+                    )
+                    s1 = s1 + modmul_lazy(
+                        D[:, c], ka[c, e][None], q, tb.delta
+                    )
+                # n_comp lazy terms < n_comp·2^51 ≤ 2^54 — one reduce
+                s0 = shift_mod_reduce(s0, q, tb.delta, 55)
+                s1 = shift_mod_reduce(s1, q, tb.delta, 55)
                 i01 = intt4(jnp.concatenate([s0, s1], 0), tb)
                 acc0.append(i01[:M])
                 acc1.append(i01[M:])

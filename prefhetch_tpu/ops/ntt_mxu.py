@@ -207,21 +207,24 @@ class NTT4Tables(NamedTuple):
     n1: int
     n2: int
     delta: int
-    # forward: twist ψ^k (input order), W1 [4, N1, N1], tw [N1, N2],
-    #          W2 [4, N2, N2]
-    f_psi: np.ndarray       # [N] int64 — ψ^k pre-twist
-    f_w1: np.ndarray        # [4, N1, N1] int8 digits of ω1^{j1·k1}
-    f_tw: np.ndarray        # [N1, N2] int64 — ω^{j1·k2}
+    # forward: W1 [4, N1, N1] (ψ-twist folded into its k1 columns),
+    #          tw [N1, N2] (ω^{j1·k2}·ψ^{k2}), W2 [4, N2, N2]
+    f_w1: np.ndarray        # [4, N1, N1] int8 digits of ω1^{j1·k1}·ψ^{k1·N2}
+    f_tw: np.ndarray        # [N1, N2] int64 — ω^{j1·k2}·ψ^{k2}
     f_w2: np.ndarray        # [4, N2, N2] int8 digits of ω2^{j2·k2}
-    # inverse: W2⁻¹, conj twiddles, W1⁻¹, post-twist ψ^{-k}·N⁻¹
+    # inverse: W2⁻¹, conj twiddles (·ψ^{-k2}), W1⁻¹ (·ψ^{-k1·N2}·N⁻¹ rows)
     g_w2: np.ndarray        # [4, N2, N2]
-    g_tw: np.ndarray        # [N1, N2] — ω^{-j1·k2}
+    g_tw: np.ndarray        # [N1, N2] — ω^{-j1·k2}·ψ^{-k2}
     g_w1: np.ndarray        # [4, N1, N1]
-    g_psi: np.ndarray       # [N] — ψ^{-k}·N⁻¹
 
 
 @functools.lru_cache(maxsize=None)
 def build_ntt4_tables(q: int, n: int, n1: int | None = None) -> NTT4Tables:
+    """The negacyclic ψ-twists (ψ^k pre-twist forward, ψ^{-k}·N⁻¹ post-twist
+    inverse) are FOLDED into the static tables: ψ^k = ψ^{k1·N2}·ψ^{k2} with
+    k = k1·N2 + k2, so the k1 part scales W1's contraction columns and the
+    k2 part rides the middle twiddle — two whole elementwise modmul passes
+    per transform disappear, bit-identically."""
     if n1 is None:
         n1 = 1 << ((n.bit_length() - 1) // 2)      # ~√N, power of two
     assert n % n1 == 0
@@ -240,9 +243,6 @@ def build_ntt4_tables(q: int, n: int, n1: int | None = None) -> NTT4Tables:
             v = v * base % q
         return out
 
-    psi_pows = powvec(psi, n)
-    ipsi_pows = powvec(inv_psi, n)
-
     def mat(base, m):
         row = powvec(base, m)
         jj, kk = np.meshgrid(np.arange(m), np.arange(m), indexing="ij")
@@ -250,26 +250,34 @@ def build_ntt4_tables(q: int, n: int, n1: int | None = None) -> NTT4Tables:
 
     w1 = pow(w, n2, q)
     w2 = pow(w, n1, q)
-    W1 = mat(w1, n1)                               # ω1^{j1·k1}
+    W1 = mat(w1, n1)                               # ω1^{j1·k1}, symmetric
     W2 = mat(w2, n2)
     W1i = mat(pow(w1, -1, q), n1)
     W2i = mat(pow(w2, -1, q), n2)
+    # _small_matmul_mod computes out[..., j] = Σ_m x[..., m]·M[j, m]
+    # (contraction on M's axis 1). Forward: input index k1 is the
+    # contraction axis → scale W1's COLUMNS by ψ^{k1·N2}. Inverse: output
+    # index k1 is M's axis 0 → scale W1i's ROWS by ψ^{-k1·N2}·N⁻¹.
+    psiN2 = powvec(pow(psi, n2, q), n1)            # ψ^{k1·N2}
+    ipsiN2 = powvec(pow(inv_psi, n2, q), n1)
+    W1f = W1 * psiN2[None, :] % q
+    W1g = W1i * (ipsiN2 * inv_n % q)[:, None] % q
     j1, k2 = np.meshgrid(np.arange(n1), np.arange(n2), indexing="ij")
     wp = powvec(w, n)
     iwp = powvec(inv_w, n)
-    f_tw = wp[(j1 * k2) % n]
-    g_tw = iwp[(j1 * k2) % n]
+    psiv = powvec(psi, n2)                          # ψ^{k2}
+    ipsiv = powvec(inv_psi, n2)
+    f_tw = wp[(j1 * k2) % n] * psiv[None, :] % q
+    g_tw = iwp[(j1 * k2) % n] * ipsiv[None, :] % q
     assert (1 << 30) - q < (1 << 20)
     return NTT4Tables(
         q=q, n=n, n1=n1, n2=n2, delta=(1 << 30) - q,
-        f_psi=psi_pows,
-        f_w1=_balanced_digits_int(W1, q),
+        f_w1=_balanced_digits_int(W1f, q),
         f_tw=f_tw,
         f_w2=_balanced_digits_int(W2, q),
         g_w2=_balanced_digits_int(W2i, q),
         g_tw=g_tw,
-        g_w1=_balanced_digits_int(W1i, q),
-        g_psi=(ipsi_pows * inv_n) % q,
+        g_w1=_balanced_digits_int(W1g, q),
     )
 
 
@@ -319,43 +327,38 @@ def _small_matmul_mod(x: jax.Array, digit_mats: jax.Array, q: int,
     return jnp.moveaxis(out, -1, axis)
 
 
-def ntt4(x: jax.Array, tb: NTT4Tables, consts=None) -> jax.Array:
+def ntt4(x: jax.Array, tb: NTT4Tables) -> jax.Array:
     """Forward negacyclic NTT of [B, N] residues, four-step order output.
 
-    `consts` (from ntt4_device_consts) passes the twist/twiddle vectors as
-    device args under jit; the small W matrices are jit constants (≤ 256 KB
-    — negligible program size, unlike the dense form)."""
+    The small W matrices are jit constants (≤ 256 KB — negligible program
+    size, unlike the dense form); the ψ-twists are pre-folded into the
+    tables (build_ntt4_tables), so the transform is matmul · twiddle ·
+    matmul with no standalone twist pass."""
     q, delta = tb.q, tb.delta
     B = x.shape[0]
-    psi, tw = consts[0:2] if consts is not None else (
-        jnp.asarray(tb.f_psi), jnp.asarray(tb.f_tw)
-    )
-    a = modmul(x, psi[None, :], q, delta)           # ψ-twist
-    a = a.reshape(B, tb.n1, tb.n2)
+    a = x.reshape(B, tb.n1, tb.n2)
     b = _small_matmul_mod(a, jnp.asarray(tb.f_w1), q, delta, axis=1)
-    c = modmul(b, tw[None], q, delta)
+    c = modmul(b, jnp.asarray(tb.f_tw)[None], q, delta)
     d = _small_matmul_mod(c, jnp.asarray(tb.f_w2), q, delta, axis=2)
     return d.reshape(B, tb.n)
 
 
-def intt4(x: jax.Array, tb: NTT4Tables, consts=None) -> jax.Array:
+def intt4(x: jax.Array, tb: NTT4Tables) -> jax.Array:
     """Inverse of ntt4 (consumes four-step order, emits natural order)."""
     q, delta = tb.q, tb.delta
     B = x.shape[0]
-    gpsi, gtw = consts[2:4] if consts is not None else (
-        jnp.asarray(tb.g_psi), jnp.asarray(tb.g_tw)
-    )
     a = x.reshape(B, tb.n1, tb.n2)
     b = _small_matmul_mod(a, jnp.asarray(tb.g_w2), q, delta, axis=2)
-    c = modmul(b, gtw[None], q, delta)
+    c = modmul(b, jnp.asarray(tb.g_tw)[None], q, delta)
     d = _small_matmul_mod(c, jnp.asarray(tb.g_w1), q, delta, axis=1)
-    out = d.reshape(B, tb.n)
-    return modmul(out, gpsi[None, :], q, delta)
+    return d.reshape(B, tb.n)
 
 
-def ntt4_device_consts(tb: NTT4Tables):
-    """Device-arg bundle (f_psi, f_tw, g_psi, g_tw) for jit callers."""
-    return (
-        jnp.asarray(tb.f_psi), jnp.asarray(tb.f_tw),
-        jnp.asarray(tb.g_psi), jnp.asarray(tb.g_tw),
-    )
+def modmul_lazy(a: jax.Array, b: jax.Array, q: int, delta: int) -> jax.Array:
+    """(a·b) mod q, PARTIALLY reduced: one fold round instead of modmul's
+    full chain. Result ≡ a·b (mod q) and < 2^(31+⌈log2 δ⌉) ≤ 2^51 — callers
+    accumulate several terms and finish with one shift_mod_reduce. The MAC
+    pattern Σ_c digits·key inside key-switching is the whole point: n_comp
+    lazy products + one final reduce replaces n_comp full reductions."""
+    x = a.astype(jnp.int64) * b.astype(jnp.int64)
+    return (x & _M30) + (x >> 30) * delta
