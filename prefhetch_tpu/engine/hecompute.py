@@ -611,7 +611,10 @@ class HEComputeService:
                 raise ValueError(f"missing Galois key for element {g}")
         if self.backend == "tpu":
             # pad queries to a multiple of G with zero cts (a zero ct is a
-            # valid encryption of 0 — contributes nothing to the group sum)
+            # valid encryption of 0 — contributes nothing to the group sum).
+            # Buffers are FRESH per call: jnp.asarray may DMA the host
+            # buffer asynchronously, so reuse across pipelined requests
+            # could corrupt an in-flight transfer
             nqp = -(-nq // G) * G
             ctq_p = np.zeros((nqp,) + ctq.shape[1:], np.int32)
             ctq_p[:nq] = ctq
@@ -620,11 +623,12 @@ class HEComputeService:
             )
             idx_p[:nq] = pad_idx
             mono_pre, shift_tabs = self._packed_shift_tables(d, nb, G)
+            fn = self._packed_mac_fns[0]
             dev_args = (
                 self._base_dev, jnp.asarray(ctq_p), jnp.asarray(idx_p),
                 *self._packed_dev_keys(key_id), mono_pre, shift_tabs,
             )
-            dev_out = self._packed_mac_fn(*dev_args)    # UNFETCHED
+            dev_out = fn(*dev_args)                     # UNFETCHED
 
             def resolve():
                 packed = np.asarray(dev_out).astype(np.int64)
@@ -635,7 +639,7 @@ class HEComputeService:
                 return out, norms, G
 
             resolve.dev_out = dev_out
-            resolve.program_repeat = lambda: self._packed_mac_fn(*dev_args)
+            resolve.program_repeat = lambda: fn(*dev_args)
             return resolve
 
         def resolve_host():
@@ -647,6 +651,80 @@ class HEComputeService:
             return out, norms, G
 
         return resolve_host
+
+    def encrypted_scores_packed_wire(
+        self, wires: List[dict], cand_idx: np.ndarray, key_id: str
+    ):
+        return self.encrypted_scores_packed_wire_async(
+            wires, cand_idx, key_id
+        )()
+
+    def encrypted_scores_packed_wire_async(
+        self, wires: List[dict], cand_idx: np.ndarray, key_id: str
+    ):
+        """Packed response straight from ct WIRES. For seedTf wires on the
+        device backend, only c0 + the 8-byte threefry keys are uploaded —
+        the c1 mask is regenerated inside the jitted program
+        (crypto/bfv.tf_uniform_rns), halving the request's h2d bytes.
+        Other wire forms fall back to host expansion."""
+        import base64
+
+        if self.backend != "tpu" or not all("seedTf" in w for w in wires):
+            cts = [self.ctx.ct_from_wire(w) for w in wires]
+            return self.encrypted_scores_packed_async(cts, cand_idx, key_id)
+        assert self._base_host is not None, "call set_base() first"
+        p = self.params
+        gks = getattr(self, "_galois_bfv", {}).get(key_id)
+        if gks is None:
+            raise ValueError("unknown BFV keyId — register Galois keys first")
+        n = p.n
+        L = len(p.qs)
+        nq, P = cand_idx.shape
+        d = self._base_host.shape[1]
+        B = n // d
+        nb = -(-P // B)
+        G = max(1, d // nb)
+        for g in self.ctx.extraction_elts(n, d):
+            if g not in gks:
+                raise ValueError(f"missing Galois key for element {g}")
+        pad_idx = np.full((nq, nb * B), self._base_host.shape[0] - 1, np.int32)
+        pad_idx[:, :P] = cand_idx
+        gathered = self._base_host[cand_idx.astype(np.int64)].astype(np.int64)
+        norms = (gathered ** 2).sum(-1)
+        nqp = -(-nq // G) * G
+        c0s = np.zeros((nqp, L, n), np.int32)
+        seeds = np.zeros((nqp, 2), np.uint32)
+        valid = np.zeros(nqp, np.int32)
+        for i, w in enumerate(wires):
+            c0s[i] = np.frombuffer(
+                base64.b64decode(w["c0"]), dtype="<u4"
+            ).astype(np.int32).reshape(L, n)
+            seeds[i] = np.asarray(w["seedTf"], np.uint32)
+            valid[i] = 1
+        idx_p = np.full(
+            (nqp, nb * B), self._base_host.shape[0] - 1, np.int32
+        )
+        idx_p[:nq] = pad_idx
+        mono_pre, shift_tabs = self._packed_shift_tables(d, nb, G)
+        fn = self._packed_mac_fns[1]
+        dev_args = (
+            self._base_dev, jnp.asarray(c0s), jnp.asarray(seeds),
+            jnp.asarray(valid), jnp.asarray(idx_p),
+            *self._packed_dev_keys(key_id), mono_pre, shift_tabs,
+        )
+        dev_out = fn(*dev_args)                         # UNFETCHED
+
+        def resolve():
+            packed = np.asarray(dev_out).astype(np.int64)
+            out = [
+                Ciphertext(c0=packed[i, 0], c1=packed[i, 1], is_ntt=False)
+                for i in range(packed.shape[0])
+            ]
+            return out, norms, G
+
+        resolve.dev_out = dev_out
+        resolve.program_repeat = lambda: fn(*dev_args)
+        return resolve
 
     def _packed_mac_numpy(
         self, ctq: np.ndarray, pad_idx: np.ndarray, gks: dict
@@ -800,11 +878,14 @@ class HEComputeService:
         return out
 
     @functools.cached_property
-    def _packed_mac_fn(self):
-        """jit: (base_pad, ctq [nq', 2, L, N] i32 natural-NTT domain (nq'
-        padded to a multiple of G with zero cts), pad_idx [nq', npad],
-        kb/ka/perms/signs from _packed_dev_keys) → [n_out, 2, L, N] i32
-        coeff-domain packed response cts.
+    def _packed_mac_fns(self):
+        """Two jitted programs → (packed_mac, packed_mac_seeded):
+        packed_mac takes the full ctq [nq', 2, L, N] i32 natural-NTT
+        domain (nq' padded to a multiple of G with zero cts); the seeded
+        twin takes (c0q [nq', L, N], seeds [nq', 2] u32, valid [nq']) and
+        regenerates c1 on device. Both: (…, pad_idx [nq', npad],
+        kb/ka/perms/signs from _packed_dev_keys, mono/shift tables) →
+        [n_out, 2, L, N] i32 coeff-domain packed response cts.
 
         Device twin of _packed_mac_numpy: MAC with the X^{-(d-1)} shift
         folded in (NTT-domain monomial multiply), log2(d) extraction
@@ -823,15 +904,19 @@ class HEComputeService:
         sp = ext[-1]
         half_p = sp // 2
         inv_p = [int(pow(sp % q, -1, q)) for q in p.qs]
-        digit_bits = 15
-        n_digits = -(-30 // digit_bits)
-        dmask = (1 << digit_bits) - 1
-        n_comp = L * n_digits
         perm_j = jnp.asarray(four_perm)
 
         def keyswitch(c1r, kb, ka):
-            """c1r [M, L, N] coeff → (ks0, ks1) [M, L, N] coeff (mod qs)."""
+            """c1r [M, L, N] coeff → (ks0, ks1) [M, L, N] coeff (mod qs).
+
+            Digit structure derives from the KEY's static shape: n_comp =
+            kb.shape[0] = L·n_digits (30-bit keys halve the digit NTT
+            rows — RelinKey.digit_bits)."""
             M = c1r.shape[0]
+            n_comp = kb.shape[0]
+            n_digits = n_comp // L
+            digit_bits = 30 // n_digits
+            dmask = (1 << digit_bits) - 1
             digs = []
             for i in range(L):
                 limb = c1r[:, i].astype(jnp.int32)
@@ -879,11 +964,12 @@ class HEComputeService:
             s = a + b
             return jnp.where(s >= q, s - q, s)
 
-        def packed_mac(base_pad, ctq, pad_idx, kb, ka, perms, signs,
-                       mono_pre, shift_tabs):
-            # mono_pre [L, N] i32: NTT(X^{-(d-1)}) per limb (four-step
-            # order); shift_tabs [L, G·nb, N] i32: NTT(X^e) for the pack
-            # offsets — device ARGS, not multi-MB jit constants
+        def packed_body(base_pad, c0q, c1q, pad_idx, kb, ka, perms, signs,
+                        mono_pre, shift_tabs):
+            # c0q/c1q [nq, L, N] FOUR-STEP NTT domain; mono_pre [L, N] i32:
+            # NTT(X^{-(d-1)}) per limb (four-step order); shift_tabs
+            # [L, G·nb, N] i32: NTT(X^e) for the pack offsets — device
+            # ARGS, not multi-MB jit constants
             nq, npad = pad_idx.shape
             d = base_pad.shape[1]
             B = n // d
@@ -893,8 +979,6 @@ class HEComputeService:
             n_out = nq // G
             elts = self.ctx.extraction_elts(n, d)
             c0p, c1p = [], []
-            c0q = ctq[:, 0][..., perm_j]
-            c1q = ctq[:, 1][..., perm_j]
             rows = base_pad[pad_idx]
             polys = rows[:, :, ::-1].reshape(M, n)
             for i in range(L):
@@ -961,7 +1045,39 @@ class HEComputeService:
                 )                                     # [n_out, 2, N]
             return jnp.stack(outs, 2).astype(jnp.int32)  # [n_out, 2, L, N]
 
-        return jax.jit(packed_mac)
+        def packed_mac(base_pad, ctq, pad_idx, kb, ka, perms, signs,
+                       mono_pre, shift_tabs):
+            c0q = ctq[:, 0][..., perm_j]
+            c1q = ctq[:, 1][..., perm_j]
+            return packed_body(base_pad, c0q, c1q, pad_idx, kb, ka,
+                               perms, signs, mono_pre, shift_tabs)
+
+        def packed_mac_seeded(base_pad, c0q_nat, seeds, valid, pad_idx,
+                              kb, ka, perms, signs, mono_pre, shift_tabs):
+            # seedTf wire: the c1 mask is regenerated INSIDE the program
+            # from the 8-byte threefry key (crypto/bfv.tf_uniform_rns) —
+            # the c1 half of the query upload disappears. valid [nq] i32
+            # zeroes the expansion for zero-ct pad queries (their seeds
+            # are dummies; a zero ct must stay a zero ct in the group sum)
+            import jax as _jax
+
+            from prefhetch_tpu.crypto.bfv import tf_uniform_rns
+
+            c0q = c0q_nat[..., perm_j]
+            a = _jax.vmap(
+                lambda kd: tf_uniform_rns(kd, p.qs, n)
+            )(seeds)                                  # [nq, L, N] coeff
+            a = a * valid[:, None, None].astype(jnp.int64)
+            c1q = jnp.stack(
+                [ntt4(a[:, i], tabs[i]) for i in range(L)], 1
+            )
+            return packed_body(base_pad, c0q, c1q, pad_idx, kb, ka,
+                               perms, signs, mono_pre, shift_tabs)
+
+        return jax.jit(packed_mac), jax.jit(packed_mac_seeded)
+
+    @functools.cached_property
+    def _mac_fn_jax(self):
         tables = self.ctx.tables
 
         @jax.jit

@@ -722,21 +722,20 @@ class QueryEngine:
                 # hecompute.encrypted_scores_combined / the device twin.
                 # Client must have registered the combine-tree Galois keys
                 # (crypto/ckks.combine_tree_steps) alongside the IP tree's.
-                cts_in = [
-                    CKKSCiphertext.from_wire(w) for w in encrypted_queries
-                ]
                 cand = base[
                     np.asarray(nearest_coarse_vector_idx, np.int64)
                 ].astype(np.float64)                      # [nq, P, d]
                 if hasattr(svc, "encrypted_scores_combined_batch"):
+                    # device twin accepts raw wires: seedTf cts upload only
+                    # c0 + an 8-byte key (c1 regenerates in the program)
                     res, norms = svc.encrypted_scores_combined_batch(
-                        cts_in, cand, key_id
+                        encrypted_queries, cand, key_id
                     )
                 else:                                     # host service
                     res, norms_l = [], []
-                    for i, ct in enumerate(cts_in):
+                    for i, w in enumerate(encrypted_queries):
                         c, nm = svc.encrypted_scores_combined(
-                            ct, cand[i], key_id
+                            svc.ctx.ct_from_wire(w), cand[i], key_id
                         )
                         res.append(c)
                         norms_l.append(nm)
@@ -755,10 +754,6 @@ class QueryEngine:
             from prefhetch_tpu.crypto.bfv import Ciphertext
             from prefhetch_tpu.utils.wire import pack_i32
 
-            cts_in = [
-                self.he_service.ctx.ct_from_wire(w)
-                for w in encrypted_queries
-            ]
             cand = np.asarray(nearest_coarse_vector_idx, np.int64)
             if resp_mod == "packed":
                 # packed single-ct wire: d/nb queries per 2-limb response
@@ -770,14 +765,20 @@ class QueryEngine:
                     raise ValueError(
                         "unknown BFV keyId — register Galois keys first"
                     )
-                packed, norms, grp = svc.encrypted_scores_packed(
-                    cts_in, cand, key_id
+                # wire-direct: seedTf cts upload only c0 + an 8-byte key
+                # (c1 regenerates inside the device program)
+                packed, norms, grp = svc.encrypted_scores_packed_wire(
+                    encrypted_queries, cand, key_id
                 )
                 return {
                     "packedScores": [c.to_wire() for c in packed],
                     "candidateNorms": norms.tolist(),
                     "packGroup": grp,
                 }
+            cts_in = [
+                self.he_service.ctx.ct_from_wire(w)
+                for w in encrypted_queries
+            ]
             if resp_mod == "q1":
                 # modulus-switched single-limb wire, ~2× smaller (client
                 # must hold a sparse secret — hecompute._trunc_mac_q1_fn)

@@ -80,6 +80,35 @@ def test_packed_device_matches_host():
         np.testing.assert_array_equal(a.c1, b.c1)
 
 
+def test_packed_seeded_wire_device_matches_host():
+    """seedTf wires: the device program regenerates c1 from the 8-byte
+    threefry key INSIDE the jit — outputs must be bit-identical to the
+    host path that expands the same wires with ct_from_wire, and decode
+    to exact distances."""
+    nq = 2
+    hc, svc, base, queries, cand = _setup(nq, seed=13)
+    svc_dev = HEComputeService(hc.params, backend="tpu")
+    svc_dev.set_base(base)
+    gks = {str(g): rk.to_wire() for g, rk in hc._galois_bfv.items()}
+    svc_dev.register_galois_keys(hc.key_id, gks)
+    wires = hc.encrypt_query_batch(queries)      # resp_mod=packed → seedTf
+    assert all("seedTf" in w for w in wires)
+    # host oracle expands the SAME threefry seeds via ct_from_wire
+    cts_h = [svc.ctx.ct_from_wire(w) for w in wires]
+    ph, nh, gh = svc.encrypted_scores_packed(cts_h, cand, hc.key_id)
+    pd, nd, gd = svc_dev.encrypted_scores_packed_wire(wires, cand, hc.key_id)
+    assert gh == gd and len(ph) == len(pd)
+    np.testing.assert_array_equal(nh, nd)
+    for a, b in zip(ph, pd):
+        np.testing.assert_array_equal(a.c0, b.c0)
+        np.testing.assert_array_equal(a.c1, b.c1)
+    dist = hc.decrypt_scores_packed(
+        [c.to_wire() for c in pd], nd, queries, gd
+    )
+    ref = ((base[cand].astype(np.float64) - queries[:, None]) ** 2).sum(-1)
+    np.testing.assert_array_equal(dist.astype(np.float64), ref)
+
+
 def test_packed_client_gets_odd_t():
     """resp_mod="packed" must flip the client to an ODD plaintext modulus
     (the ×d extraction factor inverts mod t client-side)."""

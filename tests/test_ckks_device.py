@@ -171,3 +171,20 @@ def test_combined_single_ct_device_matches_host_and_decodes():
     # small-N/small-Δ test config: scoring-grade accuracy only (the bench
     # measures the production-scale error)
     assert np.abs(ips - ref).max() <= max(2e-2 * np.abs(ref).max(), 1.0)
+
+    # seedTf wire: c1 regenerated INSIDE the device program from the
+    # 8-byte threefry key must give the SAME result ct as the expanded
+    # form of the same wire
+    slots = params.n // 2
+    w = ctx.encrypt_symmetric_tf(
+        sk, ctx.encode(np.tile(q, slots // D)), rng
+    )
+    e_cts, e_norms = dev.encrypted_scores_combined_batch(
+        [ctx.ct_from_wire(w)], cands[None], "k"
+    )
+    s_cts, s_norms = dev.encrypted_scores_combined_batch(
+        [w], cands[None], "k"
+    )
+    np.testing.assert_array_equal(e_cts[0].c0, s_cts[0].c0)
+    np.testing.assert_array_equal(e_cts[0].c1, s_cts[0].c1)
+    np.testing.assert_array_equal(e_norms, s_norms)
