@@ -1394,7 +1394,13 @@ def encrypted_rerank_qps(data, cand_ids, nq: int = 64):
         np.asarray(dv[0, 0, 0, :4])
         kernel_qps = nq * n_k / (_time.perf_counter() - t0)
     else:
-        mac_qps = kernel_qps = e2e_qps
+        # host backend: measure the actual host packed-program rate (the
+        # server-side share of e2e) instead of echoing e2e into metrics
+        # that claim device/kernel semantics
+        cts = [svc.ctx.ct_from_wire(w) for w in encrypt()]
+        t0 = _time.perf_counter()
+        svc.encrypted_scores_packed(cts, idx, hc.key_id)
+        mac_qps = kernel_qps = nq / (_time.perf_counter() - t0)
     return e2e_qps, mac_qps, kernel_qps
 
 

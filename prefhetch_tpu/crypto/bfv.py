@@ -133,27 +133,83 @@ class Ciphertext:
         )
 
 
-def tf_uniform_rns(key_data, qs, n: int):
+_TF_ROT = ((13, 15, 26, 6), (17, 29, 16, 24))
+
+
+def _threefry2x32_20(k0, k1, x0, x1, xp):
+    """Threefry-2x32, 20 rounds (Salmon et al. 2011) on uint32 arrays.
+
+    Implemented HERE (not via jax.random) so the counter layout is OUR
+    frozen wire contract: the numpy form (xp=numpy) runs on the client's
+    host path, the jnp form runs inside the server's jitted programs, and
+    the two are the same ~30 lines of wrapping uint32 arithmetic."""
+    def rotl(v, r):
+        return (v << xp.uint32(r)) | (v >> xp.uint32(32 - r))
+
+    ks = (k0, k1, k0 ^ k1 ^ xp.uint32(0x1BD11BDA))
+    x0 = x0 + ks[0]
+    x1 = x1 + ks[1]
+    for g in range(5):
+        for r in _TF_ROT[g % 2]:
+            x0 = x0 + x1
+            x1 = rotl(x1, r)
+            x1 = x0 ^ x1
+        x0 = x0 + ks[(g + 1) % 3]
+        x1 = x1 + ks[(g + 2) % 3] + xp.uint32(g + 1)
+    return x0, x1
+
+
+def tf_uniform_rns(key_data, qs, n: int, xp=None):
     """[L, N] uniform residues mod each q from a threefry2x32 key.
 
-    62-bit draws folded with the shift reduction (bias < 2^-32 — far
-    below any distinguishing advantage that matters for the public RLWE
-    mask). Pure jax: runs eagerly on the client (any backend) and traced
-    inside the server's jitted programs — values are bit-identical across
-    backends by threefry's counter-PRF construction. key_data: [2] uint32
-    (travels as the ct wire's "seedTf" field)."""
-    import jax
+    Counter layout (frozen wire contract): 2·L·N lanes of
+    Threefry-2x32-20 with counters iota(2·L·N) split in half; draw i of
+    limb l takes hi = out0[l·N + i] (top 30 bits) and lo = out1[l·N + i],
+    folded from 62 bits mod q by the shift reduction (bias < 2^-32 — far
+    below anything that matters for the PUBLIC RLWE mask). Runs in numpy
+    on the client/host (xp=None on concrete inputs) and in jnp inside the
+    server's jitted programs (xp=jnp under trace) — identical outputs by
+    construction. key_data: [2] uint32 (the ct wire's "seedTf" field)."""
+    L = len(qs)
+    total = L * n
+    if xp is None:
+        import jax.numpy as jnp
+
+        xp = jnp if not isinstance(key_data, np.ndarray) else np
+    if xp is np:
+        kd = np.asarray(key_data, np.uint32)
+        cnt = np.arange(2 * total, dtype=np.uint32)
+        o0, o1 = _threefry2x32_20(kd[0], kd[1], cnt[:total], cnt[total:], np)
+        hi = (o0 >> np.uint32(2)).astype(np.int64)
+        lo = o1.astype(np.int64)
+        v = ((hi << 32) | lo).reshape(L, n)        # uniform < 2^62
+        out = np.empty((L, n), np.int64)
+        for i, q in enumerate(qs):
+            q = int(q)
+            delta = (1 << 30) - q
+            x = v[i]
+            b = 62
+            m30 = (1 << 30) - 1
+            dbits = max(1, (delta - 1).bit_length())
+            while b > 31:
+                x = (x & m30) + (x >> 30) * delta
+                b = max(b - 30 + dbits + 1, 31)
+            x = np.where(x >= q, x - q, x)
+            out[i] = np.where(x >= q, x - q, x)
+        return out
     import jax.numpy as jnp
+    from jax import lax
 
     from prefhetch_tpu.ops.ntt_mxu import shift_mod_reduce
 
-    key = jax.random.wrap_key_data(
-        jnp.asarray(key_data, jnp.uint32), impl="threefry2x32"
+    kd = jnp.asarray(key_data, jnp.uint32)
+    cnt = lax.iota(jnp.uint32, 2 * total)
+    o0, o1 = _threefry2x32_20(
+        kd[0], kd[1], cnt[:total], cnt[total:], jnp
     )
-    bits = jax.random.bits(key, (2, len(qs), n), jnp.uint32)
-    hi = (bits[0] >> 2).astype(jnp.int64)          # 30 bits
-    lo = bits[1].astype(jnp.int64)                 # 32 bits
-    v = (hi << 32) | lo                            # uniform < 2^62
+    hi = (o0 >> jnp.uint32(2)).astype(jnp.int64)
+    lo = o1.astype(jnp.int64)
+    v = ((hi << 32) | lo).reshape(L, n)
     out = []
     for i, q in enumerate(qs):
         out.append(shift_mod_reduce(v[i], int(q), (1 << 30) - int(q), 62))
@@ -781,6 +837,10 @@ class BFVContext:
         """Key-switching key encrypting P·W_d·target under s over qs+[p]
         (digit_bits-wide decomposition — see RelinKey). `target_small` is
         a small signed polynomial (s², s(X^g), …)."""
+        assert 30 % digit_bits == 0, (
+            "digit_bits must divide the 30-bit limb width — consumers "
+            "derive the ladder from the key shape (n_digits = 30/bits)"
+        )
         p = self.params
         sp = self._special_p
         ext = tuple(p.qs) + (sp,)

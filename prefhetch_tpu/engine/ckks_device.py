@@ -101,6 +101,13 @@ class DeviceCKKS:
             )
             assert n_comp == self.L * self.n_digits
         self._keys[key_id] = out
+        # re-registration (key rotation) must invalidate the stacked
+        # device-arg bundles keyed by this key_id
+        if hasattr(self, "_combined_args_cache"):
+            for k in [
+                k for k in self._combined_args_cache if k[0] == key_id
+            ]:
+                del self._combined_args_cache[k]
 
     def has_keys(self, key_id: str) -> bool:
         return key_id in self._keys

@@ -538,22 +538,25 @@ class HEComputeService:
 
         if not hasattr(self, "_galois_bfv"):
             self._galois_bfv = {}
-        self._galois_bfv[key_id] = {
-            int(g): RelinKey.from_wire(w) for g, w in gks_wire.items()
-        }
+        keys = {int(g): RelinKey.from_wire(w) for g, w in gks_wire.items()}
+        L = len(self.params.qs)
+        for g, rk in keys.items():
+            # the device key-switch derives the digit ladder from the key
+            # SHAPE (n_digits = n_comp/L, digit_bits = 30/n_digits) — a
+            # wire whose declared width disagrees would silently corrupt
+            if 30 % rk.digit_bits or (
+                rk.b.shape[0] != L * (30 // rk.digit_bits)
+            ):
+                raise ValueError(
+                    f"galois key {g}: digitBits {rk.digit_bits} / shape "
+                    f"{rk.b.shape} inconsistent with {L} limbs"
+                )
+        self._galois_bfv[key_id] = keys
         self._packed_keys_dev = getattr(self, "_packed_keys_dev", {})
         self._packed_keys_dev.pop(key_id, None)
 
     def has_galois_keys(self, key_id: str) -> bool:
         return key_id in getattr(self, "_galois_bfv", {})
-
-    def packed_layout(self, nq: int, P: int):
-        """(nb blocks, B cands/block, G queries/output-ct, n_out cts)."""
-        d = self._base_host.shape[1]
-        B = self.params.n // d
-        nb = -(-P // B)
-        G = max(1, d // nb)
-        return nb, B, G, -(-nq // G)
 
     def encrypted_scores_packed(
         self,
@@ -684,6 +687,11 @@ class HEComputeService:
         B = n // d
         nb = -(-P // B)
         G = max(1, d // nb)
+        if G * nb > d:
+            raise ValueError(
+                "packed response needs ceil(P/B) <= d blocks "
+                f"(P={P}, B={B}, d={d})"
+            )
         for g in self.ctx.extraction_elts(n, d):
             if g not in gks:
                 raise ValueError(f"missing Galois key for element {g}")
@@ -1036,8 +1044,11 @@ class HEComputeService:
                 sh1 = modmul(nt[M:], tiled, q, tb.delta)
                 s0 = sh0.reshape(n_out, G * nb, n).sum(1)
                 s1 = sh1.reshape(n_out, G * nb, n).sum(1)
+                # G·nb reduced terms < 2^30 each: size the reduce to the
+                # actual sum bound (40 bits only held for G·nb ≤ 1024)
+                sum_bits = 30 + (G * nb).bit_length()
                 s01 = shift_mod_reduce(
-                    jnp.concatenate([s0, s1], 0), q, tb.delta, 40
+                    jnp.concatenate([s0, s1], 0), q, tb.delta, sum_bits
                 )
                 cc = intt4(s01, tb)
                 outs.append(
