@@ -142,7 +142,11 @@ def build_tiled_view(
     np.cumsum(tile_count[:-1], out=tile_start[1:])
     ntiles = int(tile_count.sum())
 
-    payload = np.zeros((ntiles + 1, tile, d), payload_np.dtype)
+    # np.empty, not zeros: every valid slot is overwritten below and only
+    # tile tails need zeroing — first-touch of ~340 MB of zeros costs ~5 s
+    # on this VM (see CLAUDE.md THP note) for bytes that are replaced
+    payload = np.empty((ntiles + 1, tile, d), payload_np.dtype)
+    payload[-1] = 0                                   # reserved empty tile
     tile_ids = np.full((ntiles + 1, tile), -1, np.int32)
     tile_sizes = np.zeros(ntiles + 1, np.int32)
     if quant == "sq8":
@@ -164,6 +168,8 @@ def build_tiled_view(
             hi = min(size, lo + tile)
             n = hi - lo
             payload[t0 + k, :n] = payload_np[c, lo:hi]
+            if n < tile:
+                payload[t0 + k, n:] = 0
             tile_ids[t0 + k, :n] = ids_np[c, lo:hi]
             tile_norms[t0 + k, :n] = norms_np[c, lo:hi]
             tile_sizes[t0 + k] = n
