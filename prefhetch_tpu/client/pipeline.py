@@ -436,16 +436,30 @@ class ClientPipeline:
         client = get_pir_client(self.config)
         nbase = self.config.nbase
         d = self.config.index.d
-        wires, rs = [], []
-        for row in top_ids.reshape(-1):
-            w, r = client.build_query_2d(int(row), nbase, d)
-            wires.append(w)
-            rs.append(r)
+        # multi-row packed queries: K_ct = ⌊N/m⌋ row-fetches share ONE
+        # uploaded ct (crypto/pir.build_query_2d_multi — ~11× less upload
+        # at nbase=1M); the last chunk pads by repeating its final row so
+        # the server compiles exactly one n_rows shape
+        k_ct = client.rows_per_ct(nbase, d)
+        all_rows = [int(r) for r in top_ids.reshape(-1)]
+        entries, rs, n_valids = [], [], []
+        for i in range(0, len(all_rows), k_ct):
+            chunk = all_rows[i : i + k_ct]
+            n_valid = len(chunk)
+            chunk = chunk + [chunk[-1]] * (k_ct - n_valid)
+            w, r_offs = client.build_query_2d_multi(chunk, nbase, d)
+            # nValid stays CLIENT-side: the wire reveals only ct count × K
+            entries.append({"ct": w, "nRows": k_ct})
+            n_valids.append(n_valid)
+            rs.extend(r_offs[:n_valid])
         import urllib.error
 
-        payload = {"pirHypercube": wires, "keyId": client.key_id}
+        def _gks():
+            return client.galois_keys_wire_2d_multi(nbase, d, k_ct)
+
+        payload = {"pirHypercubeMulti": entries, "keyId": client.key_id}
         if not getattr(client, "_keys_registered", False):
-            payload["galoisKeys"] = client.galois_keys_wire_2d(nbase, d)
+            payload["galoisKeys"] = _gks()
         try:
             resp = self._post("pir-fetch", payload)
             client._keys_registered = True
@@ -454,9 +468,15 @@ class ClientPipeline:
                 raise
             # server lost/never had this key id (restart, different
             # replica): re-register and retry once
-            payload["galoisKeys"] = client.galois_keys_wire_2d(nbase, d)
+            payload["galoisKeys"] = _gks()
             resp = self._post("pir-fetch", payload)
             client._keys_registered = True
+        # drop the pad-row responses of the last chunk
+        results = []
+        for i, n_valid in enumerate(n_valids):
+            block = resp["pirResults"][i * k_ct : (i + 1) * k_ct]
+            results.extend(block[:n_valid])
+        resp = {"pirResults": results}
         flat = np.stack(
             [
                 client.decode_response_2d(w, d, rs[i])

@@ -162,6 +162,61 @@ class PIRClient:
         ct = self.ctx.encrypt(self.pk, poly, self._rng)
         return ct.to_wire(), r
 
+    # -- multi-row packed 2-D variant --------------------------------------
+    def rows_per_ct(self, nbase: int, d: int) -> int:
+        """How many row-fetches one query ct can carry: each row needs its
+        own m = G1+G2 selector coefficients, so K = ⌊N/m⌋ (≥1)."""
+        p = self.params
+        _, g1, g2 = grid_dims(p, nbase, d)
+        return max(1, p.n // (g1 + g2))
+
+    def build_query_2d_multi(
+        self, rows: List[int], nbase: int, d: int
+    ) -> Tuple[dict, List[int]]:
+        """ONE ct carrying the 2-D indicators of SEVERAL rows: row j's
+        (i1, i2) pair lands at coefficients j·m + i1 and j·m + G1 + i2.
+        Oblivious expansion to len(rows)·m selectors recovers every row's
+        selector block (crypto/pir.expand_query docstring) — the upload
+        shrinks ~K× vs one ct per row (K = rows_per_ct; ~11 at nbase=1M).
+
+        Returns (ct wire, per-row r offsets). len(rows)·m must fit in N."""
+        p = self.params
+        R = rows_per_block(p, d)
+        _, g1, g2 = grid_dims(p, nbase, d)
+        m = g1 + g2
+        if len(rows) * m > p.n:
+            raise ValueError(
+                f"{len(rows)} rows need {len(rows) * m} selector slots "
+                f"> N={p.n}; chunk to rows_per_ct={p.n // m}"
+            )
+        poly = np.zeros(p.n, np.int64)
+        rs = []
+        for j, row in enumerate(rows):
+            b_star, r = divmod(row, R)
+            i1, i2 = divmod(b_star, g2)
+            poly[j * m + i1] = 1
+            poly[j * m + g1 + i2] = 1
+            rs.append(r)
+        ct = self.ctx.encrypt(self.pk, poly, self._rng)
+        return ct.to_wire(), rs
+
+    def galois_keys_wire_2d_multi(
+        self, nbase: int, d: int, n_rows: int
+    ) -> dict:
+        """Expansion keys for n_rows·m selectors (deeper tree than the
+        single-row keys; per-element cache shared with galois_keys_wire_2d)."""
+        p = self.params
+        _, g1, g2 = grid_dims(p, nbase, d)
+        elts = expansion_galois_elements(p.n, n_rows * (g1 + g2))
+        if not hasattr(self, "_gks"):
+            self._gks = {}
+        missing = [g for g in elts if g not in self._gks]
+        if missing:
+            self._gks.update(
+                self.ctx.galois_keygen(self.sk, missing, self._rng)
+            )
+        return {str(g): self._gks[g].to_wire() for g in elts}
+
     def galois_keys_wire_2d(self, nbase: int, d: int) -> dict:
         """Expansion keys for m = G1+G2 selectors (one-time registration)."""
         p = self.params
@@ -190,7 +245,9 @@ class PIRClient:
         t = p.t
         nd = int(resp["nDigits"])
         g1, g2 = int(resp["g1"]), int(resp["g2"])
-        logm = max(1, (g1 + g2 - 1).bit_length())
+        # multi-row packed queries expand deeper than g1+g2 selectors; the
+        # response then carries the actual expansion scale as logF
+        logm = int(resp.get("logF", max(1, (g1 + g2 - 1).bit_length())))
         inv_f = pow(1 << logm, -1, t)
         polys = []
         for w in resp["cts"]:
@@ -378,6 +435,10 @@ class PIR2Server:
     def n_selectors(self) -> int:
         return self.g1 + self.g2
 
+    def rows_per_ct(self) -> int:
+        """Max row-fetches one packed query ct carries (⌊N/m⌋)."""
+        return max(1, self.params.n // self.n_selectors)
+
     def register_galois_keys(self, key_id: str, gks_wire: dict) -> None:
         self._galois[key_id] = {
             int(g): RelinKey.from_wire(w) for g, w in gks_wire.items()
@@ -388,12 +449,39 @@ class PIR2Server:
 
     def answer_2d(self, query_wire: dict, key_id: str) -> dict:
         """ONE query ct → the 2·L·n_digits single-limb response cts."""
-        p = self.params
         gks = self._galois[key_id]
         ct = Ciphertext.from_wire(query_wire)
         sel0, sel1 = expand_query_batch(
             self.ctx, ct, self.n_selectors, gks
         )                                                # [m, L, N] coeff
+        logf = max(1, (self.n_selectors - 1).bit_length())
+        return self._fold_2d(sel0, sel1, logf)
+
+    def answer_2d_multi(
+        self, query_wire: dict, key_id: str, n_rows: int
+    ) -> List[dict]:
+        """ONE multi-row packed ct (build_query_2d_multi) → n_rows
+        responses. Expansion runs ONCE to n_rows·m selectors; each row's
+        m-selector block folds independently."""
+        m = self.n_selectors
+        if n_rows < 1 or n_rows * m > self.params.n:
+            raise ValueError(f"bad n_rows={n_rows} for m={m}")
+        gks = self._galois[key_id]
+        ct = Ciphertext.from_wire(query_wire)
+        sel0, sel1 = expand_query_batch(self.ctx, ct, n_rows * m, gks)
+        logf = max(1, (n_rows * m - 1).bit_length())
+        return [
+            self._fold_2d(
+                sel0[j * m : (j + 1) * m], sel1[j * m : (j + 1) * m], logf
+            )
+            for j in range(n_rows)
+        ]
+
+    def _fold_2d(self, sel0: np.ndarray, sel1: np.ndarray,
+                 logf: int) -> dict:
+        """dim-1 + dim-2 hypercube folds for ONE row's [m, L, N] selector
+        block (coeff domain); logf = expansion depth for client decode."""
+        p = self.params
         sel0_ntt = self.ctx.ntt_fwd_batch(sel0)
         sel1_ntt = self.ctx.ntt_fwd_batch(sel1)
         qs = np.array(p.qs, np.int64)[:, None]
@@ -457,6 +545,7 @@ class PIR2Server:
             "nDigits": nd,
             "g1": self.g1,
             "g2": self.g2,
+            "logF": logf,
         }
 
 

@@ -89,15 +89,18 @@ class DevicePIR2:
             self._save_db_cache(base, cache_dir, db32)
         self.db = jnp.asarray(db32)
 
-        # per-level monomial/automorphism tables [logm, N]
+        # per-level monomial/automorphism tables — built to FULL depth
+        # log2(N): the multi-row packed query (answer_2d_multi) expands to
+        # n_rows·m selectors, deeper than the single-row logm tree
         n = params.n
+        self.logm_max = n.bit_length() - 1
         k = np.arange(n)
-        mono_perm = np.empty((self.logm, n), np.int32)
-        mono_sign = np.empty((self.logm, n), np.int8)
-        gal_perm = np.empty((self.logm, n), np.int32)
-        gal_sign = np.empty((self.logm, n), np.int8)
+        mono_perm = np.empty((self.logm_max, n), np.int32)
+        mono_sign = np.empty((self.logm_max, n), np.int8)
+        gal_perm = np.empty((self.logm_max, n), np.int32)
+        gal_sign = np.empty((self.logm_max, n), np.int8)
         self._gal_elts = []
-        for j in range(self.logm):
+        for j in range(self.logm_max):
             e = (-(1 << j)) % (2 * n)
             dest = (k + e) % (2 * n)
             pos = dest % n
@@ -174,16 +177,29 @@ class DevicePIR2:
         return key_id in self._keys
 
     def register_galois_keys(self, key_id: str, gks_wire: dict) -> None:
-        """Pre-NTT the key components per ext prime; stack per level."""
+        """Pre-NTT the key components per ext prime; stack per level.
+
+        Accepts any contiguous prefix of the full log2(N)-level element
+        chain (n>>j)+1: single-row clients send logm levels, multi-row
+        packed clients send the deeper tree their n_rows·m expansion
+        needs. The stacked depth gates which answer forms are available."""
         gks = {int(g): RelinKey.from_wire(w) for g, w in gks_wire.items()}
+        depth = 0
+        while depth < self.logm_max and self._gal_elts[depth] in gks:
+            depth += 1
+        if depth < self.logm:
+            raise ValueError(
+                f"expansion keys cover {depth} levels; even the single-row "
+                f"tree needs {self.logm}"
+            )
         first = gks[self._gal_elts[0]]
         ext = first.ext
         sp = first.special_p
         kb = np.empty(
-            (self.logm, first.b.shape[0], len(ext), self.params.n), np.int64
+            (depth, first.b.shape[0], len(ext), self.params.n), np.int64
         )
         ka = np.empty_like(kb)
-        for j, g in enumerate(self._gal_elts):
+        for j, g in enumerate(self._gal_elts[:depth]):
             rk = gks[g]
             assert rk.ext == ext and rk.special_p == sp
             for e, q in enumerate(ext):
@@ -201,18 +217,29 @@ class DevicePIR2:
         self._ks_meta = (tuple(ext), sp, inv_p)
 
     # ------------------------------------------------------------------
-    def _build_answer(self):
-        """The single-query answer pipeline as a pure function (jitted for
-        one-off fetches; vmapped over the ciphertext axis for batched
-        fetches — in_axes=None on the database so the g1-scan's HBM read
-        of the packed DB happens ONCE per step, shared across the whole
-        batch; that read dominates a 1M-row fetch)."""
+    def _build_answer(self, n_rows: int = 1):
+        """The answer pipeline as a pure function (jitted for one-off
+        fetches; vmapped over the ciphertext axis for batched fetches —
+        in_axes=None on the database so the g1-scan's HBM read of the
+        packed DB happens ONCE per step, shared across the whole batch;
+        that read dominates a 1M-row fetch).
+
+        n_rows > 1 is the multi-row packed form: ONE uploaded ct expands to
+        n_rows·m selectors (crypto/pir.build_query_2d_multi) and each row's
+        m-block folds against the same expansion — n_rows× less upload and
+        one expansion shared by n_rows fetches."""
         p = self.params
         n = p.n
         q1, q2 = p.qs
         t = p.t
         nd = self._n_digits
-        g1, g2, logm, m_pad = self.g1, self.g2, self.logm, self.m_pad
+        g1, g2 = self.g1, self.g2
+        if n_rows == 1:
+            logm, m_pad = self.logm, self.m_pad
+        else:
+            assert 1 <= n_rows * self.m <= n
+            logm = max(1, (n_rows * self.m - 1).bit_length())
+            m_pad = 1 << logm
         ext, sp, inv_p_np = self._ks_meta
         L = len(p.qs)
         n_comp = L * N_KS_DIGITS
@@ -326,18 +353,9 @@ class DevicePIR2:
             )
             return modmul(diff, jnp.int64(inv_q2_mod_q1), q1, tb.delta)
 
-        def answer(db, c0, c1, kb, ka, fdigs, gdigs):
-            sel0, sel1 = expand(c0, c1, kb, ka, fdigs, gdigs)
-            # NTT the needed selectors once per limb
-            sel = jnp.stack([sel0[: self.m], sel1[: self.m]], axis=1)
-            sel_ntt = []
-            for i, q in enumerate(p.qs):
-                tb = tabs_q[i]
-                sel_ntt.append(
-                    ntt_mxu(sel.reshape(-1, L, n)[:, i], tb, fdigs[i])
-                )                                        # [m·2, N]
-            sel_ntt = jnp.stack(sel_ntt, axis=1).reshape(self.m, 2, L, n)
-
+        def fold(db, sel_ntt, fdigs, gdigs):
+            """One row's dim-1 + dim-2 hypercube fold;
+            sel_ntt [m, 2, L, N] NTT-domain selectors → [2·nd, 2, N]."""
             # dim 1: fold rows over the [g1, g2] cube — scan over g1
             s1sel = sel_ntt[:g1]                          # [g1, 2, L, N]
 
@@ -418,6 +436,27 @@ class DevicePIR2:
                     outs.append(jnp.stack([o0, o1]).astype(jnp.int32))
             return jnp.stack(outs)                        # [2·nd, 2, N]
 
+        def answer(db, c0, c1, kb, ka, fdigs, gdigs):
+            sel0, sel1 = expand(c0, c1, kb, ka, fdigs, gdigs)
+            take = n_rows * self.m
+            # NTT the needed selectors once per limb
+            sel = jnp.stack([sel0[:take], sel1[:take]], axis=1)
+            sel_ntt = []
+            for i, q in enumerate(p.qs):
+                tb = tabs_q[i]
+                sel_ntt.append(
+                    ntt_mxu(sel.reshape(-1, L, n)[:, i], tb, fdigs[i])
+                )                                        # [take·2, N]
+            sel_ntt = jnp.stack(sel_ntt, axis=1).reshape(
+                n_rows, self.m, 2, L, n
+            )
+            if n_rows == 1:
+                return fold(db, sel_ntt[0], fdigs, gdigs)
+            # all rows share one expansion AND one DB pass per scan step
+            return jax.vmap(fold, in_axes=(None, 0, None, None))(
+                db, sel_ntt, fdigs, gdigs
+            )
+
         return answer
 
     @functools.cached_property
@@ -450,7 +489,7 @@ class DevicePIR2:
                  for q in ext]
         return fdigs, gdigs
 
-    def _resp_wire(self, outs: np.ndarray) -> dict:
+    def _resp_wire(self, outs: np.ndarray, logf: int | None = None) -> dict:
         from prefhetch_tpu.utils.wire import pack_i32
 
         return {
@@ -461,6 +500,7 @@ class DevicePIR2:
             "nDigits": self._n_digits,
             "g1": self.g1,
             "g2": self.g2,
+            "logF": self.logm if logf is None else logf,
         }
 
     def _query_c01(self, query_wire: dict):
@@ -477,6 +517,41 @@ class DevicePIR2:
             self.db, jnp.asarray(c0), jnp.asarray(c1), kb, ka, fdigs, gdigs,
         ))                                               # [2·nd, 2, N]
         return self._resp_wire(outs)
+
+    # -- multi-row packed form -------------------------------------------
+    def rows_per_ct(self) -> int:
+        """Max row-fetches one packed query ct carries (⌊N/m⌋)."""
+        return max(1, self.params.n // self.m)
+
+    def answer_2d_multi(
+        self, query_wire: dict, key_id: str, n_rows: int
+    ) -> list:
+        """ONE packed ct (build_query_2d_multi) → n_rows response dicts.
+        Requires expansion keys registered to depth ⌈log2(n_rows·m)⌉
+        (galois_keys_wire_2d_multi)."""
+        if not 1 <= n_rows <= self.rows_per_ct():
+            raise ValueError(
+                f"n_rows={n_rows} outside [1, {self.rows_per_ct()}]"
+            )
+        kb, ka = self._keys[key_id]
+        need = max(1, (n_rows * self.m - 1).bit_length())
+        if kb.shape[0] < need:
+            raise ValueError(
+                f"expansion keys cover {kb.shape[0]} levels; "
+                f"{n_rows} packed rows need {need}"
+            )
+        c0, c1 = self._query_c01(query_wire)
+        fdigs, gdigs = self._dev_digit_mats
+        if not hasattr(self, "_multi_fns"):
+            self._multi_fns: Dict[int, object] = {}
+        fn = self._multi_fns.get(n_rows)
+        if fn is None:
+            fn = jax.jit(self._build_answer(n_rows))
+            self._multi_fns[n_rows] = fn
+        outs = np.asarray(fn(
+            self.db, jnp.asarray(c0), jnp.asarray(c1), kb, ka, fdigs, gdigs,
+        ))                                               # [n_rows, 2·nd, 2, N]
+        return [self._resp_wire(outs[j], need) for j in range(n_rows)]
 
     def answer_2d_batch(self, query_wires: list, key_id: str) -> list:
         """Answer B row-fetches as bucketed batched device programs.

@@ -856,15 +856,32 @@ class QueryEngine:
         pir_queries: list | None = None,
         packed: list | None = None,
         hypercube: list | None = None,
+        hypercube_multi: list | None = None,
         key_id: str | None = None,
         galois_keys: dict | None = None,
     ) -> list:
         """Answer PIR queries; the server never learns the row indices.
 
-        Three forms: `pir_queries` = naive (G selector cts per row);
+        Four forms: `pir_queries` = naive (G selector cts per row);
         `packed` = 1-D oblivious expansion (ONE ct per row, host);
         `hypercube` = 2-D SealPIR-style (ONE ct per row, device-backed —
-        the production path at large nbase)."""
+        the production path at large nbase); `hypercube_multi` = 2-D with
+        multi-row packed queries (ONE ct per ⌊N/m⌋ rows — K× less upload;
+        each entry {"ct": wire, "nRows": k} yields k responses in order)."""
+        if hypercube_multi is not None:
+            svc = self.pir2_service
+            if galois_keys:
+                svc.register_galois_keys(key_id, galois_keys)
+            if not svc.has_keys(key_id):
+                raise ValueError(
+                    "unknown PIR keyId — register Galois keys first"
+                )
+            out: list = []
+            for entry in hypercube_multi:
+                out.extend(svc.answer_2d_multi(
+                    entry["ct"], key_id, int(entry["nRows"])
+                ))
+            return out
         if hypercube is not None:
             svc = self.pir2_service
             if galois_keys:

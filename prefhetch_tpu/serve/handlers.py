@@ -396,7 +396,22 @@ class Dispatcher:
     # /precise-vector-pir (the reference's cleartext-index placeholder),
     # the request carries only selector ciphertexts.
     def _pir_fetch(self, body) -> Response:
-        if "pirHypercube" in body:
+        if "pirHypercubeMulti" in body:
+            multi = body["pirHypercubeMulti"]
+            if not isinstance(multi, list) or not multi:
+                raise ValueError("pirHypercubeMulti must be a non-empty list")
+            for entry in multi:
+                if not isinstance(entry, dict) or "ct" not in entry \
+                        or "nRows" not in entry:
+                    raise ValueError(
+                        "pirHypercubeMulti entries need 'ct' and 'nRows'"
+                    )
+            results = self.engine.pir_fetch(
+                hypercube_multi=multi,
+                key_id=body.get("keyId"),
+                galois_keys=body.get("galoisKeys"),
+            )
+        elif "pirHypercube" in body:
             hyper = body["pirHypercube"]
             if not isinstance(hyper, list) or not hyper:
                 raise ValueError("pirHypercube must be a non-empty list")

@@ -220,3 +220,93 @@ def test_pir2d_batch_matches_single():
             )
         got = client.decode_response_2d(resp, d, r)
         np.testing.assert_array_equal(got, base[row])
+
+
+def test_pir2d_multi_row_host_roundtrip():
+    """Multi-row packed query (crypto/pir.build_query_2d_multi): ONE ct
+    fetches several rows; each decodes exactly. Upload per row shrinks
+    K× vs build_query_2d (ROADMAP: ~11 rows/ct at nbase=1M)."""
+    from prefhetch_tpu.crypto.params import pir_params_for
+    from prefhetch_tpu.crypto.pir import PIR2Server, PIRClient
+
+    p = pir_params_for(256, 257, 2)
+    rng = np.random.default_rng(21)
+    nbase, d = 300, 32
+    base = rng.integers(0, 256, (nbase, d)).astype(np.float32)
+    client = PIRClient(p, seed=22)
+    server = PIR2Server(base, p)
+    k_ct = client.rows_per_ct(nbase, d)
+    assert k_ct >= 2
+    rows = [0, 37, 299, 123, 123][: min(5, k_ct)]
+    server.register_galois_keys(
+        client.key_id, client.galois_keys_wire_2d_multi(nbase, d, len(rows))
+    )
+    wire, rs = client.build_query_2d_multi(rows, nbase, d)
+    resps = server.answer_2d_multi(wire, client.key_id, len(rows))
+    assert len(resps) == len(rows)
+    for row, resp, r in zip(rows, resps, rs):
+        got = client.decode_response_2d(resp, d, r)
+        np.testing.assert_array_equal(got, base[row])
+    # privacy shape: the wire is one ciphertext, no index fields
+    assert set(wire.keys()) <= {"c0", "c1", "isNtt", "shape"}
+
+
+def test_pir2d_multi_row_device_matches_host():
+    """DevicePIR2.answer_2d_multi equals the host oracle bit-for-bit."""
+    from prefhetch_tpu.crypto.params import pir_params_for
+    from prefhetch_tpu.crypto.pir import PIR2Server, PIRClient
+    from prefhetch_tpu.engine.pir_device import DevicePIR2
+
+    p = pir_params_for(256, 257, 2)
+    rng = np.random.default_rng(23)
+    nbase, d = 300, 32
+    base = rng.integers(0, 256, (nbase, d)).astype(np.float32)
+    client = PIRClient(p, seed=24)
+    host = PIR2Server(base, p)
+    dev = DevicePIR2(base, p)
+    rows = [5, 123, 299]
+    gw = client.galois_keys_wire_2d_multi(nbase, d, len(rows))
+    host.register_galois_keys(client.key_id, gw)
+    dev.register_galois_keys(client.key_id, gw)
+    wire, rs = client.build_query_2d_multi(rows, nbase, d)
+    rh = host.answer_2d_multi(wire, client.key_id, len(rows))
+    rd = dev.answer_2d_multi(wire, client.key_id, len(rows))
+    for h, dv in zip(rh, rd):
+        assert h["logF"] == dv["logF"]
+        for ch, cd in zip(h["cts"], dv["cts"]):
+            np.testing.assert_array_equal(
+                np.asarray(ch["c0"]["b64"]), np.asarray(cd["c0"]["b64"])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(ch["c1"]["b64"]), np.asarray(cd["c1"]["b64"])
+            )
+    for row, resp, r in zip(rows, rd, rs):
+        np.testing.assert_array_equal(
+            client.decode_response_2d(resp, d, r), base[row]
+        )
+
+
+def test_pir2d_multi_row_depth_guards():
+    """Single-row keys must be rejected for deeper multi-row expansion;
+    n_rows beyond ⌊N/m⌋ must be rejected at build and answer time."""
+    from prefhetch_tpu.crypto.params import pir_params_for
+    from prefhetch_tpu.crypto.pir import PIRClient
+    from prefhetch_tpu.engine.pir_device import DevicePIR2
+
+    p = pir_params_for(256, 257, 2)
+    rng = np.random.default_rng(25)
+    nbase, d = 300, 32
+    base = rng.integers(0, 256, (nbase, d)).astype(np.float32)
+    client = PIRClient(p, seed=26)
+    dev = DevicePIR2(base, p)
+    dev.register_galois_keys(
+        client.key_id, client.galois_keys_wire_2d(nbase, d)
+    )
+    k_ct = dev.rows_per_ct()
+    with pytest.raises(ValueError, match="rows need"):
+        client.build_query_2d_multi([0] * (k_ct + 1), nbase, d)
+    wire, _ = client.build_query_2d_multi([0] * k_ct, nbase, d)
+    with pytest.raises(ValueError, match="levels"):
+        dev.answer_2d_multi(wire, client.key_id, k_ct)
+    with pytest.raises(ValueError, match="outside"):
+        dev.answer_2d_multi(wire, client.key_id, k_ct + 1)

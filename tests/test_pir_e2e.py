@@ -76,9 +76,17 @@ def test_pir_request_contains_no_indices(served):
     client.run()
     assert "pir-fetch" in captured
     body = captured["pir-fetch"]
-    assert "pirHypercube" in body and "keyId" in body
-    # exactly one uploaded ct per retrieved row
-    assert len(body["pirHypercube"]) == cfg.protocol.nquery * cfg.protocol.k
+    assert "pirHypercubeMulti" in body and "keyId" in body
+    # multi-row packed: ⌈rows / rows_per_ct⌉ uploaded cts, each declaring
+    # the SAME padded nRows (the true per-chunk count stays client-side)
+    from prefhetch_tpu.client.pir import get_pir_client
+
+    pirc = get_pir_client(cfg)
+    k_ct = pirc.rows_per_ct(cfg.nbase, cfg.index.d)
+    n_rows_total = cfg.protocol.nquery * cfg.protocol.k
+    entries = body["pirHypercubeMulti"]
+    assert len(entries) == -(-n_rows_total // k_ct)
+    assert all(e["nRows"] == k_ct for e in entries)
     s = json.dumps(body)
     assert "nearestPreciseVectorIndexes" not in s
 
