@@ -553,6 +553,80 @@ class DevicePIR2:
         ))                                               # [n_rows, 2·nd, 2, N]
         return [self._resp_wire(outs[j], need) for j in range(n_rows)]
 
+    # batched multi-row cts: one program folds b·n_rows selector blocks
+    # against ONE DB pass. b=2 with n_rows≈11 carries the selector load of
+    # a B≈22 single-row batch — safely inside the B=64 OOM ceiling above
+    _MULTI_BATCH_BUCKETS = (2, 4)
+
+    def _batched_multi_fn(self, b: int, n_rows: int):
+        if not hasattr(self, "_multi_batch_fns"):
+            self._multi_batch_fns: Dict[tuple, object] = {}
+        fn = self._multi_batch_fns.get((b, n_rows))
+        if fn is None:
+            fn = jax.jit(jax.vmap(
+                self._build_answer(n_rows),
+                in_axes=(None, 0, 0, None, None, None, None),
+            ))
+            self._multi_batch_fns[(b, n_rows)] = fn
+        return fn
+
+    def answer_2d_multi_batch(
+        self, query_wires: list, key_id: str, n_rows: int
+    ) -> list:
+        """Several packed cts (all carrying n_rows row-fetches) answered as
+        bucketed vmapped programs — the stage-8 production form: K=100 rows
+        arrive as ⌈100/rows_per_ct⌉ cts and fold against ~2 DB passes
+        total. Returns len(query_wires)·n_rows responses in order; OOM'd
+        buckets fall back to per-ct answer_2d_multi programs."""
+        kb, ka = self._keys[key_id]
+        need = max(1, (n_rows * self.m - 1).bit_length())
+        if kb.shape[0] < need:
+            raise ValueError(
+                f"expansion keys cover {kb.shape[0]} levels; "
+                f"{n_rows} packed rows need {need}"
+            )
+        fdigs, gdigs = self._dev_digit_mats
+        pairs = [self._query_c01(w) for w in query_wires]
+        out: list = []
+        i = 0
+        while i < len(pairs):
+            rem = len(pairs) - i
+            broken = getattr(self, "_multi_batch_broken", ())
+            usable = [
+                bb for bb in self._MULTI_BATCH_BUCKETS if bb not in broken
+            ]
+            b = next(
+                (bb for bb in reversed(usable) if bb <= rem),
+                usable[0] if usable else 0,
+            )
+            if b == 0:
+                out.extend(self.answer_2d_multi(
+                    query_wires[i], key_id, n_rows
+                ))
+                i += 1
+                continue
+            chunk = pairs[i : i + b]
+            nv = len(chunk)
+            while len(chunk) < b:
+                chunk.append(chunk[-1])
+            c0 = jnp.asarray(np.stack([c[0] for c in chunk]))
+            c1 = jnp.asarray(np.stack([c[1] for c in chunk]))
+            try:
+                outs = np.asarray(self._batched_multi_fn(b, n_rows)(
+                    self.db, c0, c1, kb, ka, fdigs, gdigs,
+                ))                           # [b, n_rows, 2·nd, 2, N]
+            except Exception:   # noqa: BLE001 — compile OOM: shrink
+                if not hasattr(self, "_multi_batch_broken"):
+                    self._multi_batch_broken = set()
+                self._multi_batch_broken.add(b)
+                continue
+            for j in range(nv):
+                out.extend(
+                    self._resp_wire(outs[j, r], need) for r in range(n_rows)
+                )
+            i += nv
+        return out
+
     def answer_2d_batch(self, query_wires: list, key_id: str) -> list:
         """Answer B row-fetches as bucketed batched device programs.
 

@@ -877,10 +877,25 @@ class QueryEngine:
                     "unknown PIR keyId — register Galois keys first"
                 )
             out: list = []
-            for entry in hypercube_multi:
-                out.extend(svc.answer_2d_multi(
-                    entry["ct"], key_id, int(entry["nRows"])
-                ))
+            # batch runs of equal nRows (the client pads every chunk to one
+            # fixed nRows, so a whole request is usually ONE batched call
+            # sharing ~2 DB passes across all its cts)
+            i = 0
+            while i < len(hypercube_multi):
+                nr = int(hypercube_multi[i]["nRows"])
+                j = i
+                while (
+                    j < len(hypercube_multi)
+                    and int(hypercube_multi[j]["nRows"]) == nr
+                ):
+                    j += 1
+                wires = [e["ct"] for e in hypercube_multi[i:j]]
+                if hasattr(svc, "answer_2d_multi_batch"):
+                    out.extend(svc.answer_2d_multi_batch(wires, key_id, nr))
+                else:
+                    for w in wires:
+                        out.extend(svc.answer_2d_multi(w, key_id, nr))
+                i = j
             return out
         if hypercube is not None:
             svc = self.pir2_service

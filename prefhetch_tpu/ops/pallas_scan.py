@@ -37,7 +37,7 @@ def _kernel(flat_lists_ref,          # scalar-prefetch [B] int32
     size = sizes_ref[flat_lists_ref[b]]
     # literal pad value: module-level PAD_DISTANCE is a traced constant,
     # which pallas kernels may not capture
-    out_ref[0] = jnp.full((1, lmax), float(PAD_DISTANCE), jnp.float32)
+    out_ref[0] = jnp.full((1, lmax), jnp.float32(PAD_DISTANCE), jnp.float32)
 
     # tiled probe expansions pad rows with an all-empty slab; skip its MXU
     # work entirely (the DMA was already skipped by Mosaic's revisiting
@@ -55,7 +55,7 @@ def _kernel(flat_lists_ref,          # scalar-prefetch [B] int32
         d2 = qsq + norms_ref[0] - 2.0 * cross
         d2 = jnp.maximum(d2, 0.0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, lmax), 1)
-        out_ref[0] = jnp.where(lane < size, d2, float(PAD_DISTANCE))
+        out_ref[0] = jnp.where(lane < size, d2, jnp.float32(PAD_DISTANCE))
 
 
 def _kernel_sq8(flat_lists_ref,      # scalar-prefetch [B] int32
@@ -75,7 +75,7 @@ def _kernel_sq8(flat_lists_ref,      # scalar-prefetch [B] int32
     b = pl.program_id(0)
     lmax = out_ref.shape[2]
     size = sizes_ref[flat_lists_ref[b]]
-    out_ref[0] = jnp.full((1, lmax), float(PAD_DISTANCE), jnp.float32)
+    out_ref[0] = jnp.full((1, lmax), jnp.float32(PAD_DISTANCE), jnp.float32)
 
     @pl.when(size > 0)
     def _():
@@ -94,7 +94,7 @@ def _kernel_sq8(flat_lists_ref,      # scalar-prefetch [B] int32
         d2 = qsq + norms_ref[0] - 2.0 * cross
         d2 = jnp.maximum(d2, 0.0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, lmax), 1)
-        out_ref[0] = jnp.where(lane < size, d2, float(PAD_DISTANCE))
+        out_ref[0] = jnp.where(lane < size, d2, jnp.float32(PAD_DISTANCE))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -234,8 +234,8 @@ def _kernel_union_min(union_ref,     # scalar prefetch [U] int32 tile ids
     u = pl.program_id(0)
     nq, T = d2_ref.shape[1], d2_ref.shape[2]
     size = sizes_ref[union_ref[u]]
-    d2_ref[0] = jnp.full((nq, T), float(PAD_DISTANCE), d2_ref.dtype)
-    min_ref[0] = jnp.full((1, nq), float(PAD_DISTANCE), jnp.float32)
+    d2_ref[0] = jnp.full((nq, T), jnp.float32(PAD_DISTANCE), d2_ref.dtype)
+    min_ref[0] = jnp.full((1, nq), jnp.float32(PAD_DISTANCE), jnp.float32)
 
     @pl.when(size > 0)
     def _():
@@ -248,7 +248,7 @@ def _kernel_union_min(union_ref,     # scalar prefetch [U] int32 tile ids
         d2 = qsq_ref[0, :][:, None] + norms_ref[0] - 2.0 * cross
         d2 = jnp.maximum(d2, 0.0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (nq, T), 1)
-        d2 = jnp.where(lane < size, d2, float(PAD_DISTANCE))
+        d2 = jnp.where(lane < size, d2, jnp.float32(PAD_DISTANCE))
         d2_ref[0] = d2.astype(d2_ref.dtype)
         min_ref[0] = jnp.min(d2, axis=1).reshape(1, nq)
 

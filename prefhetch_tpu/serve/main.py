@@ -55,11 +55,13 @@ def main(argv=None) -> None:
         help="shard the index across all visible devices (mesh mode)",
     )
     parser.add_argument(
-        "--frontend", choices=("threaded", "aio", "native"),
-        default="threaded",
-        help="web layer: stdlib threaded (reference-parity default), "
-             "asyncio event loop, or the C++ epoll frontend "
-             "(native/pfh_http.cpp — per-batch Python, highest throughput)",
+        "--frontend", choices=("auto", "threaded", "aio", "native"),
+        default="auto",
+        help="web layer: auto picks the fastest available (native C++ "
+             "epoll frontend → asyncio event loop → stdlib threaded); "
+             "explicit choices pin one (threaded = reference-parity "
+             "stdlib server, native = native/pfh_http.cpp per-batch "
+             "Python, highest throughput)",
     )
     args = parser.parse_args(argv)
 
@@ -74,11 +76,21 @@ def main(argv=None) -> None:
     if args.shard:
         engine.enable_sharding()
     port = args.port or cfg.port
-    if args.frontend == "native":
+    frontend = args.frontend
+    if frontend == "auto":
+        # fastest available: native C++ epoll → asyncio → stdlib threaded
+        from prefhetch_tpu import native as _native
+
+        if _native.get_http_lib() is not None:
+            frontend = "native"
+        else:
+            frontend = "aio"
+        logger.info("frontend auto-selected: %s", frontend)
+    if frontend == "native":
         from prefhetch_tpu.serve.native_server import serve_forever_native
 
         serve_forever_native(engine, cfg.host, port)
-    elif args.frontend == "aio":
+    elif frontend == "aio":
         from prefhetch_tpu.serve.aio_server import serve_forever_aio
 
         serve_forever_aio(

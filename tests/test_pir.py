@@ -310,3 +310,46 @@ def test_pir2d_multi_row_depth_guards():
         dev.answer_2d_multi(wire, client.key_id, k_ct)
     with pytest.raises(ValueError, match="outside"):
         dev.answer_2d_multi(wire, client.key_id, k_ct + 1)
+
+
+def test_pir2d_multi_batch_matches_per_ct():
+    """answer_2d_multi_batch (vmapped over packed cts) is bit-identical to
+    per-ct answer_2d_multi and decodes exactly; exercises the bucketed
+    path with a ct count that is not a bucket multiple (3 = 2 + fallback)."""
+    from prefhetch_tpu.crypto.params import pir_params_for
+    from prefhetch_tpu.crypto.pir import PIRClient
+    from prefhetch_tpu.engine.pir_device import DevicePIR2
+
+    p = pir_params_for(256, 257, 2)
+    rng = np.random.default_rng(27)
+    nbase, d = 300, 32
+    base = rng.integers(0, 256, (nbase, d)).astype(np.float32)
+    client = PIRClient(p, seed=28)
+    dev = DevicePIR2(base, p)
+    n_rows = 3
+    dev.register_galois_keys(
+        client.key_id, client.galois_keys_wire_2d_multi(nbase, d, n_rows)
+    )
+    chunks = [[0, 37, 299], [123, 1, 2], [250, 250, 44]]
+    wires, rads = [], []
+    for ch in chunks:
+        w, rs = client.build_query_2d_multi(ch, nbase, d)
+        wires.append(w)
+        rads.append(rs)
+    got = dev.answer_2d_multi_batch(wires, client.key_id, n_rows)
+    assert len(got) == len(chunks) * n_rows
+    ref = []
+    for w in wires:
+        ref.extend(dev.answer_2d_multi(w, client.key_id, n_rows))
+    for g, rf in zip(got, ref):
+        assert g["logF"] == rf["logF"]
+        for cg, cr in zip(g["cts"], rf["cts"]):
+            assert cg["c0"]["b64"] == cr["c0"]["b64"]
+            assert cg["c1"]["b64"] == cr["c1"]["b64"]
+    k = 0
+    for ch, rs in zip(chunks, rads):
+        for row, r in zip(ch, rs):
+            np.testing.assert_array_equal(
+                client.decode_response_2d(got[k], d, r), base[row]
+            )
+            k += 1
