@@ -801,12 +801,15 @@ def main():
         "http", "PFH_BENCH_SKIP_HTTP",
         lambda: http_serving_bench(data, index), est_s=120,
     )
-    _section("hard", "PFH_BENCH_SKIP_HARD", run_hard, est_s=120)
     _section("angular", "PFH_BENCH_SKIP_ANGULAR", run_angular, est_s=120)
     # est covers a COLD remote compile of the combined program (~2 min);
     # warm .jax_cache runs finish in ~60 s
     _section("ckks", "PFH_BENCH_SKIP_CKKS", run_ckks, est_s=150)
     _section("pir", "PFH_BENCH_SKIP_PIR", run_pir, est_s=150)
+    # LAST: the hard pipeline's fresh compile is the one the remote
+    # compile helper most often 500s on — a failed attempt burns minutes,
+    # so it must not starve the cached sections above
+    _section("hard", "PFH_BENCH_SKIP_HARD", run_hard, est_s=120)
 
     _RESULT["extra"]["status"] = "complete"
     _RESULT["extra"]["bench_wall_s"] = round(time.time() - _T0, 1)
