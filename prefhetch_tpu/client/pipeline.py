@@ -441,6 +441,13 @@ class ClientPipeline:
         # at nbase=1M); the last chunk pads by repeating its final row so
         # the server compiles exactly one n_rows shape
         k_ct = client.rows_per_ct(nbase, d)
+        import os as _os
+
+        if k_ct <= 1 or _os.environ.get("PFH_PIR_WIRE") == "single":
+            # fallback wire (ADVICE r03): one ct per row through the
+            # single-row pirHypercube form — geometries where packing
+            # carries no benefit, or an explicit operator opt-out
+            return self._pir_fetch_single(top_ids, client, nbase, d)
         all_rows = [int(r) for r in top_ids.reshape(-1)]
         entries, rs, n_valids = [], [], []
         for i in range(0, len(all_rows), k_ct):
@@ -484,6 +491,34 @@ class ClientPipeline:
             ]
         )
         nq = top_ids.shape[0]
+        return flat.reshape(nq, k, d), top_ids
+
+    def _pir_fetch_single(self, top_ids, client, nbase: int, d: int):
+        """Single-row pirHypercube wire: one uploaded ct per fetched row
+        (shallower expansion tree than the packed multi-row wire — the
+        fallback when packing is disabled or carries no benefit)."""
+        import urllib.error
+
+        rows = [int(r) for r in top_ids.reshape(-1)]
+        wires, rs = zip(*(
+            client.build_query_2d(r, nbase, d) for r in rows
+        ))
+        payload = {"pirHypercube": list(wires), "keyId": client.key_id}
+        if not getattr(client, "_keys_registered_single", False):
+            payload["galoisKeys"] = client.galois_keys_wire_2d(nbase, d)
+        try:
+            resp = self._post("pir-fetch", payload)
+        except urllib.error.HTTPError as e:
+            if e.code != 400 or "galoisKeys" in payload:
+                raise
+            payload["galoisKeys"] = client.galois_keys_wire_2d(nbase, d)
+            resp = self._post("pir-fetch", payload)
+        client._keys_registered_single = True
+        flat = np.stack([
+            client.decode_response_2d(w, d, rs[i])
+            for i, w in enumerate(resp["pirResults"])
+        ])
+        nq, k = top_ids.shape
         return flat.reshape(nq, k, d), top_ids
 
     # -- stage 9 ----------------------------------------------------------

@@ -68,7 +68,6 @@ class DeviceCKKS:
         # kilobyte-scale matrices — the dense N² digit matrix at N=8192 is
         # 268 MB and its HBM read dominated the whole key-switch
         self.mxu = [build_ntt4_tables(q, n) for q in self.ext]
-        self.n_digits = -(-30 // DIGIT_BITS)
         t0 = self.mxu[0]
         j1, j2 = np.meshgrid(
             np.arange(t0.n1), np.arange(t0.n2), indexing="ij"
@@ -83,11 +82,26 @@ class DeviceCKKS:
     # ------------------------------------------------------------------
     def register_keys(self, key_id: str, gks_wire: dict) -> None:
         """Pre-NTT every Galois key component over the full extended basis
-        (host, once per client) and park the result on device."""
+        (host, once per client) and park the result on device.
+
+        The key-switch digit width comes from the key wire itself
+        (GaloisKey.digitBits — negotiated like BFV's RelinKey), validated
+        against the component-count shape; it is stored per key_id and
+        threaded into the compiled score programs."""
         out = {}
+        dbits = None
         for step_s, wire in gks_wire.items():
             gk = GaloisKey.from_wire(wire)
             n_comp = gk.b.shape[0]
+            if dbits is None:
+                dbits = int(gk.digit_bits)
+                nd = -(-30 // dbits)
+            if int(gk.digit_bits) != dbits or n_comp != self.L * nd:
+                raise ValueError(
+                    f"galois key {step_s}: digitBits {gk.digit_bits} / "
+                    f"{n_comp} components inconsistent with "
+                    f"digitBits {dbits} (L={self.L})"
+                )
             kb = np.empty_like(gk.b)
             ka = np.empty_like(gk.a)
             for e, q in enumerate(self.ext):
@@ -99,8 +113,11 @@ class DeviceCKKS:
                 jnp.asarray(kb.astype(np.int32)),
                 jnp.asarray(ka.astype(np.int32)),
             )
-            assert n_comp == self.L * self.n_digits
         self._keys[key_id] = out
+        if not hasattr(self, "_key_digits"):
+            self._key_digits: Dict[str, int] = {}
+        if dbits is not None:
+            self._key_digits[key_id] = dbits
         # re-registration (key rotation) must invalidate the stacked
         # device-arg bundles keyed by this key_id
         if hasattr(self, "_combined_args_cache"):
@@ -127,24 +144,25 @@ class DeviceCKKS:
 
     def _score_fn(self, level_in: int, n_steps: int,
                   combine_tree: int | None = None, n_post: int = 0,
-                  seeded: bool = False):
+                  seeded: bool = False, digit_bits: int | None = None):
         # per-instance cache (a functools.lru_cache on the bound method
         # would key the GLOBAL cache on self and pin every DeviceCKKS
         # instance — device keys, tables, executables — for process life)
         if not hasattr(self, "_score_cache"):
             self._score_cache = {}
-        key = (level_in, n_steps, combine_tree, n_post, seeded)
+        key = (level_in, n_steps, combine_tree, n_post, seeded, digit_bits)
         if key in self._score_cache:
             return self._score_cache[key]
         fn = self._build_score_fn(
-            level_in, n_steps, combine_tree, n_post, seeded
+            level_in, n_steps, combine_tree, n_post, seeded, digit_bits
         )
         self._score_cache[key] = fn
         return fn
 
     def _build_score_fn(self, level_in: int, n_steps: int,
                         combine_tree: int | None = None, n_post: int = 0,
-                        seeded: bool = False):
+                        seeded: bool = False,
+                        digit_bits: int | None = None):
         """jit: (fdigs…, gdigs…, ct [2, L, N], pt_rns [B, L, N],
         keys_b [n_steps, n_comp, n_ext_all, N], keys_a …,
         perms [n_steps, N], signs [n_steps, N]) → [B, 2, level, N].
@@ -158,8 +176,9 @@ class DeviceCKKS:
         p_idx = len(self.ext) - 1
         n = self.params.n
         tabs = self.mxu
-        n_digits = self.n_digits
-        mask = (1 << DIGIT_BITS) - 1
+        dbits = DIGIT_BITS if digit_bits is None else int(digit_bits)
+        n_digits = -(-30 // dbits)
+        mask = (1 << dbits) - 1
         inv_ql = [
             int(pow(qs_in[-1] % q, -1, q)) for q in primes
         ]
@@ -175,12 +194,12 @@ class DeviceCKKS:
             primes_l = self.ext[:lvl]
             inv_p_l = [int(pow(p % q, -1, q)) for q in primes_l]
             B, _, n = c1r.shape
-            # 15-bit digits of each active limb: [B, level·n_digits, N]
+            # dbits-wide digits of each active limb: [B, level·n_digits, N]
             digs = []
             for i in range(lvl):
                 limb = c1r[:, i].astype(jnp.int32)
                 for d in range(n_digits):
-                    digs.append((limb >> (d * DIGIT_BITS)) & mask)
+                    digs.append((limb >> (d * dbits)) & mask)
             digits = jnp.stack(digs, axis=1)        # [B, n_comp, N]
             n_comp = lvl * n_digits
             flat = digits.reshape(B * n_comp, n)
@@ -542,7 +561,10 @@ class DeviceCKKS:
                 [np.stack([c.c0, c.c1]) for c in cts]
             ).astype(np.int32)
         )                                            # [nq, 2, L_in, N]
-        fn = self._score_fn(level_in, len(steps))
+        fn = self._score_fn(
+            level_in, len(steps),
+            digit_bits=getattr(self, "_key_digits", {}).get(key_id),
+        )
         dev_out = fn(ct_dev, jnp.asarray(pt_rns.astype(np.int32)),
                      keys_b, keys_a, perms, signs)   # UNFETCHED device array
 
@@ -709,6 +731,7 @@ class DeviceCKKS:
         fn = self._score_fn(
             level_in, len(pre_steps), combine_tree=n_tree,
             n_post=len(post_steps), seeded=seed_mode,
+            digit_bits=getattr(self, "_key_digits", {}).get(key_id),
         )
         if seed_mode:
             import base64

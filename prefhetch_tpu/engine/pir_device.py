@@ -184,6 +184,7 @@ class DevicePIR2:
         packed clients send the deeper tree their n_rows·m expansion
         needs. The stacked depth gates which answer forms are available."""
         gks = {int(g): RelinKey.from_wire(w) for g, w in gks_wire.items()}
+        wire_by_elt = {int(g): w for g, w in gks_wire.items()}
         depth = 0
         while depth < self.logm_max and self._gal_elts[depth] in gks:
             depth += 1
@@ -192,6 +193,27 @@ class DevicePIR2:
                 f"expansion keys cover {depth} levels; even the single-row "
                 f"tree needs {self.logm}"
             )
+        # No-downgrade merge (ADVICE r03): a shallow re-registration under
+        # a key_id already holding a DEEPER stack of the SAME keys must not
+        # truncate it — multi-row answers would break until the client's
+        # 400-retry re-registered. Keep the deeper stack when the incoming
+        # levels are identical to its prefix; genuinely different keys
+        # (a new client reusing the id) still overwrite below.
+        import hashlib
+        import json as _json
+
+        fps = [
+            hashlib.sha1(
+                _json.dumps(
+                    wire_by_elt[g], sort_keys=True, default=str
+                ).encode()
+            ).hexdigest()
+            for g in self._gal_elts[:depth]
+        ]
+        prev = getattr(self, "_key_fps", {}).get(key_id)
+        if prev is not None and len(prev) >= depth \
+                and list(prev[:depth]) == fps:
+            return
         first = gks[self._gal_elts[0]]
         ext = first.ext
         sp = first.special_p
@@ -214,6 +236,9 @@ class DevicePIR2:
         self._keys[key_id] = (
             jnp.asarray(kb.astype(np.int32)), jnp.asarray(ka.astype(np.int32)),
         )
+        if not hasattr(self, "_key_fps"):
+            self._key_fps = {}
+        self._key_fps[key_id] = tuple(fps)
         self._ks_meta = (tuple(ext), sp, inv_p)
 
     # ------------------------------------------------------------------
@@ -558,6 +583,26 @@ class DevicePIR2:
     # a B≈22 single-row batch — safely inside the B=64 OOM ceiling above
     _MULTI_BATCH_BUCKETS = (2, 4)
 
+    def _try_bucket(self, call, broken_attr: str, b: int):
+        """Run a batched device program; retry once before blacklisting.
+
+        The sandbox's remote compiler 500s INTERMITTENTLY (CLAUDE.md) —
+        the same program usually compiles on retry, so one transient
+        failure must not degrade batching for the process lifetime
+        (ADVICE r03). Only a PERSISTENT failure (e.g. a genuine compile
+        OOM at this bucket size) adds `b` to the blacklist; returns None
+        so the caller falls through to a smaller bucket / per-ct path."""
+        try:
+            return call()
+        except Exception:   # noqa: BLE001 — transient remote-compile 500?
+            try:
+                return call()
+            except Exception:   # noqa: BLE001 — persistent: blacklist
+                if not hasattr(self, broken_attr):
+                    setattr(self, broken_attr, set())
+                getattr(self, broken_attr).add(b)
+                return None
+
     def _batched_multi_fn(self, b: int, n_rows: int):
         if not hasattr(self, "_multi_batch_fns"):
             self._multi_batch_fns: Dict[tuple, object] = {}
@@ -611,14 +656,13 @@ class DevicePIR2:
                 chunk.append(chunk[-1])
             c0 = jnp.asarray(np.stack([c[0] for c in chunk]))
             c1 = jnp.asarray(np.stack([c[1] for c in chunk]))
-            try:
-                outs = np.asarray(self._batched_multi_fn(b, n_rows)(
+            outs = self._try_bucket(
+                lambda: np.asarray(self._batched_multi_fn(b, n_rows)(
                     self.db, c0, c1, kb, ka, fdigs, gdigs,
-                ))                           # [b, n_rows, 2·nd, 2, N]
-            except Exception:   # noqa: BLE001 — compile OOM: shrink
-                if not hasattr(self, "_multi_batch_broken"):
-                    self._multi_batch_broken = set()
-                self._multi_batch_broken.add(b)
+                )),                          # [b, n_rows, 2·nd, 2, N]
+                "_multi_batch_broken", b,
+            )
+            if outs is None:                 # persistent failure: shrink
                 continue
             for j in range(nv):
                 out.extend(
@@ -663,16 +707,15 @@ class DevicePIR2:
                 chunk.append(chunk[-1])
             c0 = jnp.asarray(np.stack([c[0] for c in chunk]))
             c1 = jnp.asarray(np.stack([c[1] for c in chunk]))
-            try:
-                outs = np.asarray(self._batched_answer_fn(b)(
+            outs = self._try_bucket(
+                lambda: np.asarray(self._batched_answer_fn(b)(
                     self.db, c0, c1, kb, ka, fdigs, gdigs,
-                ))                           # [b, 2·nd, 2, N]
-            except Exception:   # noqa: BLE001 — compile OOM on some
-                # topologies: drop to per-query answers rather than fail
-                # the fetch (the single program is the smallest)
-                if not hasattr(self, "_batch_broken"):
-                    self._batch_broken = set()
-                self._batch_broken.add(b)
+                )),                          # [b, 2·nd, 2, N]
+                "_batch_broken", b,
+            )
+            if outs is None:
+                # persistent compile failure (e.g. OOM) at this bucket:
+                # drop to per-query answers rather than fail the fetch
                 out.extend(
                     self._resp_wire(np.asarray(self._answer_fn(
                         self.db, c0[j], c1[j], kb, ka, fdigs, gdigs,

@@ -58,7 +58,7 @@ def main(argv=None) -> None:
         "--frontend", choices=("auto", "threaded", "aio", "native"),
         default="auto",
         help="web layer: auto picks the fastest available (native C++ "
-             "epoll frontend → asyncio event loop → stdlib threaded); "
+             "epoll frontend, falling back to the asyncio event loop); "
              "explicit choices pin one (threaded = reference-parity "
              "stdlib server, native = native/pfh_http.cpp per-batch "
              "Python, highest throughput)",

@@ -72,6 +72,7 @@ class NativeHTTPServer:
         max_batch: int = 64,
         grace_ms: float = 1.5,
         poll_ms: float = 200.0,
+        n_resolvers: int = 2,
     ) -> None:
         lib = native.get_http_lib()
         if lib is None:
@@ -118,23 +119,33 @@ class NativeHTTPServer:
         # backpressure when the device falls behind.
         import queue as _queue
 
-        # depth 2, deliberately shallow: when the resolver is busy the
-        # dispatch thread blocks on put() instead of racing ahead — arrivals
-        # pile up in the C++ ready queue and the NEXT poll drains them as
-        # one big wave (fragmented small waves each pay the full ~30 ms
-        # relay d2h, so wave size is the throughput lever)
-        self._cq: "_queue.Queue" = _queue.Queue(maxsize=2)
+        # SEVERAL resolver threads (r04): the ~30 ms relay d2h per wave is
+        # LATENCY, not bandwidth — a lone completion thread serialized it
+        # (r03: resolve_s 8.84 of ~10.5 s busy) while concurrent
+        # device_gets through the relay overlap almost fully. n_resolvers
+        # waves resolve concurrently; the queue depth bounds how far the
+        # dispatch thread races ahead (backpressure when the device or the
+        # relay falls behind: put() blocks, arrivals pile up in the C++
+        # ready queue, and the NEXT poll drains them as one big wave —
+        # fragmented small waves each pay the full relay roundtrip, so
+        # wave size stays the other throughput lever).
+        self._n_resolvers = max(1, int(n_resolvers))
+        self._cq: "_queue.Queue" = _queue.Queue(maxsize=self._n_resolvers)
         # waves in flight past dispatch (queued or resolving): the adaptive
-        # batching policy flushes pending requests only when this drops to
-        # ≤1 (pipeline near-idle) or the wave is full — otherwise arrivals
-        # keep accumulating while the resolver works
+        # batching policy flushes pending requests only when every resolver
+        # could take work (pipeline near-idle) or the wave is full —
+        # otherwise arrivals keep accumulating while the resolvers work
         self._inflight = 0
         self._inflight_lock = threading.Lock()
-        self._cthread = threading.Thread(
-            target=self._completion_loop, name="pfh-native-complete",
-            daemon=True,
-        )
-        self._cthread.start()
+        self._cthreads = [
+            threading.Thread(
+                target=self._completion_loop,
+                name=f"pfh-native-complete-{i}", daemon=True,
+            )
+            for i in range(self._n_resolvers)
+        ]
+        for t in self._cthreads:
+            t.start()
         self._thread = threading.Thread(
             target=self._loop, name="pfh-native-serve", daemon=True
         )
@@ -147,9 +158,11 @@ class NativeHTTPServer:
         self._stop.set()
         self._thread.join(timeout=5.0)
         # the dispatch thread is done: every queued job precedes the
-        # sentinel, so joining the completion thread drains all responses
-        self._cq.put(None)
-        self._cthread.join(timeout=30.0)
+        # sentinels, so joining the completion threads drains all responses
+        for _ in self._cthreads:
+            self._cq.put(None)
+        for t in self._cthreads:
+            t.join(timeout=30.0)
         self._lib.pfh_http_stop(self._h)
         self._h = None
 
@@ -186,9 +199,9 @@ class NativeHTTPServer:
                 if got:
                     continue        # still arriving — keep collecting
                 with self._inflight_lock:
-                    busy = self._inflight > 1
+                    busy = self._inflight > self._n_resolvers
                 if busy:
-                    continue        # resolver busy — let the wave grow
+                    continue        # resolvers busy — let the wave grow
             reqs, pending = pending, []
             t0 = time.perf_counter()
             try:
@@ -334,6 +347,9 @@ class NativeHTTPServer:
 
     # -- completion thread ----------------------------------------------
     def _completion_loop(self) -> None:
+        # n_resolvers of these run concurrently: resolve_s sums THREAD
+        # seconds (overlapped waves double-count wall time — it is a
+        # diagnostic of relay pressure, not a wall-clock share)
         tm = self.timing
         while True:
             job = self._cq.get()
@@ -350,14 +366,16 @@ class NativeHTTPServer:
                         self._respond_error(m, 500, "internal error")
                     continue
                 t1 = time.perf_counter()
-                tm["resolve_s"] += t1 - t0
                 try:
                     self._encode_respond(route, members, rows, out)
                 except Exception:   # noqa: BLE001
                     logger.exception("native encode failed (%s)", route)
                     for m in members:
                         self._respond_error(m, 500, "internal error")
-                tm["encode_s"] += time.perf_counter() - t1
+                t2 = time.perf_counter()
+                with self._inflight_lock:
+                    tm["resolve_s"] += t1 - t0
+                    tm["encode_s"] += t2 - t1
             finally:
                 with self._inflight_lock:
                     self._inflight -= 1
@@ -419,13 +437,15 @@ def serve_forever_native(
     background: bool = False,
     max_batch: int = 64,
     grace_ms: float = 1.5,
+    n_resolvers: int = 2,
     **_ignored,
 ):
     """Start the native frontend (binds INADDR_ANY; `host` accepted for
     signature parity with serve_forever_aio). Returns the server when
     `background`, else blocks until interrupted."""
     srv = NativeHTTPServer(
-        engine, port=port, max_batch=max_batch, grace_ms=grace_ms
+        engine, port=port, max_batch=max_batch, grace_ms=grace_ms,
+        n_resolvers=n_resolvers,
     )
     logger.info("native epoll frontend listening on :%d", srv.port)
     if background:

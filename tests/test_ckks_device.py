@@ -188,3 +188,62 @@ def test_combined_single_ct_device_matches_host_and_decodes():
     np.testing.assert_array_equal(e_cts[0].c0, s_cts[0].c0)
     np.testing.assert_array_equal(e_cts[0].c1, s_cts[0].c1)
     np.testing.assert_array_equal(e_norms, s_norms)
+
+
+def test_digit_bits_negotiated_from_key_wire(setup, monkeypatch):
+    """A client whose Galois keys were generated at 30-bit key-switch
+    digits must be served correctly by a server running the default
+    15-bit config: the digit width travels in the key wire
+    (GaloisKey.digitBits, like BFV's RelinKey) — NOT via the
+    PFH_CKKS_DIGIT_BITS env, which used to silently desynchronize the
+    parties (VERDICT r03 weak #6)."""
+    import prefhetch_tpu.crypto.ckks as ckks_mod
+
+    params, ctx, sk, pk, _, rng = setup
+    steps = []
+    r = D // 2
+    while r >= 1:
+        steps.append(r)
+        r //= 2
+    # client side: keygen at 30-bit digits
+    monkeypatch.setattr(ckks_mod, "DIGIT_BITS", 30)
+    gks30 = ctx.galois_keygen(sk, steps, insecure_rng(11))
+    monkeypatch.undo()                      # server back at default 15
+    wire30 = {str(s): k.to_wire() for s, k in gks30.items()}
+    assert all(w["digitBits"] == 30 for w in wire30.values())
+
+    q = insecure_rng(12).integers(0, 30, size=D).astype(np.float64)
+    cands = insecure_rng(13).integers(0, 30, size=(6, D)).astype(np.float64)
+    ct = _encrypt_query(ctx, pk, q, rng)
+
+    host = CKKSComputeService(params)
+    host.register_keys("k30", wire30)
+    host_cts, _ = host.encrypted_scores(ct, cands, "k30")
+
+    dev = DeviceCKKS(params)
+    dev.register_keys("k30", wire30)
+    assert dev._key_digits["k30"] == 30
+    dev_cts, _ = dev.encrypted_scores(ct, cands, "k30")
+    for hc, dc in zip(host_cts, dev_cts):
+        np.testing.assert_array_equal(dc.c0, hc.c0)
+        np.testing.assert_array_equal(dc.c1, hc.c1)
+
+    # and the scores decrypt to the true inner products
+    slots = params.n // 2
+    per_ct = slots // D
+    out = np.real(ctx.decrypt(sk, host_cts[0]))
+    want = cands[: per_ct] @ q
+    got = out[np.arange(min(per_ct, len(cands))) * D]
+    np.testing.assert_allclose(got, want[: len(got)], rtol=0.02, atol=0.5)
+
+
+def test_mismatched_digit_bits_key_rejected(setup):
+    """Keys whose component count disagrees with their declared digitBits
+    must be rejected at registration (shape validation)."""
+    params, ctx, sk, pk, gks_wire, rng = setup
+    bad = {k: dict(v) for k, v in gks_wire.items()}
+    for v in bad.values():
+        v["digitBits"] = 30          # shape says 15-bit components
+    dev = DeviceCKKS(params)
+    with pytest.raises(ValueError, match="digitBits"):
+        dev.register_keys("bad", bad)

@@ -353,3 +353,83 @@ def test_pir2d_multi_batch_matches_per_ct():
                 client.decode_response_2d(got[k], d, r), base[row]
             )
             k += 1
+
+
+def test_pir2d_multi_row_production_params_decode():
+    """PRODUCTION-params noise validation of the multi-row packed wire
+    (ADVICE r03 medium): N=4096 / t=257 / 2×30-bit limbs — the exact ring
+    the serving engine uses (utils/config.HEParams defaults) — packed to
+    force the FULL 12-level expansion tree (the depth a fully-packed 1M
+    fetch pays: k_ct·m ≈ N ⇒ ceil(log2(k_ct·m)) = log2(N)). Every row must
+    decode EXACTLY; the multi-row doubling rounds spend ~log2(rows_per_ct)
+    more noise bits than the single-row wire, and toy-params tests (n=256
+    above) cannot see that margin."""
+    from prefhetch_tpu.crypto.params import pir_params_for
+    from prefhetch_tpu.crypto.pir import PIR2Server, PIRClient, grid_dims
+
+    p = pir_params_for(4096, 257, 2)
+    nbase, d = 5000, 128
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (nbase, d)).astype(np.float32)
+    client = PIRClient(p, seed=5)
+    server = PIR2Server(base, p)
+    _, g1, g2 = grid_dims(p, nbase, d)
+    m = g1 + g2
+    # smallest row count whose n_rows·m crosses N/2 — same tree depth as a
+    # fully-packed production ct, at the least host-answer cost (~50 s)
+    n_rows = (p.n // 2) // m + 1
+    assert (n_rows * m - 1).bit_length() == (p.n - 1).bit_length()
+    rows = rng.integers(0, nbase, n_rows).tolist()
+    server.register_galois_keys(
+        client.key_id, client.galois_keys_wire_2d_multi(nbase, d, n_rows)
+    )
+    wire, rs = client.build_query_2d_multi(rows, nbase, d)
+    resps = server.answer_2d_multi(wire, client.key_id, n_rows)
+    assert len(resps) == n_rows
+    for row, resp, r in zip(rows, resps, rs):
+        np.testing.assert_array_equal(
+            client.decode_response_2d(resp, d, r), base[row]
+        )
+
+
+def test_pir2d_galois_depth_no_downgrade():
+    """A shallow single-row key registration under a key_id that already
+    holds the SAME client's deeper multi-row stack must NOT truncate it
+    (ADVICE r03: the downgrade silently broke later multi-row answers);
+    a different client's keys under the same id still overwrite."""
+    from prefhetch_tpu.crypto.params import pir_params_for
+    from prefhetch_tpu.crypto.pir import PIRClient
+    from prefhetch_tpu.engine.pir_device import DevicePIR2
+
+    p = pir_params_for(256, 257, 2)
+    rng = np.random.default_rng(41)
+    nbase, d = 300, 32
+    base = rng.integers(0, 256, (nbase, d)).astype(np.float32)
+    client = PIRClient(p, seed=42)
+    dev = DevicePIR2(base, p)
+    n_rows = 3
+    dev.register_galois_keys(
+        client.key_id, client.galois_keys_wire_2d_multi(nbase, d, n_rows)
+    )
+    deep = dev._keys[client.key_id][0].shape[0]
+    # same client re-registers the single-row (shallower) key set
+    dev.register_galois_keys(
+        client.key_id, client.galois_keys_wire_2d(nbase, d)
+    )
+    assert dev._keys[client.key_id][0].shape[0] == deep  # kept the deep stack
+    w, rs = client.build_query_2d_multi([0, 37, 299], nbase, d)
+    resps = dev.answer_2d_multi(w, client.key_id, n_rows)  # still answers
+    for row, resp, r in zip([0, 37, 299], resps, rs):
+        np.testing.assert_array_equal(
+            client.decode_response_2d(resp, d, r), base[row]
+        )
+    # a DIFFERENT client under the same id overwrites (its own keys win)
+    other = PIRClient(p, seed=99)
+    dev.register_galois_keys(
+        client.key_id, other.galois_keys_wire_2d(nbase, d)
+    )
+    w2, r2 = other.build_query_2d(37, nbase, d)
+    resp2 = dev.answer_2d(w2, client.key_id)
+    np.testing.assert_array_equal(
+        other.decode_response_2d(resp2, d, r2), base[37]
+    )
