@@ -196,7 +196,8 @@ def get_index(data, subdir=""):
     return idx
 
 
-def tpu_pipeline(index, base_j, queries_j, nprobe=None, coarse_probe=None):
+def tpu_pipeline(index, base_j, queries_j, nprobe=None, coarse_probe=None,
+                 quant=None):
     """Multi-dispatch full query step on the TILED layout; returns
     (step fn, args, stats dict). nprobe/coarse_probe default to the
     headline operating point; the hard-set frontier sweep passes others.
@@ -224,7 +225,8 @@ def tpu_pipeline(index, base_j, queries_j, nprobe=None, coarse_probe=None):
 
     nprobe = NPROBE if nprobe is None else nprobe
     coarse_probe = COARSE_PROBE if coarse_probe is None else coarse_probe
-    quant = os.environ.get("PFH_BENCH_QUANT", "none")
+    if quant is None:
+        quant = os.environ.get("PFH_BENCH_QUANT", "none")
     # pq: 256-slot tiles keep the Pallas one-hot within VMEM
     tile = int(os.environ.get("PFH_BENCH_TILE", 256 if quant == "pq" else 1024))
     view = build_tiled_view(index, tile=tile, quant=quant)
@@ -367,6 +369,26 @@ def tpu_pipeline(index, base_j, queries_j, nprobe=None, coarse_probe=None):
                 dist, coarse_probe, prune_j, level1_bf16=True
             )
             return prog_tail(ids, tiles, pos, base, q, sel)
+
+        def stage_fns(run_args):
+            payload, norms, sizes, ids, base, q, tiles = run_args
+
+            def scan():
+                return prog_scan(payload, norms, sizes, q, tiles)
+
+            dist, sel = scan()
+
+            def topk():
+                return topk_select_segmented(
+                    dist, coarse_probe, prune_j, level1_bf16=True
+                )
+
+            _, pos = topk()
+
+            def tail():
+                return prog_tail(ids, tiles, pos, base, q, sel)
+
+            return {"scan": scan, "topk": topk, "tail": tail}
     else:
         def step(payload, norms, sizes, ids, base, q, tiles):
             dist = prog_scan(payload, norms, sizes, q, tiles)
@@ -374,6 +396,28 @@ def tpu_pipeline(index, base_j, queries_j, nprobe=None, coarse_probe=None):
                 dist, coarse_probe, max_t, level1_bf16=True
             )
             return prog_tail(ids, tiles, pos, base, q)
+
+        def stage_fns(run_args):
+            payload, norms, sizes, ids, base, q, tiles = run_args
+
+            def scan():
+                return prog_scan(payload, norms, sizes, q, tiles)
+
+            dist = scan()
+            if isinstance(dist, tuple):
+                dist = dist[0]
+
+            def topk():
+                return topk_select_segmented(
+                    dist, coarse_probe, max_t, level1_bf16=True
+                )
+
+            _, pos = topk()
+
+            def tail():
+                return prog_tail(ids, tiles, pos, base, q)
+
+            return {"scan": scan, "topk": topk, "tail": tail}
 
     args = (view.payload, view.norms, view.sizes, view.ids, base_j,
             queries_j, tiles_j)
@@ -396,6 +440,10 @@ def tpu_pipeline(index, base_j, queries_j, nprobe=None, coarse_probe=None):
         # payload + norms read per query by the scan kernel (amortized
         # across the batch for the union scan)
         "scan_bytes_per_query": scan_bytes,
+        # per-stage probes over the SAME compiled programs (VERDICT r03
+        # #6: aim the next optimization) — bench main times these and
+        # records stage_ms in the artifact
+        "stage_fns": stage_fns,
     }
     return step, args, stats
 
@@ -495,6 +543,32 @@ def main():
     # core number (vs_baseline refined below once the numpy baseline runs)
     _RESULT["value"] = round(tpu_qps, 2)
 
+    # per-stage device breakdown of the headline wave (VERDICT r03 #6):
+    # sustained loops over the same compiled programs + one d2h probe —
+    # batch_p50 minus the stage sum is dispatch/host, d2h is the relay
+    stage_ms = {}
+    try:
+        def _stage_ms(fn, n=20):
+            out = fn()
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = fn()
+            jax.block_until_ready(out)
+            return (time.perf_counter() - t0) / n * 1e3
+
+        for name, fn in scan_stats.pop("stage_fns")(args).items():
+            stage_ms[name] = round(_stage_ms(fn), 2)
+        dd, dids = step(*args)
+        jax.block_until_ready((dd, dids))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            jax.device_get((dd, dids))
+        stage_ms["d2h"] = round((time.perf_counter() - t0) / 5 * 1e3, 2)
+        _mark(f"stage breakdown {stage_ms}")
+    except Exception:   # noqa: BLE001 — diagnostic only, never fatal
+        scan_stats.pop("stage_fns", None)
+
     # recall sanity on the bench workload
     from prefhetch_tpu.metrics import benchmark_results
 
@@ -520,6 +594,7 @@ def main():
         "scan_payload_bytes_per_vec": 2 * D,
         "batch_p50_ms": round(p50, 2),
         "batch_p99_ms": round(p99, 2),
+        "stage_ms": stage_ms,
         "nbase": NBASE,
         "batch": BATCH,
         "backend": jax.devices()[0].platform,
@@ -698,6 +773,32 @@ def main():
             "angular_recall_at_100": round(arep.recall_100, 4),
         }
 
+    # EQUAL-MEMORY operating point (VERDICT r03 #5): PQ codes payload at
+    # FAISS IVFPQ serving memory (M=32 code bytes + 4B ids = 36 B/vec, no
+    # bf16 reconstruction payload) scanned by the VMEM one-hot ADC matmul
+    # (ops/pallas_scan.pallas_pq_onehot_distances). The headline path's
+    # 256 B/vec payload is a deliberate memory-for-bandwidth trade; this
+    # section keeps a standing graded number at reference memory parity.
+    def run_pq():
+        pstep, pargs, pstats = tpu_pipeline(index, base_j, q_j, quant="pq")
+        _, pids = pstep(*pargs)
+        pids.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(N_BATCHES):
+            _, pids = pstep(*pargs)
+        pids.block_until_ready()
+        pq_qps = dev_batch * N_BATCHES / (time.perf_counter() - t0)
+        prep = benchmark_results(
+            np.asarray(pids)[:n_score], data["groundtruth"][:n_score], k=K
+        )
+        return {
+            "pq_onehot_qps": round(pq_qps, 2),
+            "pq_recall_at_10": round(prep.recall_10, 4),
+            "pq_recall_at_100": round(prep.recall_100, 4),
+            "pq_index_bytes_per_vec": PQ_M + 4,
+            "pq_scan_bytes_per_query": pstats["scan_bytes_per_query"],
+        }
+
     def run_ckks():
         ckks_qps, ckks_err = ckks_scoring_qps(data, np.asarray(ids))
         out = {
@@ -829,8 +930,9 @@ def main():
     # warm .jax_cache runs finish in ~60 s
     _section("ckks", "PFH_BENCH_SKIP_CKKS", run_ckks, est_s=150)
     _section("pir", "PFH_BENCH_SKIP_PIR", run_pir, est_s=150)
-    # compile-risky (fresh dataset → fresh program) sections LAST: a
+    # compile-risky (fresh program / fresh dataset) sections LAST: a
     # failed remote compile burns minutes and must not starve the above
+    _section("pq", "PFH_BENCH_SKIP_PQ", run_pq, est_s=120)
     _section("angular", "PFH_BENCH_SKIP_ANGULAR", run_angular, est_s=120)
     _section("hard", "PFH_BENCH_SKIP_HARD", run_hard, est_s=120)
 
@@ -981,19 +1083,16 @@ def http_serving_bench(
                     f"http client worker failed: {err[-500:].decode()}"
                 )
         lines = out.decode().strip().split("\n")
-        vals = lines[0].split()
-        wall = float(vals[1]) - float(vals[0])
-        lat = [float(x) for x in vals[2:]]
-        ac_lat, ac_wall = [], 1.0
-        fu_lat, fu_wall = [], 1.0
-        if len(lines) > 1:
-            v2 = lines[1].split()
-            ac_wall = float(v2[1]) - float(v2[0])
-            ac_lat = [float(x) for x in v2[2:]]
-        if len(lines) > 2:
-            v3 = lines[2].split()
-            fu_wall = float(v3[1]) - float(v3[0])
-            fu_lat = [float(x) for x in v3[2:]]
+
+        def _phase(line):
+            v = line.split()
+            if len(v) < 3:          # "skip" marker (PFH_HTTP_FUSED_ONLY)
+                return [], 1.0
+            return [float(x) for x in v[2:]], float(v[1]) - float(v[0])
+
+        lat, wall = _phase(lines[0])
+        ac_lat, ac_wall = _phase(lines[1]) if len(lines) > 1 else ([], 1.0)
+        fu_lat, fu_wall = _phase(lines[2]) if len(lines) > 2 else ([], 1.0)
     finally:
         # the server thread must never leak into subsequent bench sections
         srv.shutdown()
@@ -1004,17 +1103,18 @@ def http_serving_bench(
     # reported as http_multiround_*, and the reference-parity
     # all-candidates wire as http_allcand_* — three operating points of
     # the same server, strongest privacy to fastest.
-    lat_ms = sorted(x * 1e3 for x in lat)
     out = {
-        "http_multiround_qps": round(len(lat) / wall, 2),
-        "http_multiround_p50_ms": round(lat_ms[len(lat_ms) // 2], 2),
-        "http_multiround_p99_ms": round(
-            lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))], 2
-        ),
         "http_clients": n_clients,
         "http_topk_wire_bytes_per_query": COARSE_PROBE * 8,
         "http_allcand_wire_bytes_per_query": wire_q,
     }
+    if lat:
+        lat_ms = sorted(x * 1e3 for x in lat)
+        out["http_multiround_qps"] = round(len(lat) / wall, 2)
+        out["http_multiround_p50_ms"] = round(lat_ms[len(lat_ms) // 2], 2)
+        out["http_multiround_p99_ms"] = round(
+            lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))], 2
+        )
     out["http_frontend"] = frontend
     tm = getattr(srv, "timing", None)
     if tm and tm.get("waves"):
@@ -1240,10 +1340,13 @@ def run_phase(fn, n_cl, n_rq):
 
 
 one_round_fused(boot, 0)
-t0, t1, l1 = run_phase(one_round, min(n_clients, 64), n_reqs)
-print(f"{t0:.6f} {t1:.6f} " + " ".join(f"{x:.6f}" for x in l1))
-t0, t1, l2 = run_phase(one_round_allcand, min(n_clients, 16), 4)
-print(f"{t0:.6f} {t1:.6f} " + " ".join(f"{x:.6f}" for x in l2))
+if os.environ.get("PFH_HTTP_FUSED_ONLY"):       # fast A/B iteration
+    print("skip"); print("skip")
+else:
+    t0, t1, l1 = run_phase(one_round, min(n_clients, 64), n_reqs)
+    print(f"{t0:.6f} {t1:.6f} " + " ".join(f"{x:.6f}" for x in l1))
+    t0, t1, l2 = run_phase(one_round_allcand, min(n_clients, 16), 4)
+    print(f"{t0:.6f} {t1:.6f} " + " ".join(f"{x:.6f}" for x in l2))
 t0, t1, l3 = run_phase(one_round_fused, n_clients, n_reqs)
 print(f"{t0:.6f} {t1:.6f} " + " ".join(f"{x:.6f}" for x in l3))
 '''

@@ -117,6 +117,11 @@ class QueryEngine:
         self.index = index
         self.base = jnp.asarray(base, jnp.float32)
 
+    # Tile size override for the tiled serving layout (None = the
+    # index/tiling.py default). Tests use small tiles so tiny fixtures
+    # still exercise multi-tile compositions (e.g. segment pruning).
+    serve_tile: Optional[int] = None
+
     @property
     def _tiled_view(self):
         """Tiled scan layout, built once per index (None without a dense
@@ -126,7 +131,11 @@ class QueryEngine:
 
             with self._lock:      # ThreadingHTTPServer: one init wins
                 if not hasattr(self, "_tiled_cache"):
-                    self._tiled_cache = build_tiled_view(self.index)
+                    self._tiled_cache = (
+                        build_tiled_view(self.index, tile=self.serve_tile)
+                        if self.serve_tile
+                        else build_tiled_view(self.index)
+                    )
         return self._tiled_cache
 
     @property
@@ -176,6 +185,44 @@ class QueryEngine:
     def is_sharded(self) -> bool:
         return getattr(self, "_mesh", None) is not None
 
+    @property
+    def _sharded_tiled(self):
+        """Tile-sharded twin of the tiled view (lazy, once per index):
+        payload/norms/sizes row-sharded over the mesh, ids replicated
+        (parallel/sharded.shard_tiled_view). Lets the production tiled
+        wire + fused route run sharded with bit-identical semantics
+        (r03 VERDICT #4 — the sharded engine previously fell back to the
+        slow scan formulation)."""
+        if not hasattr(self, "_sharded_tiled_cache"):
+            from prefhetch_tpu.parallel.sharded import shard_tiled_view
+
+            with self._lock:
+                if not hasattr(self, "_sharded_tiled_cache"):
+                    view = self._tiled_view
+                    self._sharded_tiled_cache = (
+                        None if view is None
+                        else shard_tiled_view(view, self._mesh)
+                    )
+        return self._sharded_tiled_cache
+
+    def _partition_union(self, union_np, pos_np, nq_pad: int, mt: int):
+        """Host-side union split across tile owners with the u_loc axis
+        PINNED per (row bucket, tile count) — a fresh u_loc is a fresh XLA
+        program (minutes through the remote compiler)."""
+        from prefhetch_tpu.parallel.sharded import partition_union
+
+        st = self._sharded_tiled
+        if not hasattr(self, "_uloc_pin"):
+            self._uloc_pin = {}
+        key = (nq_pad, mt)
+        ndev = self._mesh.devices.size
+        union_dev, pos_dev, u_loc = partition_union(
+            union_np, pos_np, self._tiled_view.empty_tile, st.tpl, ndev,
+            u_loc=self._uloc_pin.get(key),
+        )
+        self._uloc_pin[key] = u_loc
+        return union_dev, pos_dev
+
     # -- service 1: GET /query -----------------------------------------
     def retrieve_centroids(self) -> np.ndarray:
         """Export all nlist centroids (reference: server_lib.cpp:101-109)."""
@@ -207,7 +254,9 @@ class QueryEngine:
         Takes q as a HOST array [nq, d] (row padding happens in numpy —
         a device-side pad would compile one XLA program per wave size).
         Returns (tile_idx [nq_pad, mt] i32, q_pad jnp [nq_pad, d],
-        union jnp [U_pad], pos jnp [nq_pad, mt], counts [nq] i64, nq)."""
+        union np [U_pad], pos np [nq_pad, mt], counts [nq] i64, nq) —
+        union/pos stay HOST arrays so the sharded path can partition them
+        across tile owners before upload."""
         from prefhetch_tpu.ops.union_scan import union_probe_tiles
 
         view = self._tiled_view
@@ -248,10 +297,7 @@ class QueryEngine:
                 np.full(u_pad - len(union_np), view.empty_tile,
                         union_np.dtype),
             ])
-        return (
-            tile_idx, q, jnp.asarray(union_np), jnp.asarray(pos_np),
-            counts, nq,
-        )
+        return (tile_idx, q, union_np, pos_np, counts, nq)
 
     # -- service 2 (binary wire): tiled coarse search ---------------------
     def tile_table(self) -> Tuple[np.ndarray, np.ndarray, int]:
@@ -291,8 +337,6 @@ class QueryEngine:
         (tile_table), so the server does ZERO per-candidate host work —
         round 2 measured the ragged JSON wire at 23 q/s against a 15.8K q/s
         device pipeline; this path exists to close that gap."""
-        if self.is_sharded:
-            raise ValueError("tiled wire not available in sharded mode")
         if self._tiled_view is None:
             raise ValueError("tiled wire requires a dense-payload index")
         from prefhetch_tpu.ops.union_scan import union_scan_distances_q16
@@ -300,12 +344,23 @@ class QueryEngine:
         view = self._tiled_view
         q = np.asarray(precise_query, np.float32)
         probes_np = np.asarray(nearest_centroid_idx, np.int64)
-        tile_idx_p, q_p, union_j, pos_j, counts, nq = self._tiled_batch_prep(
-            probes_np, q
+        tile_idx_p, q_p, union_np, pos_np, counts, nq = (
+            self._tiled_batch_prep(probes_np, q)
         )
-        qd, dmin, dstep = union_scan_distances_q16(
-            view.payload, view.norms, view.sizes, q_p, union_j, pos_j
-        )
+        if self.is_sharded:
+            from prefhetch_tpu.parallel.sharded import sharded_union_scan_q16
+
+            union_dev, pos_dev = self._partition_union(
+                union_np, pos_np, q_p.shape[0], tile_idx_p.shape[1]
+            )
+            qd, dmin, dstep = sharded_union_scan_q16(
+                self._mesh, self._sharded_tiled, q_p, union_dev, pos_dev
+            )
+        else:
+            qd, dmin, dstep = union_scan_distances_q16(
+                view.payload, view.norms, view.sizes, q_p,
+                jnp.asarray(union_np), jnp.asarray(pos_np),
+            )
 
         def resolve():
             # ONE device_get: the relay charges ~30 ms per d2h roundtrip
@@ -364,8 +419,6 @@ class QueryEngine:
         measurement that motivated this: the all-candidates u16 response
         at 1M (6.8 MB per 64-batch) transferred at ~25 MB/s through the
         sandbox relay, capping the engine at ~310 q/s."""
-        if self.is_sharded:
-            raise ValueError("tiled wire not available in sharded mode")
         if self._tiled_view is None:
             raise ValueError("tiled wire requires a dense-payload index")
         from prefhetch_tpu.ops.topk import topk_select
@@ -376,8 +429,8 @@ class QueryEngine:
         view = self._tiled_view
         q = np.asarray(precise_query, np.float32)
         probes_np = np.asarray(nearest_centroid_idx, np.int64)
-        tile_idx_p, q_p, union_j, pos_j, counts, nq = self._tiled_batch_prep(
-            probes_np, q
+        tile_idx_p, q_p, union_np, pos_np, counts, nq = (
+            self._tiled_batch_prep(probes_np, q)
         )
         if int(counts.min()) < k:
             raise ValueError(
@@ -385,17 +438,94 @@ class QueryEngine:
             )
         # three dispatches (scan | top-k | id-resolve): XLA's fast TPU
         # top-k only pattern-matches a bare top_k program (ops/topk.py)
-        dist = union_scan_distances(
-            view.payload, view.norms, view.sizes, q_p, union_j, pos_j
+        dist = self._dispatch_union_scan(
+            view, q_p, union_np, pos_np, tile_idx_p.shape[1]
         )
         vals, pos = topk_select(dist, k)
-        ids = resolve_topk_ids(pos, jnp.asarray(tile_idx_p), view.ids)
+        ids_table = (
+            self._sharded_tiled.ids if self.is_sharded else view.ids
+        )
+        ids = resolve_topk_ids(pos, jnp.asarray(tile_idx_p), ids_table)
 
         def resolve():
             ids_h, vals_h = jax.device_get((ids, vals))   # one roundtrip
             return ids_h[:nq], vals_h[:nq], counts
 
         return resolve
+
+    def _serve_prune_j(self, mt: int) -> int:
+        """Segment-pruning tile budget for the fused serving route (0 =
+        off). The r03 serving fused path ran the UNPRUNED scan + the wide
+        [nq, mt·T] top-k — ~3× the device time of the bench headline's
+        pruned composition, and the measured binder of http_qps (the
+        device serializes under overlapped resolvers). Default matches
+        the bench lever (J=24 at COARSE_PROBE=256, 1M hard-sweep choice;
+        scaled with the funnel), bounded by the tile axis; disabled when
+        it cannot cover COARSE_PROBE or would not shrink anything.
+        PFH_SERVE_PRUNE_J overrides (0 disables)."""
+        cp = int(self.config.protocol.coarse_probe)
+        T = self._tiled_view.tile
+        default_j = 24 * max(1, cp // 256)
+        j = int(os.environ.get("PFH_SERVE_PRUNE_J", default_j))
+        j = min(j, mt)
+        if j <= 0 or j * T < cp or j >= mt:
+            return 0
+        return j
+
+    def _dispatch_union_scan_pruned(self, view, q_p, union_np, pos_np,
+                                    mt, j):
+        """Segment-pruned union scan on the right backend → (dist
+        [nq_pad, j·T], sel [nq_pad, j]). Sharded and single-device XLA
+        formulations are bit-identical (f32); the single-chip TPU path
+        uses the fused Pallas kernel (bf16 distances, selection-grade —
+        the wide top-k's level 1 is bf16 anyway)."""
+        import jax as _jax
+
+        if self.is_sharded:
+            from prefhetch_tpu.parallel.sharded import (
+                sharded_union_scan_pruned,
+            )
+
+            union_dev, pos_dev = self._partition_union(
+                union_np, pos_np, q_p.shape[0], mt
+            )
+            return sharded_union_scan_pruned(
+                self._mesh, self._sharded_tiled, q_p, union_dev, pos_dev, j
+            )
+        from prefhetch_tpu.ops.union_scan import (
+            union_scan_pruned, union_scan_pruned_fused,
+        )
+
+        u_j, p_j = jnp.asarray(union_np), jnp.asarray(pos_np)
+        if _jax.default_backend() == "tpu":
+            return union_scan_pruned_fused(
+                view.payload, view.norms, view.sizes, q_p, u_j, p_j, j
+            )
+        return union_scan_pruned(
+            view.payload, view.norms, view.sizes, q_p, u_j, p_j, j
+        )
+
+    def _dispatch_union_scan(self, view, q_p, union_np, pos_np, mt):
+        """Dispatch the tiled union scan on the right backend: the
+        tile-sharded shard_map twin when sharded, the single-device
+        formulation otherwise. Returns dist [nq_pad, mt·T] (replicated
+        across the mesh when sharded) — bit-identical either way
+        (tests/test_sharded_serving.py)."""
+        from prefhetch_tpu.ops.union_scan import union_scan_distances
+
+        if self.is_sharded:
+            from prefhetch_tpu.parallel.sharded import sharded_union_scan
+
+            union_dev, pos_dev = self._partition_union(
+                union_np, pos_np, q_p.shape[0], mt
+            )
+            return sharded_union_scan(
+                self._mesh, self._sharded_tiled, q_p, union_dev, pos_dev
+            )
+        return union_scan_distances(
+            view.payload, view.norms, view.sizes, q_p,
+            jnp.asarray(union_np), jnp.asarray(pos_np),
+        )
 
     # -- service 2: POST /coarsesearch ----------------------------------
     def coarse_search(
@@ -436,17 +566,14 @@ class QueryEngine:
             and (on_tpu or force_tiled)
             and self._tiled_view is not None
         ):
-            from prefhetch_tpu.ops.union_scan import union_scan_distances
-
             view = self._tiled_view
             probes_np = np.asarray(nearest_centroid_idx, np.int64)
-            tile_idx_p, q_p, union_j, pos_j, counts, nq = (
+            tile_idx_p, q_p, union_np, pos_np, counts, nq = (
                 self._tiled_batch_prep(probes_np, q)
             )
             dist = np.asarray(
-                union_scan_distances(
-                    view.payload, view.norms, view.sizes, q_p,
-                    union_j, pos_j,
+                self._dispatch_union_scan(
+                    view, q_p, union_np, pos_np, tile_idx_p.shape[1]
                 )
             )[:nq]
             tile_idx = tile_idx_p
@@ -574,12 +701,10 @@ class QueryEngine:
         between stages). See coarse_search_tiled_async."""
         from prefhetch_tpu.ops.rerank import final_topk
         from prefhetch_tpu.ops.topk import topk_select
-        from prefhetch_tpu.ops.union_scan import (
-            resolve_topk_ids, union_scan_distances,
-        )
+        from prefhetch_tpu.ops.union_scan import resolve_topk_ids
 
-        if self.is_sharded or self._tiled_view is None:
-            # sharded/flat fallback: the sync two-stage composition
+        if self._tiled_view is None:
+            # flat fallback: the sync two-stage composition
             cp = max(int(self.config.protocol.coarse_probe), k)
             ids, dists, _ = self.coarse_search_topk(
                 precise_query, nearest_centroid_idx, cp
@@ -598,21 +723,41 @@ class QueryEngine:
         view = self._tiled_view
         q = np.asarray(precise_query, np.float32)
         probes_np = np.asarray(nearest_centroid_idx, np.int64)
-        tile_idx_p, q_p, union_j, pos_j, counts, nq = self._tiled_batch_prep(
-            probes_np, q
+        tile_idx_p, q_p, union_np, pos_np, counts, nq = (
+            self._tiled_batch_prep(probes_np, q)
         )
         if int(counts.min()) < cp:
             raise ValueError(
                 f"probed lists hold {int(counts.min())} candidates < "
                 f"COARSE_PROBE={cp}"
             )
-        dist = union_scan_distances(
-            view.payload, view.norms, view.sizes, q_p, union_j, pos_j
-        )
-        _, pos = topk_select(dist, cp)
-        cand = resolve_topk_ids(pos, jnp.asarray(tile_idx_p), view.ids)
-        scores = exact_rerank(self.base, q_p, cand.astype(jnp.int32))
-        ids_k, dists_k = final_topk(scores, cand, k)   # i32 ids on device;
+        mt = tile_idx_p.shape[1]
+        j = self._serve_prune_j(mt)
+        tiles_dev = jnp.asarray(tile_idx_p)
+        if j:
+            from prefhetch_tpu.ops.topk import topk_select_segmented
+
+            dist, sel = self._dispatch_union_scan_pruned(
+                view, q_p, union_np, pos_np, mt, j
+            )
+            _, pos = topk_select_segmented(dist, cp, j, level1_bf16=True)
+            tiles_dev = jnp.take_along_axis(tiles_dev, sel, axis=1)
+        else:
+            dist = self._dispatch_union_scan(view, q_p, union_np, pos_np, mt)
+            _, pos = topk_select(dist, cp)
+        if self.is_sharded:
+            # tile-sharded scan + row-sharded re-rank (the r03 sharded
+            # fallback ran the slow two-stage composition — VERDICT #4)
+            from prefhetch_tpu.parallel.sharded import sharded_fused_tail
+
+            cand = resolve_topk_ids(pos, tiles_dev, self._sharded_tiled.ids)
+            ids_k, dists_k = sharded_fused_tail(
+                self._mesh, self.base, q_p, cand, k
+            )
+        else:
+            cand = resolve_topk_ids(pos, tiles_dev, view.ids)
+            scores = exact_rerank(self.base, q_p, cand.astype(jnp.int32))
+            ids_k, dists_k = final_topk(scores, cand, k)  # i32 ids on device;
         # the wire layer widens to the protocol's i64 host-side (x64 is off
         # under jit — an astype(int64) here would silently stay int32)
 

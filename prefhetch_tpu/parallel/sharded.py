@@ -17,6 +17,7 @@ candidate ordering (probe-major, storage order within a list) bit-for-bit.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Tuple
 
@@ -234,3 +235,305 @@ def sharded_kmeans_step(
         in_specs=(P(AXIS), P()), out_specs=(P(), P()), check_vma=False,
     )
     return jax.jit(fn)(x_sharded, centroids)
+
+
+# ---------------------------------------------------------------------------
+# Sharded TILED union scan (r04): the production serving formulation
+# (ops/union_scan.py — batch-deduped union tiles, one MXU matmul) over a
+# tile-sharded payload. Removes the r03 "tiled wire not available in
+# sharded mode" restriction (engine/server.py): the fixed-size tile is the
+# natural shard unit — each device owns a contiguous tile range of the
+# payload/norms/sizes arrays, scores ONLY its share of the batch's union,
+# and the per-query extracted rows (NOT the full [nq, |U|·T] distance
+# matrix) combine by psum — every (query, slot) has exactly one owner, so
+# owner-value + zeros reproduces the single-device result bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedTiledView:
+    """Tile-sharded twin of index.tiling.TiledView's device arrays."""
+
+    payload: jax.Array       # [ntp, T, d] — tile-sharded P(AXIS)
+    norms: jax.Array         # [ntp, T] — tile-sharded
+    sizes: jax.Array         # [ntp] — tile-sharded
+    ids: jax.Array           # [ntiles+1, T] — replicated (tail resolve)
+    ntp: int                 # padded tile count (ndev multiple)
+    tpl: int                 # tiles per device: ownership = tile // tpl
+
+
+def shard_tiled_view(view, mesh: Mesh) -> ShardedTiledView:
+    """Pad the tile axis to a mesh multiple (pad tiles have size 0 and are
+    never referenced by any union) and place the scan arrays row-sharded;
+    the id table replicates (int32, ~4 MB at 1M/T=1024 — the tail resolve
+    gathers only nq·k elements)."""
+    import numpy as np
+
+    ndev = mesh.devices.size
+    nt = int(view.payload.shape[0])
+    ntp = -(-nt // ndev) * ndev
+    payload = np.asarray(view.payload)
+    norms = np.asarray(view.norms)
+    sizes = np.asarray(view.sizes)
+    if ntp != nt:
+        pad = ntp - nt
+        payload = np.concatenate(
+            [payload, np.zeros((pad,) + payload.shape[1:], payload.dtype)]
+        )
+        norms = np.concatenate(
+            [norms, np.zeros((pad, norms.shape[1]), norms.dtype)]
+        )
+        sizes = np.concatenate([sizes, np.zeros(pad, sizes.dtype)])
+    row = NamedSharding(mesh, P(AXIS))
+    rep = NamedSharding(mesh, P())
+    return ShardedTiledView(
+        payload=jax.device_put(jnp.asarray(payload), row),
+        norms=jax.device_put(jnp.asarray(norms), row),
+        sizes=jax.device_put(jnp.asarray(sizes), row),
+        ids=jax.device_put(view.ids, rep),
+        ntp=ntp,
+        tpl=ntp // ndev,
+    )
+
+
+def partition_union(
+    union_np, pos_np, empty_tile: int, tpl: int, ndev: int,
+    u_loc: int | None = None,
+):
+    """Host side: split the batch's union across tile owners.
+
+    Returns (union_dev [ndev, u_loc] i32 — global tile ids, −1 pads;
+    pos_dev [nq, mt] i32 — positions into the dev-major concatenated
+    layout slot = owner·u_loc + local_slot; u_loc). Duplicate empty-tile
+    pad entries of the global union collapse onto its first occurrence so
+    they never inflate one shard's share. u_loc may be pinned by the
+    caller (serving shape pinning); it is raised if any share would
+    truncate."""
+    import numpy as np
+
+    union_np = np.asarray(union_np)
+    first = int(np.argmax(union_np == empty_tile))
+    keep = np.ones(len(union_np), bool)
+    tail = union_np[first + 1:] == empty_tile
+    keep[first + 1:][tail] = False
+    owner = (union_np // tpl).astype(np.int64)
+    slot_of = np.empty(len(union_np), np.int64)
+    counts = np.zeros(ndev, np.int64)
+    kept_idx = np.nonzero(keep)[0]
+    for d in range(ndev):
+        sel = kept_idx[owner[kept_idx] == d]
+        counts[d] = len(sel)
+        slot_of[sel] = np.arange(len(sel))
+    need = int(counts.max()) if ndev else 1
+    if u_loc is None or u_loc < need:
+        u_loc = max(1, 1 << (need - 1).bit_length())
+    union_dev = np.full((ndev, u_loc), -1, np.int32)
+    for d in range(ndev):
+        sel = kept_idx[owner[kept_idx] == d]
+        union_dev[d, : len(sel)] = union_np[sel]
+    slot_of = slot_of + owner * u_loc
+    # dropped duplicate empty entries point at the kept one
+    slot_of[~keep] = slot_of[first]
+    pos_dev = slot_of[np.asarray(pos_np)].astype(np.int32)
+    return union_dev, pos_dev, u_loc
+
+
+@functools.lru_cache(maxsize=None)
+def _tiled_scan_fn(mesh: Mesh, q16: bool):
+    """Jitted shard_map: tile-sharded union scan → replicated
+    [nq, mt·T] distances (or the u16-quantized wire triple)."""
+    from prefhetch_tpu.ops.topk import PAD_DISTANCE
+
+    def shard_fn(payload_l, norms_l, sizes_l, queries, union_l, pos):
+        me = jax.lax.axis_index(AXIS)
+        ntl = payload_l.shape[0]
+        uid = union_l[0]                       # [u_loc] global ids, −1 pads
+        u_loc = uid.shape[0]
+        owned = uid >= 0
+        loc = jnp.clip(uid - me * ntl, 0, ntl - 1)
+        slab = payload_l[loc]                  # [u_loc, T, d]
+        n = norms_l[loc]
+        sz = jnp.where(owned, sizes_l[loc], 0)
+        T = slab.shape[1]
+        nq = queries.shape[0]
+        q = queries.astype(jnp.float32)
+        qc = q.astype(slab.dtype) if slab.dtype == jnp.bfloat16 else q
+        cross = jax.lax.dot_general(
+            slab.reshape(u_loc * T, -1), qc,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                      # [u_loc·T, nq]
+        qsq = jnp.sum(q * q, axis=-1)
+        d2 = qsq[None, :] + n.reshape(u_loc * T, 1) - 2.0 * cross
+        d2 = jnp.maximum(d2, 0.0)
+        lane = jnp.arange(T, dtype=jnp.int32)
+        valid = (lane[None, :] < sz[:, None]).reshape(u_loc * T)
+        d2 = jnp.where(valid[:, None], d2, PAD_DISTANCE)
+        d2m = d2.reshape(u_loc, T, nq).transpose(2, 0, 1)   # [nq, u_loc, T]
+        # per-query extraction of MY slots only, then psum: each slot has
+        # exactly one owner, so owner-value + (ndev−1) exact zeros is the
+        # single-device value bit-for-bit (all values ≥ 0, finite)
+        mine = (pos // u_loc) == me
+        ls = jnp.where(mine, pos % u_loc, 0)
+        ext = jnp.take_along_axis(d2m, ls[:, :, None], axis=1)
+        ext = jnp.where(mine[:, :, None], ext, 0.0)
+        dist = jax.lax.psum(ext, AXIS).reshape(nq, -1)      # [nq, mt·T]
+        if not q16:
+            return dist
+        # u16 range quantization — replicated elementwise math, identical
+        # on every device (ops/union_scan.union_scan_distances_q16)
+        vmask = dist < PAD_DISTANCE
+        dmin = jnp.min(dist, axis=1)
+        dmax = jnp.max(jnp.where(vmask, dist, -jnp.inf), axis=1)
+        dstep = jnp.maximum(dmax - dmin, 1e-20) / 65534.0
+        qd = jnp.clip(
+            jnp.round((dist - dmin[:, None]) / dstep[:, None]), 0, 65534
+        ).astype(jnp.uint16)
+        qd = jnp.where(vmask, qd, jnp.uint16(65535))
+        return qd, dmin, dstep
+
+    out_specs = (P(), P(), P()) if q16 else P()
+    return jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P(AXIS), P()),
+        out_specs=out_specs,
+        check_vma=False,
+    ))
+
+
+def sharded_union_scan(
+    mesh: Mesh, st: ShardedTiledView, queries: jax.Array,
+    union_dev, pos_dev,
+) -> jax.Array:
+    """[nq, mt·T] distances, replicated — sharded twin of
+    ops/union_scan.union_scan_distances."""
+    return _tiled_scan_fn(mesh, False)(
+        st.payload, st.norms, st.sizes,
+        jnp.asarray(queries, jnp.float32),
+        jnp.asarray(union_dev), jnp.asarray(pos_dev),
+    )
+
+
+def sharded_union_scan_q16(
+    mesh: Mesh, st: ShardedTiledView, queries: jax.Array,
+    union_dev, pos_dev,
+):
+    """(qd u16 [nq, mt·T], dmin, dstep) — sharded twin of
+    union_scan_distances_q16 (the tiled binary coarse wire)."""
+    return _tiled_scan_fn(mesh, True)(
+        st.payload, st.norms, st.sizes,
+        jnp.asarray(queries, jnp.float32),
+        jnp.asarray(union_dev), jnp.asarray(pos_dev),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_tail_fn(mesh: Mesh, k: int):
+    """Jitted shard_map: exact re-rank of replicated candidate ids against
+    the row-sharded base (masked psum partials — sharded_rerank) + the
+    final top-k, mirroring ops/rerank.final_topk bit-for-bit."""
+
+    def shard_fn(base_l, queries, cand):
+        nb_local = base_l.shape[0]
+        local, owned = _localize_probes(cand, nb_local)
+        vecs = base_l[local]                              # [nq, P, d]
+        q = queries.astype(jnp.float32)
+        qsq = jnp.sum(q * q, axis=-1)
+        vsq = jnp.sum(vecs * vecs, axis=-1)
+        cross = jnp.einsum(
+            "qd,qpd->qp", q, vecs, preferred_element_type=jnp.float32
+        )
+        d2 = jnp.maximum(qsq[:, None] + vsq - 2.0 * cross, 0.0)
+        scores = jax.lax.psum(jnp.where(owned, d2, 0.0), AXIS)
+        neg, order = jax.lax.top_k(-scores, k)
+        return jnp.take_along_axis(cand, order, axis=1), -neg
+
+    return jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(AXIS), P(), P()), out_specs=(P(), P()),
+        check_vma=False,
+    ))
+
+
+def sharded_fused_tail(
+    mesh: Mesh, base_sharded: jax.Array, queries: jax.Array,
+    cand_ids: jax.Array, k: int,
+):
+    """(ids [nq, k], dists [nq, k]) ascending — the fused route's re-rank +
+    final select with the base row-sharded."""
+    return _fused_tail_fn(mesh, int(k))(
+        base_sharded, jnp.asarray(queries, jnp.float32),
+        jnp.asarray(cand_ids, jnp.int32),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _tiled_scan_pruned_fn(mesh: Mesh, j_keep: int):
+    """Jitted shard_map twin of ops/union_scan.union_scan_pruned:
+    tile-sharded scan → per-tile min lower bounds (psum) → top-j_keep
+    tile select (replicated) → kept-tiles-only extraction (psum).
+    Returns (dist f32 [nq, j·T], sel [nq, j]) — bit-identical to the
+    single-device XLA formulation (same per-tile math, owner-value +
+    exact zeros through both psums)."""
+    from prefhetch_tpu.ops.topk import PAD_DISTANCE
+
+    def shard_fn(payload_l, norms_l, sizes_l, queries, union_l, pos):
+        me = jax.lax.axis_index(AXIS)
+        ntl = payload_l.shape[0]
+        uid = union_l[0]
+        u_loc = uid.shape[0]
+        owned = uid >= 0
+        loc = jnp.clip(uid - me * ntl, 0, ntl - 1)
+        slab = payload_l[loc]
+        n = norms_l[loc]
+        sz = jnp.where(owned, sizes_l[loc], 0)
+        T = slab.shape[1]
+        nq = queries.shape[0]
+        q = queries.astype(jnp.float32)
+        qc = q.astype(slab.dtype) if slab.dtype == jnp.bfloat16 else q
+        cross = jax.lax.dot_general(
+            slab.reshape(u_loc * T, -1), qc,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        qsq = jnp.sum(q * q, axis=-1)
+        d2 = qsq[None, :] + n.reshape(u_loc * T, 1) - 2.0 * cross
+        d2 = jnp.maximum(d2, 0.0)
+        lane = jnp.arange(T, dtype=jnp.int32)
+        valid = (lane[None, :] < sz[:, None]).reshape(u_loc * T)
+        d2 = jnp.where(valid[:, None], d2, PAD_DISTANCE)
+        d3 = d2.reshape(u_loc, T, nq)
+        dmin_u = jnp.min(d3, axis=1)                     # [u_loc, nq]
+        mine = (pos // u_loc) == me                      # [nq, mt]
+        ls = jnp.where(mine, pos % u_loc, 0)
+        tm = jnp.take_along_axis(dmin_u.T, ls, axis=1)   # [nq, mt]
+        tm = jax.lax.psum(jnp.where(mine, tm, 0.0), AXIS)
+        _, sel = jax.lax.top_k(-tm, j_keep)              # [nq, j] replicated
+        upos = jnp.take_along_axis(pos, sel, axis=1)     # [nq, j]
+        mine_j = (upos // u_loc) == me
+        ls_j = jnp.where(mine_j, upos % u_loc, 0)
+        d2m = d3.transpose(2, 0, 1)                      # [nq, u_loc, T]
+        ext = jnp.take_along_axis(d2m, ls_j[:, :, None], axis=1)
+        ext = jnp.where(mine_j[:, :, None], ext, 0.0)
+        out = jax.lax.psum(ext, AXIS).reshape(nq, -1)    # [nq, j·T]
+        return out, sel
+
+    return jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P(AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    ))
+
+
+def sharded_union_scan_pruned(
+    mesh: Mesh, st: ShardedTiledView, queries: jax.Array,
+    union_dev, pos_dev, j_keep: int,
+):
+    """(dist [nq, j·T], sel [nq, j]) — sharded twin of
+    ops/union_scan.union_scan_pruned (segment-level pruning)."""
+    return _tiled_scan_pruned_fn(mesh, int(j_keep))(
+        st.payload, st.norms, st.sizes,
+        jnp.asarray(queries, jnp.float32),
+        jnp.asarray(union_dev), jnp.asarray(pos_dev),
+    )

@@ -261,6 +261,10 @@ class NativeHTTPServer:
                 # a poisoned batch (e.g. k > candidate count for ONE
                 # request) must not 400 the whole wave: retry singly
                 # through the dispatcher's full validation
+                logger.warning(
+                    "group %s (%d reqs) fell to the slow path",
+                    key[0], len(members), exc_info=True,
+                )
                 for r in members:
                     slow.append(r)
             self.batches += 1

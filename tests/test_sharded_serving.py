@@ -123,3 +123,70 @@ def test_sharded_http_responses_byte_identical(setup):
     finally:
         s_plain.shutdown()
         s_shard.shutdown()
+
+
+def test_sharded_tiled_routes_byte_identical(setup):
+    """r04 (VERDICT r03 #4): the PRODUCTION tiled formulations — binary
+    tiled coarse wire, server-select top-k, and the fused one-round
+    /search — run sharded (tile-sharded union scan + row-sharded re-rank,
+    parallel/sharded.py) and must return BYTE-identical arrays to the
+    unsharded engine: every (query, slot) distance has exactly one tile
+    owner, so masked-psum combination reproduces the single-device scan
+    bit-for-bit."""
+    data, plain, sharded = setup
+    q = data["query"][:4].astype(np.float32)
+    cents = np.asarray(plain.retrieve_centroids())
+    d2 = ((q[:, None, :] - cents[None]) ** 2).sum(-1)
+    probes = np.argsort(d2, axis=1)[:, :6]
+
+    tp = plain.coarse_search_tiled(q, probes)
+    ts = sharded.coarse_search_tiled(q, probes)
+    for name, a, b in zip(
+        ("tile_idx", "qdist", "dmin", "dstep", "counts"), tp, ts
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=f"tiled wire: {name}"
+        )
+
+    kp = plain.coarse_search_topk(q, probes, 40)
+    ks = sharded.coarse_search_topk(q, probes, 40)
+    for name, a, b in zip(("ids", "dists", "counts"), kp, ks):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=f"topk wire: {name}"
+        )
+
+    fi_p, fd_p = plain.search_fused(q, probes, 10)
+    fi_s, fd_s = sharded.search_fused(q, probes, 10)
+    np.testing.assert_array_equal(np.asarray(fi_p), np.asarray(fi_s))
+    np.testing.assert_array_equal(np.asarray(fd_p), np.asarray(fd_s))
+
+
+def test_sharded_fused_pruned_byte_identical(setup, monkeypatch):
+    """The segment-PRUNED fused composition (engine _serve_prune_j > 0 —
+    the serving-throughput lever) must also be byte-identical between the
+    sharded and unsharded engines: sharded_union_scan_pruned's two psum
+    combines (tile-min lower bounds, kept-tile extraction) reproduce the
+    single-device union_scan_pruned bit-for-bit."""
+    data, plain, sharded = setup
+    monkeypatch.setenv("PFH_SERVE_PRUNE_J", "4")
+    cfg = plain.config
+    p2 = QueryEngine(cfg)
+    p2.serve_tile = 64                  # many small tiles → mt > j
+    p2.set_index(plain.index, data["base"])
+    s2 = QueryEngine(cfg)
+    s2.serve_tile = 64
+    s2.set_index(plain.index, data["base"])
+    s2.enable_sharding(8)
+
+    q = data["query"][:4].astype(np.float32)
+    cents = np.asarray(p2.retrieve_centroids())
+    d2 = ((q[:, None, :] - cents[None]) ** 2).sum(-1)
+    probes = np.argsort(d2, axis=1)[:, :6]
+    # the fixture geometry must actually enable pruning
+    tiles_np, _ = p2._tiled_view.expand_probes(probes.astype(np.int64))
+    assert p2._serve_prune_j(tiles_np.shape[1]) == 4
+
+    fi_p, fd_p = p2.search_fused(q, probes, 10)
+    fi_s, fd_s = s2.search_fused(q, probes, 10)
+    np.testing.assert_array_equal(np.asarray(fi_p), np.asarray(fi_s))
+    np.testing.assert_array_equal(np.asarray(fd_p), np.asarray(fd_s))
