@@ -1121,7 +1121,8 @@ def http_serving_bench(
         # per-phase host seconds across the whole run — the serving-gap
         # work is driven by these (decode → dispatch → resolve → encode)
         out["http_server_phases"] = {
-            k: round(v, 2) for k, v in tm.items() if isinstance(v, float)
+            k: (round(v, 2) if isinstance(v, float) else v)
+            for k, v in tm.items() if isinstance(v, (int, float))
         }
         ws = tm.get("wave_sizes") or [0]
         out["http_mean_wave"] = round(sum(ws) / max(len(ws), 1), 1)
@@ -1130,8 +1131,10 @@ def http_serving_bench(
         out["http_allcand_qps"] = round(len(ac_lat) / ac_wall, 2)
         out["http_allcand_p50_ms"] = round(ac_ms[len(ac_ms) // 2], 2)
     if fu_lat:
+        rows_req = int(os.environ.get("PFH_HTTP_ROWS_PER_REQ", "8"))
         fu_ms = sorted(x * 1e3 for x in fu_lat)
-        out["http_qps"] = round(len(fu_lat) / fu_wall, 2)
+        out["http_qps"] = round(len(fu_lat) * rows_req / fu_wall, 2)
+        out["http_rows_per_req"] = rows_req
         out["http_p50_ms"] = round(fu_ms[len(fu_ms) // 2], 2)
         out["http_p99_ms"] = round(
             fu_ms[min(len(fu_ms) - 1, int(len(fu_ms) * 0.99))], 2
@@ -1227,8 +1230,7 @@ class Conn:
             raise RuntimeError("connection closed by server")
         self.buf += chunk
 
-    def req_raw(self, raw):
-        self.s.sendall(raw)
+    def read_response(self):
         while True:
             i = self.buf.find(b"\\r\\n\\r\\n")
             if i >= 0:
@@ -1245,6 +1247,10 @@ class Conn:
         if status != 200:
             raise RuntimeError(f"-> {status}: {data[:200]!r}")
         return data
+
+    def req_raw(self, raw):
+        self.s.sendall(raw)
+        return self.read_response()
 
     def req(self, method, path, body=b""):
         return self.req_raw(raw_req(method, path, body))
@@ -1273,10 +1279,17 @@ _allcand_raw = [
     ]))
     for i in range(n_clients)
 ]
+_rows_req = int(os.environ.get("PFH_HTTP_ROWS_PER_REQ", "8"))
 _fused_raw = [
+    # multi-row fused requests: the reference protocol batches NQUERY
+    # queries per request (client_lib.cpp:83-208) — per-query wire cost
+    # (syscalls, HTTP parse, thread wakeups) amortizes across the batch,
+    # which is the binder on this one-core host
     raw_req("POST", "/search", bencode(11, [
-        queries[i % len(queries)][None].astype(np.float32),
-        probes[i % len(probes)][None].astype(np.int64),
+        queries[(i * _rows_req + np.arange(_rows_req)) % len(queries)]
+        .astype(np.float32),
+        probes[(i * _rows_req + np.arange(_rows_req)) % len(probes)]
+        .astype(np.int64),
         np.asarray([100], np.uint32),
     ]))
     for i in range(n_clients)
@@ -1309,7 +1322,7 @@ def one_round_fused(conn, ci):
     # fused one-round /search: the whole triage in ONE request
     resp = conn.req_raw(_fused_raw[ci % n_clients])
     _, (ids, dists) = bdecode(resp)
-    assert ids.shape[1] == 100
+    assert ids.shape == (_rows_req, 100)
 
 
 one_round(boot, 0)                             # warm the wire
@@ -1339,6 +1352,42 @@ def run_phase(fn, n_cl, n_rq):
     return t_start, t_end, list(lats)
 
 
+def run_phase_pipelined(raw_for, n_cl, n_rq, depth):
+    """Fused phase: HTTP/1.1 PIPELINING, `depth` requests in flight per
+    connection (the C++ frontend tracks per-connection sequence slots and
+    writes responses in request order — native/pfh_http.cpp pending/seq).
+    The honest per-request latency includes queueing behind the window.
+    One thread per connection: far fewer client threads for the same
+    server-side concurrency — on this one-core sandbox the 256-thread
+    farm's GIL churn was the measured binder, not the server."""
+    del lats[:]
+    def client(ci):
+        conn = Conn()
+        raw = raw_for(ci)
+        sent = []
+        mine = []
+        k = min(depth, n_rq)
+        for _ in range(k):
+            conn.s.sendall(raw)
+            sent.append(time.perf_counter())
+        for i in range(n_rq):
+            conn.read_response()
+            mine.append(time.perf_counter() - sent[i])
+            if i + k < n_rq:
+                conn.s.sendall(raw)
+                sent.append(time.perf_counter())
+        with lock:
+            lats.extend(mine)
+    threads = [
+        threading.Thread(target=client, args=(i,)) for i in range(n_cl)
+    ]
+    t_start = time.time()
+    for t in threads: t.start()
+    for t in threads: t.join()
+    t_end = time.time()
+    return t_start, t_end, list(lats)
+
+
 one_round_fused(boot, 0)
 if os.environ.get("PFH_HTTP_FUSED_ONLY"):       # fast A/B iteration
     print("skip"); print("skip")
@@ -1347,7 +1396,12 @@ else:
     print(f"{t0:.6f} {t1:.6f} " + " ".join(f"{x:.6f}" for x in l1))
     t0, t1, l2 = run_phase(one_round_allcand, min(n_clients, 16), 4)
     print(f"{t0:.6f} {t1:.6f} " + " ".join(f"{x:.6f}" for x in l2))
-t0, t1, l3 = run_phase(one_round_fused, n_clients, n_reqs)
+depth = int(os.environ.get("PFH_HTTP_PIPE_DEPTH", "4"))
+n_conns = max(1, n_clients // _rows_req)
+t0, t1, l3 = run_phase_pipelined(
+    lambda ci: _fused_raw[ci % n_clients], n_conns,
+    n_reqs * depth, depth,
+)
 print(f"{t0:.6f} {t1:.6f} " + " ".join(f"{x:.6f}" for x in l3))
 '''
 

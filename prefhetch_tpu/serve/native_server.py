@@ -43,7 +43,9 @@ def _ct_code(ctype_str: str) -> int:
 
 
 class _Req:
-    __slots__ = ("req_id", "method", "path", "flags", "body", "kind", "secs")
+    __slots__ = (
+        "req_id", "method", "path", "flags", "body", "kind", "secs", "rows",
+    )
 
     def __init__(self, desc) -> None:
         self.req_id = desc.req_id
@@ -60,6 +62,22 @@ class _Req:
             self.body = np.empty(0, np.uint8)
         self.kind = -1
         self.secs: Optional[List[np.ndarray]] = None
+        # query rows this request contributes to a wave (multi-row binary
+        # requests — the reference protocol is batch-of-NQUERY per request,
+        # client_lib.cpp:83-208 — count by ROWS so the wave cap matches the
+        # engine's pinned row axis)
+        self.rows = 1
+
+    def decode_bin(self) -> bool:
+        """Zero-copy binary decode (wire_bin views into the C++ buffer);
+        sets kind/secs/rows. False = malformed."""
+        try:
+            self.kind, self.secs = wire_bin.decode(self.body)
+        except ValueError:
+            return False
+        if self.secs and getattr(self.secs[0], "ndim", 0) >= 1:
+            self.rows = max(1, int(self.secs[0].shape[0]))
+        return True
 
 
 class NativeHTTPServer:
@@ -111,6 +129,10 @@ class NativeHTTPServer:
             "waves": 0, "reqs": 0, "decode_s": 0.0, "dispatch_s": 0.0,
             "resolve_s": 0.0, "encode_s": 0.0, "slow_s": 0.0,
             "wave_sizes": [],
+            # cadence diagnostics: where a wave's wall time goes
+            "poll_s": 0.0,       # dispatch thread blocked in C++ poll
+            "queue_s": 0.0,      # dispatched wave waiting for a resolver
+            "cut_full": 0, "cut_idle": 0,   # wave cut reasons
         }
         # wave pipeline: the dispatch thread queues device work (async jax
         # dispatch — never blocks on the relay) and hands a resolver to the
@@ -146,6 +168,16 @@ class NativeHTTPServer:
         ]
         for t in self._cthreads:
             t.start()
+        # slow-path pool: non-wave routes (JSON protocol, /encryptedsearch,
+        # /pir-fetch) used to run INLINE on the dispatch thread — one
+        # encrypted request (~100 ms of device work) stalled every hot
+        # wave behind it. Two workers keep heavy routes off the dispatch
+        # loop and let consecutive encrypted batches pipeline.
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._slow_pool = ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="pfh-native-slow"
+        )
         self._thread = threading.Thread(
             target=self._loop, name="pfh-native-serve", daemon=True
         )
@@ -163,6 +195,7 @@ class NativeHTTPServer:
             self._cq.put(None)
         for t in self._cthreads:
             t.join(timeout=30.0)
+        self._slow_pool.shutdown(wait=True)
         self._lib.pfh_http_stop(self._h)
         self._h = None
 
@@ -179,30 +212,56 @@ class NativeHTTPServer:
         (b) the pipeline is near-idle (≤1 wave past dispatch) and a short
         grace has passed with no new arrival — so wave N+1 is sized by
         everything that arrived during wave N's resolve."""
+        from collections import deque
+
         lib, h = self._lib, self._h
-        pending: List[_Req] = []
+        tm = self.timing
+        pending: "deque[_Req]" = deque()
+        pending_rows = 0
         while not self._stop.is_set():
-            room = self._max_batch - len(pending)
-            if room > 0:
+            if pending_rows < self._max_batch:
                 wait = self._grace_us if pending else self._poll_us
-                n = lib.pfh_http_poll(h, self._descs, room, wait, 0)
+                t_poll = time.perf_counter()
+                n = lib.pfh_http_poll(h, self._descs, self._max_batch,
+                                      wait, 0)
+                tm["poll_s"] += time.perf_counter() - t_poll
                 got = n > 0
-                if got:
-                    pending.extend(
-                        _Req(self._descs[i]) for i in range(n)
-                    )
+                for i in range(n):
+                    r = _Req(self._descs[i])
+                    # decode NOW (zero-copy views): the wave cap counts
+                    # query ROWS, not requests — a multi-row request must
+                    # not blow the engine's pinned row axis
+                    if r.method == "POST" and (r.flags & 1):
+                        if not r.decode_bin():
+                            self._respond_error(r, 400, "bad binary request")
+                            continue
+                    pending.append(r)
+                    pending_rows += r.rows
             else:
                 got = False
             if not pending:
                 continue
-            if len(pending) < self._max_batch:
+            if pending_rows < self._max_batch:
                 if got:
                     continue        # still arriving — keep collecting
                 with self._inflight_lock:
                     busy = self._inflight > self._n_resolvers
                 if busy:
                     continue        # resolvers busy — let the wave grow
-            reqs, pending = pending, []
+                tm["cut_idle"] += 1
+            else:
+                tm["cut_full"] += 1
+            # cut a PREFIX whose rows fit the pinned batch; the remainder
+            # opens the next wave (multi-row requests never split)
+            reqs: List[_Req] = []
+            rows_t = 0
+            while pending and rows_t + pending[0].rows <= self._max_batch:
+                r = pending.popleft()
+                reqs.append(r)
+                rows_t += r.rows
+            if not reqs:        # one request wider than the wave cap
+                reqs.append(pending.popleft())
+            pending_rows -= sum(r.rows for r in reqs)
             t0 = time.perf_counter()
             try:
                 self._serve_batch(reqs, t0)
@@ -232,17 +291,13 @@ class NativeHTTPServer:
         tm["waves"] += 1
         tm["reqs"] += len(reqs)
         if len(tm["wave_sizes"]) < 4096:
-            tm["wave_sizes"].append(len(reqs))
+            # wave size in query ROWS (multi-row requests count fully)
+            tm["wave_sizes"].append(sum(r.rows for r in reqs))
         groups: Dict[Tuple, List[_Req]] = {}
         slow: List[_Req] = []
         for r in reqs:
             key = None
-            if r.method == "POST" and (r.flags & 1):
-                try:
-                    r.kind, r.secs = wire_bin.decode(r.body)
-                except ValueError:
-                    self._respond_error(r, 400, "bad binary request")
-                    continue
+            if r.secs is not None:      # binary-decoded at poll time
                 try:
                     key = self._group_key(r)
                 except (IndexError, ValueError):
@@ -273,18 +328,9 @@ class NativeHTTPServer:
             )
         t_grp = time.perf_counter()
         for r in slow:
-            try:
-                status, ctype, body = self.dispatcher.handle(
-                    r.method, r.path,
-                    {
-                        "content-type": BIN_CT if (r.flags & 1) else "",
-                        "accept": BIN_CT if (r.flags & 2) else "",
-                    },
-                    r.body.tobytes(),
-                )
-                self._respond(r, status, _ct_code(ctype), body)
-            except Exception:   # noqa: BLE001
-                self._respond_error(r, 500, "internal error")
+            # copy the body OUT of the C++-owned buffer before leaving the
+            # wave: the pool task may outlive this poll round
+            self._slow_pool.submit(self._serve_slow, r, r.body.tobytes())
 
         t_end = time.perf_counter()
         tm["slow_s"] += t_end - t_grp
@@ -347,7 +393,7 @@ class NativeHTTPServer:
             self._inflight += 1
         # bounded queue = backpressure: if the device falls behind, the
         # dispatch thread stalls here instead of piling up device programs
-        self._cq.put((route, members, rows, resolver))
+        self._cq.put((route, members, rows, resolver, time.perf_counter()))
 
     # -- completion thread ----------------------------------------------
     def _completion_loop(self) -> None:
@@ -359,9 +405,11 @@ class NativeHTTPServer:
             job = self._cq.get()
             if job is None:
                 return
-            route, members, rows, resolver = job
+            route, members, rows, resolver, t_enq = job
             try:
                 t0 = time.perf_counter()
+                with self._inflight_lock:
+                    tm["queue_s"] += t0 - t_enq
                 try:
                     out = resolver()
                 except Exception:   # noqa: BLE001 — the loop must survive
@@ -383,6 +431,23 @@ class NativeHTTPServer:
             finally:
                 with self._inflight_lock:
                     self._inflight -= 1
+
+    def _serve_slow(self, r: _Req, body: bytes) -> None:
+        t0 = time.perf_counter()
+        try:
+            status, ctype, out = self.dispatcher.handle(
+                r.method, r.path,
+                {
+                    "content-type": BIN_CT if (r.flags & 1) else "",
+                    "accept": BIN_CT if (r.flags & 2) else "",
+                },
+                body,
+            )
+            self._respond(r, status, _ct_code(ctype), out)
+        except Exception:   # noqa: BLE001
+            self._respond_error(r, 500, "internal error")
+        with self._inflight_lock:
+            self.timing["slow_s"] += time.perf_counter() - t0
 
     def _respond_multi(self, members: List[_Req], buf: np.ndarray,
                        offsets: np.ndarray) -> None:
