@@ -676,7 +676,7 @@ def main():
         n_he, b_he = 4096, 4096 // D
         nb_he = -(-COARSE_PROBE // b_he)
         grp = max(1, D // nb_he)          # queries per packed response ct
-        return {
+        out = {
             "encrypted_rerank_qps": round(e_qps, 2),
             "encrypted_mac_device_qps": round(m_qps, 2),
             "encrypted_mac_kernel_qps": round(k_qps, 2),
@@ -686,6 +686,15 @@ def main():
                 2 * 2 * n_he * 4 // grp + COARSE_PROBE * 4
             ),
         }
+        # north-star config 5 THROUGH THE WIRE (VERDICT r03 #3): 64-way
+        # encrypted batches client→server across the real HTTP hop — the
+        # reference's trust boundary (src/server/controllers/Query.h:14-31)
+        if _time_left() > 60:
+            out.update(http_encrypted_bench(
+                data, index, np.asarray(ids),
+                he_service=getattr(encrypted_rerank_qps, "svc", None),
+            ))
+        return out
 
     # recall on the HARD workload (overlapping clusters, heavy-tailed list
     # sizes — see data.synthetic.make_hard_dataset): the clustered set's
@@ -921,7 +930,7 @@ def main():
     # (VERDICT r03: angular's cold compile 500'd twice and starved
     # ckks/pir/hard — compile-risky fresh-dataset sections now run last,
     # and every section carries a 2×est SIGALRM cap)
-    _section("encrypted", "PFH_BENCH_SKIP_ENC", run_enc, est_s=100)
+    _section("encrypted", "PFH_BENCH_SKIP_ENC", run_enc, est_s=150)
     _section(
         "http", "PFH_BENCH_SKIP_HTTP",
         lambda: http_serving_bench(data, index), est_s=120,
@@ -1131,7 +1140,7 @@ def http_serving_bench(
         out["http_allcand_qps"] = round(len(ac_lat) / ac_wall, 2)
         out["http_allcand_p50_ms"] = round(ac_ms[len(ac_ms) // 2], 2)
     if fu_lat:
-        rows_req = int(os.environ.get("PFH_HTTP_ROWS_PER_REQ", "8"))
+        rows_req = int(os.environ.get("PFH_HTTP_ROWS_PER_REQ", "16"))
         fu_ms = sorted(x * 1e3 for x in fu_lat)
         out["http_qps"] = round(len(fu_lat) * rows_req / fu_wall, 2)
         out["http_rows_per_req"] = rows_req
@@ -1279,7 +1288,7 @@ _allcand_raw = [
     ]))
     for i in range(n_clients)
 ]
-_rows_req = int(os.environ.get("PFH_HTTP_ROWS_PER_REQ", "8"))
+_rows_req = int(os.environ.get("PFH_HTTP_ROWS_PER_REQ", "16"))
 _fused_raw = [
     # multi-row fused requests: the reference protocol batches NQUERY
     # queries per request (client_lib.cpp:83-208) — per-query wire cost
@@ -1403,6 +1412,179 @@ t0, t1, l3 = run_phase_pipelined(
     n_reqs * depth, depth,
 )
 print(f"{t0:.6f} {t1:.6f} " + " ".join(f"{x:.6f}" for x in l3))
+'''
+
+
+def http_encrypted_bench(data, index, cand_ids, nq: int = 64,
+                         n_workers: int = 2, n_iter: int = 4,
+                         he_service=None):
+    """Encrypted serving measured THROUGH the HTTP wire (north-star
+    config 5: "64-way batched encrypted serving, client→server
+    end-to-end"): out-of-process client workers BFV-encrypt 64-query
+    batches, POST /encryptedsearch (packed single-ct response wire) to
+    the native frontend, and decrypt — wire serialization, transport,
+    the server's slow-route pool, and the device MAC program all
+    included. First batch of each worker validates decrypted distances
+    against the plaintext oracle. Reports http_encrypted_qps + p50."""
+    import socket
+    import subprocess
+    import sys as _sys
+    import tempfile
+
+    from prefhetch_tpu.engine.server import QueryEngine
+    from prefhetch_tpu.utils.config import (
+        HEParams, IndexParams, PipelineConfig, ProtocolParams,
+    )
+
+    cfg = PipelineConfig(
+        index=IndexParams(d=D, nlist=NLIST, pq_m=PQ_M, pq_nbits=8),
+        protocol=ProtocolParams(
+            nprobe=NPROBE, coarse_probe=COARSE_PROBE, k=K, nquery=1
+        ),
+        nbase=NBASE,
+        he=HEParams(resp_mod="packed"),
+    )
+    engine = QueryEngine(cfg)
+    engine.set_index(index, data["base"])
+    if he_service is not None:      # reuse the warmed in-process service
+        engine._he_service = he_service
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    try:
+        from prefhetch_tpu.serve.native_server import serve_forever_native
+
+        srv = serve_forever_native(engine, port=port, background=True)
+    except (RuntimeError, OSError):
+        from prefhetch_tpu.serve.aio_server import serve_forever_aio
+
+        srv = serve_forever_aio(
+            engine, host="127.0.0.1", port=port, background=True,
+            batching=False,
+        )
+    addr = f"http://127.0.0.1:{port}/"
+    queries = data["query"][:nq].astype(np.float32)
+    idx = _pad_candidates(cand_ids[:nq], COARSE_PROBE, len(data["base"]))
+    ref = (
+        (data["base"][idx].astype(np.float64) - queries[:, None, :]) ** 2
+    ).sum(-1)
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            script = os.path.join(td, "enc_worker.py")
+            with open(script, "w") as f:
+                f.write(_HTTP_ENC_WORKER_SRC)
+            np.save(os.path.join(td, "queries.npy"), queries)
+            np.save(os.path.join(td, "cand.npy"), idx)
+            np.save(os.path.join(td, "ref.npy"), ref)
+            proc = subprocess.Popen(
+                [_sys.executable, script, addr, td, str(n_workers),
+                 str(n_iter)],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            )
+            try:
+                out_b, err_b = proc.communicate(timeout=max(
+                    60, min(300, _time_left() - 20)
+                ))
+            except Exception:
+                proc.kill()
+                raise
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"enc wire worker failed: {err_b[-400:].decode()}"
+                )
+        vals = out_b.decode().split()
+        wall = float(vals[1]) - float(vals[0])
+        max_err = float(vals[2])
+        lats = sorted(float(x) for x in vals[3:])
+        return {
+            "http_encrypted_qps": round(nq * len(lats) / wall, 2),
+            "http_encrypted_p50_ms": round(lats[len(lats) // 2] * 1e3, 2),
+            "http_encrypted_batch": nq,
+            "http_encrypted_max_err": round(max_err, 4),
+            "http_encrypted_workers": n_workers,
+        }
+    finally:
+        srv.shutdown()
+
+
+# encrypted wire worker: each thread owns its own HEClient (own keys, own
+# key_id — thread-private rng) and posts 64-query encrypted batches over
+# keep-alive urllib. First response is validated against the plaintext
+# oracle. Prints "<t0> <t1> <max_err> <lat0> <lat1> ...".
+_HTTP_ENC_WORKER_SRC = '''
+import json, os, sys, threading, time, urllib.request
+import numpy as np
+
+addr, td, n_workers, n_iter = (
+    sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
+)
+queries = np.load(os.path.join(td, "queries.npy"))
+cand = np.load(os.path.join(td, "cand.npy"))
+ref = np.load(os.path.join(td, "ref.npy"))
+from prefhetch_tpu.client.he import HEClient
+from prefhetch_tpu.utils.config import HEParams
+
+d = queries.shape[1]
+lats, errs = [], []
+lock = threading.Lock()
+
+
+def post(payload):
+    req = urllib.request.Request(
+        addr + "encryptedsearch", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        return json.loads(r.read())
+
+
+def worker(wi, barrier):
+    hc = HEClient(HEParams(resp_mod="packed"), seed=11 + wi)
+    base = {
+        "nearestCoarseVectorIndexes": cand.tolist(),
+        "scheme": "bfv", "keyId": hc.key_id, "respMod": "packed",
+    }
+    # register keys + warm + validate
+    p0 = dict(base)
+    p0["galoisKeys"] = hc.bfv_extraction_keys_wire(d)
+    p0["encryptedPreciseQuery"] = hc.encrypt_query_batch(queries)
+    r0 = post(p0)
+    out = hc.decrypt_scores_packed(
+        r0["packedScores"], np.asarray(r0["candidateNorms"]),
+        queries, r0["packGroup"],
+    )
+    with lock:
+        errs.append(float(np.abs(out - ref).max()))
+    barrier.wait()
+    for _ in range(n_iter):
+        t0 = time.perf_counter()
+        p = dict(base)
+        p["encryptedPreciseQuery"] = hc.encrypt_query_batch(queries)
+        r = post(p)
+        out = hc.decrypt_scores_packed(
+            r["packedScores"], np.asarray(r["candidateNorms"]),
+            queries, r["packGroup"],
+        )
+        with lock:
+            lats.append(time.perf_counter() - t0)
+    assert np.abs(out - ref).max() < 0.5
+
+
+barrier = threading.Barrier(n_workers + 1)
+threads = [
+    threading.Thread(target=worker, args=(i, barrier))
+    for i in range(n_workers)
+]
+for t in threads:
+    t.start()
+barrier.wait()                      # all workers warmed + validated
+t_start = time.time()
+for t in threads:
+    t.join()
+t_end = time.time()
+assert max(errs) < 0.5, f"encrypted distances diverged: {errs}"
+print(f"{t_start:.6f} {t_end:.6f} {max(errs):.6f} "
+      + " ".join(f"{x:.6f}" for x in lats))
 '''
 
 
@@ -1637,6 +1819,9 @@ def encrypted_rerank_qps(data, cand_ids, nq: int = 64):
         t0 = _time.perf_counter()
         svc.encrypted_scores_packed(cts, idx, hc.key_id)
         mac_qps = kernel_qps = nq / (_time.perf_counter() - t0)
+    # park the warmed service for the wire bench: building a second
+    # HEComputeService pays set_base + program warm again (~100 s at 1M)
+    encrypted_rerank_qps.svc = svc
     return e2e_qps, mac_qps, kernel_qps
 
 
