@@ -632,7 +632,11 @@ def main():
         # repeated remote-compile 500s may not consume more than ~2×est —
         # round 3 lost ckks/pir/hard to one section burning 420 s. SIGALRM
         # shares the timer with the global backstop, so re-arm it after.
-        cap = min(2.0 * est_s, max(left - 30.0, est_s))
+        # PFH_BENCH_CAP_MULT > 2 turns a run into a cache-warming pass:
+        # cold dataset/index/NTT-pack builds (pir ~8 min, hard/angular
+        # dataset builds) may exceed 2×est once, then live in bench_cache
+        cap_mult = float(os.environ.get("PFH_BENCH_CAP_MULT", 2.0))
+        cap = min(cap_mult * est_s, max(left - 30.0, est_s))
 
         def _on_cap(signum, frame):  # noqa: ARG001
             raise _SectionTimeout(
@@ -653,8 +657,23 @@ def main():
                 if ("remote_compile" not in str(e)
                         or _time_left() < est_s / 2):
                     raise
-                print(f"[bench] {name}: remote compile 500 — retrying",
-                      file=sys.stderr)
+                # QUIESCE before the retry: the 500s are the compile
+                # service falling back to a version-skewed chipless AOT
+                # helper (whose Mosaic rejects our scalar-prefetch
+                # kernels) whenever the chip-attached compiler is busy —
+                # i.e. whenever THIS process has device work in flight.
+                # An idle chip routes the retry to the good compiler
+                # (verified: the same program that 500'd twice mid-bench
+                # compiles clean from a quiet process).
+                print(f"[bench] {name}: remote compile 500 — quiescing "
+                      "device, then retrying", file=sys.stderr)
+                try:
+                    import jax as _jx
+
+                    _jx.effects_barrier()
+                except Exception:   # noqa: BLE001
+                    pass
+                time.sleep(8.0)
                 out = fn()
         except Exception as e:     # noqa: BLE001 — report, don't die
             import traceback
@@ -1476,10 +1495,20 @@ def http_encrypted_bench(data, index, cand_ids, nq: int = 64,
             np.save(os.path.join(td, "queries.npy"), queries)
             np.save(os.path.join(td, "cand.npy"), idx)
             np.save(os.path.join(td, "ref.npy"), ref)
+            # the worker script lives in the tempdir, so the repo root
+            # (this file's dir) must reach its sys.path explicitly —
+            # script-dir auto-insertion points at td, not here
+            env = dict(os.environ)
+            env["PYTHONPATH"] = os.pathsep.join(
+                p for p in (
+                    os.path.dirname(os.path.abspath(__file__)),
+                    env.get("PYTHONPATH", ""),
+                ) if p
+            )
             proc = subprocess.Popen(
                 [_sys.executable, script, addr, td, str(n_workers),
                  str(n_iter)],
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
             )
             try:
                 out_b, err_b = proc.communicate(timeout=max(
