@@ -260,7 +260,8 @@ def tpu_pipeline(index, base_j, queries_j, nprobe=None, coarse_probe=None,
         pos_j = jnp.asarray(pos_np)
         tile_list_j = jnp.asarray(view.tile_list_np)
         by_res = bool(index.params.by_residual)
-        on_tpu = jax.default_backend() == "tpu"
+        on_tpu = (jax.default_backend() == "tpu"
+                  and not os.environ.get("PFH_BENCH_PQ_XLA"))
 
         def prog_scan(payload, norms, sizes, q, tiles):
             if on_tpu:
@@ -808,8 +809,29 @@ def main():
     # 256 B/vec payload is a deliberate memory-for-bandwidth trade; this
     # section keeps a standing graded number at reference memory parity.
     def run_pq():
+        import jax as _jax
+
+        _jax.effects_barrier()      # Mosaic compiles need a quiet chip
+        form = "pallas" if (_jax.default_backend() == "tpu"
+                            and not os.environ.get("PFH_BENCH_PQ_XLA")) \
+            else "xla"
         pstep, pargs, pstats = tpu_pipeline(index, base_j, q_j, quant="pq")
-        _, pids = pstep(*pargs)
+        try:
+            _, pids = pstep(*pargs)
+        except Exception as e:      # noqa: BLE001
+            # the Pallas one-hot kernel's compile can 500 through the
+            # chipless-AOT fallback; the exact-f32 XLA formulation is the
+            # same memory-parity operating point (slower kernel) — a
+            # measured number beats an error in the artifact
+            if "remote_compile" not in str(e):
+                raise
+            os.environ["PFH_BENCH_PQ_XLA"] = "1"
+            form = "xla"
+            time.sleep(4.0)
+            pstep, pargs, pstats = tpu_pipeline(
+                index, base_j, q_j, quant="pq"
+            )
+            _, pids = pstep(*pargs)
         pids.block_until_ready()
         t0 = time.perf_counter()
         for _ in range(N_BATCHES):
@@ -821,6 +843,7 @@ def main():
         )
         return {
             "pq_onehot_qps": round(pq_qps, 2),
+            "pq_formulation": form,
             "pq_recall_at_10": round(prep.recall_10, 4),
             "pq_recall_at_100": round(prep.recall_100, 4),
             "pq_index_bytes_per_vec": PQ_M + 4,
@@ -1034,6 +1057,37 @@ def http_serving_bench(
     # loop — native/pfh_http.cpp + serve/native_server.py); asyncio is the
     # fallback when the native toolchain is unavailable
     n_clients = int(os.environ.get("PFH_HTTP_CLIENTS", n_clients))
+    max_batch_v = int(os.environ.get("PFH_HTTP_MAXBATCH", 256))
+
+    centroids = np.asarray(index.centroids)
+    queries = data["query"][: max(n_clients, 1)].astype(np.float32)
+
+    # warm EVERY serving program BEFORE any server thread exists: fresh
+    # Mosaic compiles 500 whenever the chip has concurrent activity (the
+    # compile service falls back to a version-skewed chipless AOT helper
+    # that rejects our scalar-prefetch kernels) — the native frontend's
+    # resolver/batcher threads must not be alive during these compiles.
+    # rows_pin is set here to exactly what serve_forever_native would set,
+    # so the warmed programs ARE the serving programs.
+    engine.rows_pin = max_batch_v
+    wq = queries[:1]
+    d2w = (
+        (queries[:, None, :] - centroids[None]) ** 2
+    ).sum(-1)
+    wprobes = np.argsort(d2w[:1], axis=1)[:, :NPROBE].astype(np.int64)
+    wcand = np.arange(COARSE_PROBE, dtype=np.int64)[None]
+    import jax as _jax
+
+    _jax.effects_barrier()            # quiesce: no in-flight device work
+    engine.coarse_search_topk(wq, wprobes, COARSE_PROBE)
+    engine.coarse_search_tiled(wq, wprobes)
+    engine.precise_search(wq, wcand)
+    _jax.effects_barrier()            # the fused Mosaic kernel compiles
+    engine.search_fused(wq, wprobes, K)   # on a quiet chip
+    wire_q = int(
+        engine._serve_mt[NPROBE] * engine._tiled_view.tile * 2
+    )  # all-candidates qdist bytes/query on the wire
+
     frontend = "native"
     try:
         from prefhetch_tpu.serve.native_server import serve_forever_native
@@ -1045,7 +1099,7 @@ def http_serving_bench(
         # relay latency (serve/native_server.py r04)
         srv = serve_forever_native(
             engine, port=port, background=True,
-            max_batch=int(os.environ.get("PFH_HTTP_MAXBATCH", 256)),
+            max_batch=max_batch_v,
             grace_ms=float(os.environ.get("PFH_HTTP_GRACE_MS", 1.5)),
             n_resolvers=int(os.environ.get("PFH_HTTP_RESOLVERS", 3)),
         )
@@ -1058,25 +1112,6 @@ def http_serving_bench(
             grace_ms=3.0,       # ... but dispatch after 3 ms arrival silence
         )
     addr = f"http://127.0.0.1:{port}/"
-
-    centroids = np.asarray(index.centroids)
-    queries = data["query"][: max(n_clients, 1)].astype(np.float32)
-
-    # warm: rows_pin (set by wrap_batching) means ONE compiled program per
-    # service regardless of batch composition — warm each service once
-    wq = queries[:1]
-    d2w = (
-        (queries[:, None, :] - centroids[None]) ** 2
-    ).sum(-1)
-    wprobes = np.argsort(d2w[:1], axis=1)[:, :NPROBE].astype(np.int64)
-    wcand = np.arange(COARSE_PROBE, dtype=np.int64)[None]
-    engine.coarse_search_topk(wq, wprobes, COARSE_PROBE)
-    engine.coarse_search_tiled(wq, wprobes)
-    engine.precise_search(wq, wcand)
-    engine.search_fused(wq, wprobes, K)
-    wire_q = int(
-        engine._serve_mt[NPROBE] * engine._tiled_view.tile * 2
-    )  # all-candidates qdist bytes/query on the wire
 
     # clients run OUT of process (one stdlib+numpy subprocess driving
     # n_clients concurrent threads — IO-bound, so threads are the right
