@@ -30,13 +30,24 @@ import jax
 import jax.numpy as jnp
 
 
-def bench(fn, n=20):
+def _sync(out):
+    """Force REAL completion: device_get a tiny slice of the last output.
+
+    block_until_ready through this sandbox's relay can return before
+    execution (measured: 20 chained 8K matmuls 'complete' in 0.04 ms).
+    TPU executes programs in dispatch order, so materializing any part of
+    the final output on the host proves every prior dispatch finished."""
+    leaf = jax.tree_util.tree_leaves(out)[-1]
+    np.asarray(jax.device_get(leaf[tuple(slice(0, 1) for _ in leaf.shape)]))
+
+
+def bench(fn, n=50):
     out = fn()
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn()
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / n * 1e3
 
 
