@@ -107,6 +107,20 @@ def main():
         payload, norms, sizes, q, union, pos, J))
     print(f"F union_scan_pruned_fused     {tF:7.2f} ms", flush=True)
 
+    # --- P: pruned XLA oracle (same contract as F, no Pallas) ------------
+    from prefhetch_tpu.ops.union_scan import union_scan_pruned
+
+    tP = bench(lambda: union_scan_pruned(
+        payload, norms, sizes, q, union, pos, J))
+    print(f"P union_scan_pruned (XLA)     {tP:7.2f} ms", flush=True)
+
+    # --- P2: query-major + bf16 write, no transpose ----------------------
+    from prefhetch_tpu.ops.union_scan import union_scan_pruned_qm
+
+    tP2 = bench(lambda: union_scan_pruned_qm(
+        payload, norms, sizes, q, union, pos, J))
+    print(f"P2 union_scan_pruned_qm       {tP2:7.2f} ms", flush=True)
+
     # --- top-k variants at the post-prune width -------------------------
     dist = jnp.asarray(
         rng.normal(size=(NQ, J * T)) ** 2, jnp.float32

@@ -253,6 +253,62 @@ def union_scan_pruned(
     return out.reshape(nq, -1), sel
 
 
+@functools.partial(jax.jit, static_argnames=("j_keep",))
+def union_scan_pruned_qm(
+    payload: jax.Array,      # [ntiles+1, T, d] f32/bf16
+    norms: jax.Array,        # [ntiles+1, T] f32
+    sizes: jax.Array,        # [ntiles+1] int32
+    queries: jax.Array,      # [nq, d] f32
+    union: jax.Array,        # [U] int32 tile ids
+    pos: jax.Array,          # [nq, max_t] int32 positions into union
+    j_keep: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Query-major pruned union scan — same contract as union_scan_pruned
+    but (a) the matmul emits [nq, U·T] directly so the per-query extraction
+    is a middle-axis gather with NO transpose of the U·T-sized distance
+    matrix (union_scan_pruned's [U·T, nq] → [nq, U, T] transpose re-moves
+    ~2× the matrix through HBM), and (b) distances are written bf16
+    (selection-grade, halves the d2 write+read; PAD lanes saturate to bf16
+    +max ≈ 3.39e38 which still sorts last). Returns
+    (dist bf16 [nq, j_keep·T], sel [nq, j_keep]).
+
+    Measured at the headline shape [256 q, U=2560, T=128, J=24]: 1.9 ms vs
+    3.2 (union_scan_pruned) / 3.5 (union_scan_pruned_fused Pallas) — the
+    production TPU scan since r04."""
+    U = union.shape[0]
+    T = payload.shape[1]
+    nq = queries.shape[0]
+    slab = payload[union]                               # [U, T, d]
+    n = norms[union]                                    # [U, T]
+    sz = sizes[union]                                   # [U]
+    q = queries.astype(jnp.float32)
+    qc = q.astype(slab.dtype) if slab.dtype == jnp.bfloat16 else q
+    cross = jax.lax.dot_general(
+        qc, slab.reshape(U * T, -1),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                   # [nq, U·T]
+    qsq = jnp.sum(q * q, axis=-1)                       # [nq]
+    d2 = qsq[:, None] + n.reshape(1, U * T) - 2.0 * cross
+    d2 = jnp.maximum(d2, 0.0)
+    lane = jnp.arange(T, dtype=jnp.int32)
+    valid = (lane[None, :] < sz[:, None]).reshape(1, U * T)
+    # tile-min selection runs on the bf16 values: keeping the reduce f32
+    # forces XLA to materialize the f32 [nq, U·T] matrix alongside the
+    # bf16 store (measured 4.5 ms vs 1.9) — so kept-tile ORDER may differ
+    # from the f32 oracle when two tile mins round to the same bf16 value
+    # (the kept SET is a valid bf16 top-j; downstream flat top-k + exact
+    # re-rank are order-insensitive)
+    d2 = jnp.where(valid, d2, PAD_DISTANCE).astype(jnp.bfloat16)
+    d3 = d2.reshape(nq, U, T)
+    dmin_u = jnp.min(d3, axis=2)                        # [nq, U]
+    tm = jnp.take_along_axis(dmin_u, pos, axis=1)       # [nq, max_t]
+    _, sel = jax.lax.top_k(-tm, j_keep)                 # [nq, j]
+    upos = jnp.take_along_axis(pos, sel, axis=1)        # [nq, j] → union slot
+    out = jnp.take_along_axis(d3, upos[:, :, None], axis=1)
+    return out.reshape(nq, -1), sel
+
+
 @functools.partial(jax.jit, static_argnames=("j_keep", "interpret"))
 def union_scan_pruned_fused(
     payload: jax.Array,      # [ntiles+1, T, d] f32/bf16

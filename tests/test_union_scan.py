@@ -155,6 +155,63 @@ def test_union_scan_pruned_fused_matches_xla(view_and_queries):
         )
 
 
+def test_union_scan_pruned_qm_matches_xla(view_and_queries):
+    """The query-major bf16 pruned scan (the r04 production TPU scan) must
+    agree with the f32 XLA oracle on the CONTRACT, not tie order: the kept
+    tiles form a valid top-j under bf16 tile mins (qm reduces mins in bf16
+    — keeping the reduce f32 measured 2.4× slower), and each kept tile's
+    distance block equals the oracle's block for that tile within
+    bf16-store tolerance (PAD lanes round to bf16-max/inf, sorting last)."""
+    view, q, tile_idx, _ = view_and_queries
+    from prefhetch_tpu.ops.union_scan import (
+        union_scan_pruned, union_scan_pruned_qm,
+    )
+
+    union, pos = union_probe_tiles(tile_idx, view.empty_tile)
+    args = (
+        view.payload, view.norms, view.sizes, q,
+        jnp.asarray(union), jnp.asarray(pos),
+    )
+    max_t = pos.shape[1]
+    T = view.payload.shape[1]
+    # full-width oracle run gives every tile's f32 block, keyed by pos slot
+    ref_d, ref_sel = union_scan_pruned(*args, max_t)
+    ref_d = np.asarray(ref_d).reshape(q.shape[0], max_t, T)
+    ref_sel = np.asarray(ref_sel)
+    nq = q.shape[0]
+    blocks = np.empty_like(ref_d)          # [nq, slot, T] in pos-slot order
+    for qi in range(nq):
+        blocks[qi, ref_sel[qi]] = ref_d[qi]
+    # bf16 per-slot mins — what qm's selection actually ranks
+    mins_bf16 = np.asarray(
+        jnp.min(jnp.asarray(blocks).astype(jnp.bfloat16), axis=2),
+        np.float32,
+    )                                       # [nq, max_t]
+
+    for j in (2, max_t):
+        got_d, got_sel = union_scan_pruned_qm(*args, j)
+        got_d = np.asarray(got_d, np.float32).reshape(nq, j, T)
+        got_sel = np.asarray(got_sel)
+        for qi in range(nq):
+            slots = got_sel[qi]
+            assert len(set(slots.tolist())) == j  # no duplicate tiles
+            # kept set is a valid top-j of the bf16 mins (multiset match)
+            kept = np.sort(mins_bf16[qi][slots])
+            best = np.sort(mins_bf16[qi])[:j]
+            np.testing.assert_array_equal(kept, best)
+            # per-tile distance blocks match the oracle's f32 values
+            ref_blk = blocks[qi][slots]     # [j, T] f32
+            pad_ref = ref_blk >= PAD_DISTANCE / 2
+            got_blk = got_d[qi]
+            np.testing.assert_array_equal(
+                ~np.isfinite(got_blk) | (got_blk >= PAD_DISTANCE / 2),
+                pad_ref,
+            )
+            np.testing.assert_allclose(
+                got_blk[~pad_ref], ref_blk[~pad_ref], rtol=1e-2, atol=0.5
+            )
+
+
 def test_union_pq_onehot_matches_lut_scan():
     """The one-hot ADC scan must reproduce coarse_scan_pq's residual ADC
     distances (same LUT math, matmul formulation) candidate-for-candidate."""
