@@ -142,19 +142,35 @@ class DeviceCKKS:
             jnp.asarray(np.stack(signs).astype(np.int32)),
         )
 
+    def _enc_mat_dev(self) -> jax.Array:
+        """Parked [N/2, N] f32 real-encode matrix × ctx.scale (a power of
+        two — the f32 multiply is exact). Built once per service; passed
+        as a program ARGUMENT, never a jit constant (134 MB at N=8192)."""
+        em = getattr(self, "_enc_mat_cached", None)
+        if em is None:
+            em = jnp.asarray(
+                self.ctx.encode_matrix_real()
+                * np.float32(self.ctx.scale)
+            )
+            self._enc_mat_cached = em
+        return em
+
     def _score_fn(self, level_in: int, n_steps: int,
                   combine_tree: int | None = None, n_post: int = 0,
-                  seeded: bool = False, digit_bits: int | None = None):
+                  seeded: bool = False, digit_bits: int | None = None,
+                  dev_encode: bool = False):
         # per-instance cache (a functools.lru_cache on the bound method
         # would key the GLOBAL cache on self and pin every DeviceCKKS
         # instance — device keys, tables, executables — for process life)
         if not hasattr(self, "_score_cache"):
             self._score_cache = {}
-        key = (level_in, n_steps, combine_tree, n_post, seeded, digit_bits)
+        key = (level_in, n_steps, combine_tree, n_post, seeded, digit_bits,
+               dev_encode)
         if key in self._score_cache:
             return self._score_cache[key]
         fn = self._build_score_fn(
-            level_in, n_steps, combine_tree, n_post, seeded, digit_bits
+            level_in, n_steps, combine_tree, n_post, seeded, digit_bits,
+            dev_encode,
         )
         self._score_cache[key] = fn
         return fn
@@ -162,7 +178,8 @@ class DeviceCKKS:
     def _build_score_fn(self, level_in: int, n_steps: int,
                         combine_tree: int | None = None, n_post: int = 0,
                         seeded: bool = False,
-                        digit_bits: int | None = None):
+                        digit_bits: int | None = None,
+                        dev_encode: bool = False):
         """jit: (fdigs…, gdigs…, ct [2, L, N], pt_rns [B, L, N],
         keys_b [n_steps, n_comp, n_ext_all, N], keys_a …,
         perms [n_steps, N], signs [n_steps, N]) → [B, 2, level, N].
@@ -465,14 +482,32 @@ class DeviceCKKS:
                 axis=1,
             )                                        # [nq, 2, lvl2, N]
 
-        if not seeded:
-            return jax.jit(score_combined)
+        def _dev_encode(slot_rows, enc_mat):
+            # candidate encode ON the MXU: slot_rows [B, N/2] f32 (already
+            # divided by cand_scale on the host), enc_mat [N/2, N] f32
+            # pre-scaled by ctx.scale (crypto/ckks.encode_matrix_real) —
+            # one matmul replaces the host FFT encode that cost 424 ms per
+            # 256 rows on this 1-core host, and the upload shrinks from
+            # [B, N] int32 coeffs to [B, N/2] f32 slots
+            ptc = jax.lax.dot_general(
+                slot_rows, enc_mat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return jnp.round(ptc).astype(jnp.int32)
 
-        def score_combined_seeded(
-            c0q, seeds, pt_coeffs, keys_b, keys_a, perms, signs,
-            mask_ntt, tkeys_b, tkeys_a, tperms, tsigns,
-            pkeys_b, pkeys_a, pperms, psigns,
-        ):
+        if not seeded:
+            if not dev_encode:
+                return jax.jit(score_combined)
+
+            def score_combined_enc(ct, slot_rows, enc_mat, *rest):
+                return score_combined(
+                    ct, _dev_encode(slot_rows, enc_mat), *rest
+                )
+
+            return jax.jit(score_combined_enc)
+
+        def score_combined_seeded(c0q, seeds, pt_coeffs, *rest):
             # seedTf wire: regenerate the c1 mask from the 8-byte
             # threefry key inside the program (crypto/bfv.tf_uniform_rns)
             # — the c1 half of the query upload disappears
@@ -482,13 +517,17 @@ class DeviceCKKS:
                 lambda kd: tf_uniform_rns(kd, qs_in, n)
             )(seeds)                                 # [nq, L_in, N] i64
             ct = jnp.stack([c0q.astype(jnp.int64), a], axis=1)
-            return score_combined(
-                ct, pt_coeffs, keys_b, keys_a, perms, signs,
-                mask_ntt, tkeys_b, tkeys_a, tperms, tsigns,
-                pkeys_b, pkeys_a, pperms, psigns,
+            return score_combined(ct, pt_coeffs, *rest)
+
+        if not dev_encode:
+            return jax.jit(score_combined_seeded)
+
+        def score_combined_seeded_enc(c0q, seeds, slot_rows, enc_mat, *rest):
+            return score_combined_seeded(
+                c0q, seeds, _dev_encode(slot_rows, enc_mat), *rest
             )
 
-        return jax.jit(score_combined_seeded)
+        return jax.jit(score_combined_seeded_enc)
 
     # ------------------------------------------------------------------
     def encrypted_scores(
@@ -666,12 +705,34 @@ class DeviceCKKS:
         if level_in < 3:
             raise ValueError("combined scoring needs a level-3 query ct")
         level = level_in - 1
-        coeffs = ctx.encode(
-            padded.reshape(nq * n_blocks, per_ct * d) / cand_scale
-        )                                            # [nq·blocks, N]
-        # device-side RNS mod: coeffs of the 2^-16-scaled candidates are
-        # ≲ 2^28 (bounded well under int32) — asserted, not assumed
-        assert np.abs(coeffs).max() < (1 << 31), "combined pt coeffs overflow"
+        import os as _os
+
+        env_de = _os.environ.get("PFH_CKKS_DEV_ENCODE")
+        dev_enc = (
+            jax.default_backend() == "tpu" if env_de is None
+            else env_de == "1"
+        )
+        if dev_enc:
+            # |coeff| ≤ scale·max|slot| (encode_matrix_real docstring) —
+            # the int32 bound checked on the raw values, pre-matmul
+            assert np.abs(padded).max() < 32.0 * cand_scale, \
+                "combined pt coeffs overflow"
+            pt_args = (
+                jnp.asarray(
+                    (padded.reshape(nq * n_blocks, per_ct * d)
+                     * (1.0 / cand_scale)).astype(np.float32)
+                ),
+                self._enc_mat_dev(),
+            )
+        else:
+            coeffs = ctx.encode(
+                padded.reshape(nq * n_blocks, per_ct * d) / cand_scale
+            )                                        # [nq·blocks, N]
+            # device-side RNS mod: coeffs of the 2^-16-scaled candidates
+            # are ≲ 2^28 (bounded well under int32) — asserted, not assumed
+            assert np.abs(coeffs).max() < (1 << 31), \
+                "combined pt coeffs overflow"
+            pt_args = (jnp.asarray(coeffs.astype(np.int32)),)
 
         # per-(key_id, shape) device-arg bundle: mask NTT residues, stacked
         # key/automorphism tables for the pre/tree/post schedules. Cached —
@@ -727,11 +788,11 @@ class DeviceCKKS:
         (mask_ntt, keys_b, keys_a, perms, signs,
          tkeys_b, tkeys_a, tperms, tsigns,
          pkeys_b, pkeys_a, pperms, psigns) = self._combined_args_cache[akey]
-        coeffs_dev = jnp.asarray(coeffs.astype(np.int32))
         fn = self._score_fn(
             level_in, len(pre_steps), combine_tree=n_tree,
             n_post=len(post_steps), seeded=seed_mode,
             digit_bits=getattr(self, "_key_digits", {}).get(key_id),
+            dev_encode=dev_enc,
         )
         if seed_mode:
             import base64
@@ -755,7 +816,7 @@ class DeviceCKKS:
                 ).astype(np.int32)
             ),)
         dev_out = fn(
-            *lead, coeffs_dev,
+            *lead, *pt_args,
             keys_b, keys_a, perms, signs,
             mask_ntt, tkeys_b, tkeys_a, tperms, tsigns,
             pkeys_b, pkeys_a, pperms, psigns,
@@ -782,7 +843,7 @@ class DeviceCKKS:
         # bench's device-rate probe (serving ceiling with a local, non-relay
         # host↔device link — no host encode, no h2d in the timed loop)
         resolve.program_repeat = lambda: fn(
-            *lead, coeffs_dev, keys_b, keys_a, perms, signs,
+            *lead, *pt_args, keys_b, keys_a, perms, signs,
             mask_ntt, tkeys_b, tkeys_a, tperms, tsigns,
             pkeys_b, pkeys_a, pperms, psigns,
         )

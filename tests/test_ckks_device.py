@@ -247,3 +247,51 @@ def test_mismatched_digit_bits_key_rejected(setup):
     dev = DeviceCKKS(params)
     with pytest.raises(ValueError, match="digitBits"):
         dev.register_keys("bad", bad)
+
+
+def test_encode_matrix_real_matches_encode(setup):
+    """crypto/ckks.encode_matrix_real: the [N/2, N] linear form must
+    reproduce encode() BIT-EXACTLY for real slot vectors at f64 (the
+    device path then evaluates it in f32 on the MXU — covered by the
+    dev-encode parity test below)."""
+    params, ctx, sk, pk, gks_wire, rng = setup
+    M = ctx.encode_matrix_real().astype(np.float64)
+    z = insecure_rng(11).normal(size=(4, params.n // 2)) * 4e-3
+    ref = ctx.encode(z)
+    got = np.round((z @ M) * ctx.scale).astype(np.int64)
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_combined_dev_encode_matches_host_encode(setup, monkeypatch):
+    """PFH_CKKS_DEV_ENCODE=1 (the TPU default): candidates travel as raw
+    f32 slots and the encode runs as a device matmul — the result ct must
+    match the host-encoded path at this scale (small coeffs: the f32
+    matmul rounds to the same integers; at production scale the bench
+    reports the residual error instead)."""
+    params, ctx, sk, pk, gks_wire, rng = setup
+    q = insecure_rng(21).integers(0, 30, size=D).astype(np.float64)
+    cands = insecure_rng(22).integers(0, 30, size=(10, D)).astype(np.float64)
+    ct = _encrypt_query(ctx, pk, q, rng)
+    steps = []
+    r = D // 2
+    while r >= 1:
+        steps.append(r)
+        r //= 2
+    n_blocks = 4
+    tree_steps = ctx.combine_tree_steps(n_blocks, D)
+    gks = ctx.galois_keygen(sk, steps + tree_steps, rng)
+    gks_all = {str(s): k.to_wire() for s, k in gks.items()}
+
+    dev = DeviceCKKS(params)
+    dev.register_keys("k", gks_all)
+    monkeypatch.setenv("PFH_CKKS_DEV_ENCODE", "0")
+    h_cts, h_norms = dev.encrypted_scores_combined_batch(
+        [ct], cands[None], "k"
+    )
+    monkeypatch.setenv("PFH_CKKS_DEV_ENCODE", "1")
+    d_cts, d_norms = dev.encrypted_scores_combined_batch(
+        [ct], cands[None], "k"
+    )
+    np.testing.assert_array_equal(d_cts[0].c0, h_cts[0].c0)
+    np.testing.assert_array_equal(d_cts[0].c1, h_cts[0].c1)
+    np.testing.assert_array_equal(d_norms, h_norms)
