@@ -966,10 +966,34 @@ def main():
             )
         return res
 
+    def _purge_hbm(note=""):
+        # Force-free EVERY live device buffer. Sections accumulate HBM —
+        # the serving engine's tiled view, Device{CKKS,PIR} key/table
+        # parks, the core pipeline's payload — and the fresh-dataset
+        # sections (pir's packed DB, angular/hard's 1M pipelines) then die
+        # on RESOURCE_EXHAUSTED (this killed 4/8 sections in the first r04
+        # warm run). Everything scheduled after a purge rebuilds its device
+        # state from host data; anything before it must already be np.
+        import gc
+
+        gc.collect()
+        n_arr, freed = 0, 0
+        for a in jax.live_arrays():
+            try:
+                freed += a.nbytes
+                a.delete()
+                n_arr += 1
+            except Exception:   # noqa: BLE001 — already deleted / committed
+                pass
+        print(f"[bench] purged {n_arr} device arrays "
+              f"({freed / 1e9:.2f} GB) {note}", file=sys.stderr)
+
     # ordered by value/cost under the deadline, CACHED-CHEAP FIRST
     # (VERDICT r03: angular's cold compile 500'd twice and starved
     # ckks/pir/hard — compile-risky fresh-dataset sections now run last,
-    # and every section carries a 2×est SIGALRM cap)
+    # and every section carries a 2×est SIGALRM cap). Sections that share
+    # the core pipeline's device arrays (encrypted/http/ckks/pq) run
+    # before the first purge; each fresh-dataset section gets a clean HBM.
     _section("encrypted", "PFH_BENCH_SKIP_ENC", run_enc, est_s=150)
     _section(
         "http", "PFH_BENCH_SKIP_HTTP",
@@ -978,11 +1002,14 @@ def main():
     # est covers a COLD remote compile of the combined program (~2 min);
     # warm .jax_cache runs finish in ~60 s
     _section("ckks", "PFH_BENCH_SKIP_CKKS", run_ckks, est_s=150)
+    _section("pq", "PFH_BENCH_SKIP_PQ", run_pq, est_s=120)
+    _purge_hbm("before pir")
     _section("pir", "PFH_BENCH_SKIP_PIR", run_pir, est_s=150)
     # compile-risky (fresh program / fresh dataset) sections LAST: a
     # failed remote compile burns minutes and must not starve the above
-    _section("pq", "PFH_BENCH_SKIP_PQ", run_pq, est_s=120)
+    _purge_hbm("before angular")
     _section("angular", "PFH_BENCH_SKIP_ANGULAR", run_angular, est_s=120)
+    _purge_hbm("before hard")
     _section("hard", "PFH_BENCH_SKIP_HARD", run_hard, est_s=120)
 
     _RESULT["extra"]["status"] = "complete"
