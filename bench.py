@@ -288,7 +288,7 @@ def tpu_pipeline(index, base_j, queries_j, nprobe=None, coarse_probe=None,
         # union as ONE MXU matmul, extract per-query rows on device
         from prefhetch_tpu.ops.union_scan import (
             union_probe_tiles, union_scan_distances, union_scan_pruned,
-            union_scan_pruned_qm,
+            union_scan_pruned_fused,
         )
 
         union_np, pos_np = union_probe_tiles(tiles_np, view.empty_tile)
@@ -314,20 +314,24 @@ def tpu_pipeline(index, base_j, queries_j, nprobe=None, coarse_probe=None,
             prune_j = 0
 
         if prune_j:
-            # query-major XLA path (bf16 distance writes, transpose-free
-            # extraction) unless explicitly off; the f32 XLA formulation
-            # stays as the fallback/oracle. Profiled at the headline shape
-            # (r04): qm 2.19 ms vs fused-Pallas 3.54 vs f32-XLA 3.17 —
-            # the matmul emitting [nq, U·T] directly removes the 335 MB
-            # distance-matrix transpose, and bf16 halves the d2 roundtrip
+            # fused Pallas path (per-tile min in the VMEM epilogue + bf16
+            # store + kept-tiles-only extraction) unless explicitly off;
+            # the XLA formulation stays as the fallback/oracle. The
+            # query-major qm variant won at the profiler's synthetic
+            # U=2560 (2.19 vs 3.54 ms) but LOSES at production union
+            # sizes (~3.7× larger U): materializing + re-reading the full
+            # [nq, U·T] bf16 matrix measured 6.4 ms scan / 22.8K headline
+            # vs fused's 4.7 ms / 25.9K (r04)
             env_f = os.environ.get("PFH_BENCH_PRUNE_FUSED")
             on_tpu_b = jax.default_backend() == "tpu"
             fused = on_tpu_b if env_f is None else env_f != "0"
+            interp = not on_tpu_b
 
             if fused:
                 def prog_scan(payload, norms, sizes, q, tiles):
-                    return union_scan_pruned_qm(
-                        payload, norms, sizes, q, union_j, pos_j, prune_j,
+                    return union_scan_pruned_fused(
+                        payload, norms, sizes, q, union_j, pos_j,
+                        prune_j, interpret=interp,
                     )
             else:
                 def prog_scan(payload, norms, sizes, q, tiles):

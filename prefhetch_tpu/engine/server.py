@@ -477,8 +477,8 @@ class QueryEngine:
         """Segment-pruned union scan on the right backend → (dist
         [nq_pad, j·T], sel [nq_pad, j]). Sharded and single-device XLA
         formulations are bit-identical (f32); the single-chip TPU path
-        uses the query-major bf16 formulation (selection-grade — the
-        wide top-k's level 1 is bf16 anyway)."""
+        uses the fused Pallas kernel (bf16 distances, selection-grade —
+        the wide top-k's level 1 is bf16 anyway)."""
         import jax as _jax
 
         if self.is_sharded:
@@ -493,14 +493,17 @@ class QueryEngine:
                 self._mesh, self._sharded_tiled, q_p, union_dev, pos_dev, j
             )
         from prefhetch_tpu.ops.union_scan import (
-            union_scan_pruned, union_scan_pruned_qm,
+            union_scan_pruned, union_scan_pruned_fused,
         )
 
         u_j, p_j = jnp.asarray(union_np), jnp.asarray(pos_np)
         if _jax.default_backend() == "tpu":
-            # r04: query-major bf16 formulation — 2.19 ms vs the fused
-            # Pallas kernel's 3.54 at [256 q, U=2560, T=128, J=24]
-            return union_scan_pruned_qm(
+            # fused Pallas kernel: at PRODUCTION union sizes (U≈3.7× the
+            # profiler's synthetic 2560) the qm formulation's full
+            # [nq, U·T] bf16 materialization + re-read loses (6.4 vs
+            # 4.7 ms scan; headline 22.8K vs 25.9K measured r04) — the
+            # VMEM-epilogue extraction never writes the full matrix
+            return union_scan_pruned_fused(
                 view.payload, view.norms, view.sizes, q_p, u_j, p_j, j
             )
         return union_scan_pruned(

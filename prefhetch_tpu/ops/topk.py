@@ -63,14 +63,20 @@ def topk_select_segmented(
     then bf16-precision.
 
     When k ≥ seg the per-segment level keeps EVERY lane (kk = seg) — pure
-    overhead — so the call collapses to the bare flat top_k, which is both
-    faster (0.92 vs 1.61 ms at [256, 24·128]) and exact-f32 (no bf16
-    level 1). The headline operating point (J=24 kept tiles of T=128,
-    k=256) lands here."""
+    overhead — so the call collapses to a single flat top_k. Measured at
+    the headline shape [256, 24·128] with a real device_get sync (relay
+    block_until_ready returns early): cast-to-f32 + top_k in ONE program
+    1.39 ms vs bare-bf16 1.70 vs the two-level bf16 form 1.83 — a leading
+    convert does NOT demote XLA's PartialReduce fast path (only fused
+    selects/gathers do; see topk_select's contract). bf16 input therefore
+    up-casts inside the program; values remain bf16-precision."""
     nq, width = distances.shape
     seg = width // n_segments
     kk = min(k, seg)
     if kk >= seg:
+        if distances.dtype == jnp.bfloat16:
+            neg, idx = jax.lax.top_k(-distances.astype(jnp.float32), k)
+            return -neg, idx
         return topk_select(distances, k)
     d3 = (-distances).reshape(nq * n_segments, seg)
     if level1_bf16:
