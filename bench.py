@@ -619,7 +619,12 @@ def main():
     # the driver's graded run must emit the JSON line even if one workload
     # trips on this sandbox's remote-compile/relay quirks, and must emit it
     # INSIDE the driver's timeout even when cold compiles blow a section up
-    class _SectionTimeout(Exception):
+    class _SectionTimeout(BaseException):
+        # BaseException ON PURPOSE: section code (e.g. pir_device's bucket
+        # fallback) has broad `except Exception` recovery paths that ate
+        # the cap signal — the pir section ran 786 s past its 300 s cap in
+        # a r04 warm run because every raise got converted into "bucket
+        # broken, try smaller". A BaseException passes through them.
         pass
 
     def _section(name, skip_env, fn, est_s=90.0):
@@ -678,8 +683,8 @@ def main():
                     pass
                 time.sleep(8.0)
                 out = fn()
-        except Exception as e:     # noqa: BLE001 — report, don't die
-            import traceback
+        except (_SectionTimeout, Exception) as e:  # noqa: BLE001 — report,
+            import traceback                        # don't die
 
             traceback.print_exc()
             print(f"[bench] {name} section failed: {e}", file=sys.stderr)
