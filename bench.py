@@ -197,7 +197,7 @@ def get_index(data, subdir=""):
 
 
 def tpu_pipeline(index, base_j, queries_j, nprobe=None, coarse_probe=None,
-                 quant=None):
+                 quant=None, pq_xla=None):
     """Multi-dispatch full query step on the TILED layout; returns
     (step fn, args, stats dict). nprobe/coarse_probe default to the
     headline operating point; the hard-set frontier sweep passes others.
@@ -260,8 +260,12 @@ def tpu_pipeline(index, base_j, queries_j, nprobe=None, coarse_probe=None,
         pos_j = jnp.asarray(pos_np)
         tile_list_j = jnp.asarray(view.tile_list_np)
         by_res = bool(index.params.by_residual)
-        on_tpu = (jax.default_backend() == "tpu"
-                  and not os.environ.get("PFH_BENCH_PQ_XLA"))
+        # pq_xla=True forces the exact-f32 XLA ADC (run_pq's compile-500
+        # fallback passes it explicitly — mutating PFH_BENCH_PQ_XLA here
+        # leaked the fallback into every later pq use, ADVICE r04)
+        if pq_xla is None:
+            pq_xla = bool(os.environ.get("PFH_BENCH_PQ_XLA"))
+        on_tpu = jax.default_backend() == "tpu" and not pq_xla
 
         def prog_scan(payload, norms, sizes, q, tiles):
             if on_tpu:
@@ -832,11 +836,10 @@ def main():
             # measured number beats an error in the artifact
             if "remote_compile" not in str(e):
                 raise
-            os.environ["PFH_BENCH_PQ_XLA"] = "1"
             form = "xla"
             time.sleep(4.0)
             pstep, pargs, pstats = tpu_pipeline(
-                index, base_j, q_j, quant="pq"
+                index, base_j, q_j, quant="pq", pq_xla=True
             )
             _, pids = pstep(*pargs)
         pids.block_until_ready()
@@ -985,6 +988,18 @@ def main():
         # state from host data; anything before it must already be np.
         import gc
 
+        # Drop the known instance caches FIRST (ADVICE r04): deleting the
+        # arrays under a still-live HEComputeService / engine singleton
+        # leaves dangling buffers that raise 'Array has been deleted' only
+        # if a later section reuses the object mid-measurement. Killing the
+        # holders here makes any post-purge reuse fail loudly at setup.
+        encrypted_rerank_qps.svc = None
+        try:
+            from prefhetch_tpu.engine.server import QueryEngine as _QE
+
+            _QE.reset_instance()
+        except Exception:   # noqa: BLE001 — singleton may not exist yet
+            pass
         gc.collect()
         n_arr, freed = 0, 0
         for a in jax.live_arrays():

@@ -714,8 +714,13 @@ class DeviceCKKS:
         )
         if dev_enc:
             # |coeff| ≤ scale·max|slot| (encode_matrix_real docstring) —
-            # the int32 bound checked on the raw values, pre-matmul
-            assert np.abs(padded).max() < 32.0 * cand_scale, \
+            # the int32 bound checked on the raw values, pre-matmul.
+            # Bound is 16·cand_scale (coeff ≤ 16·2^26 = 2^30), NOT 32:
+            # the device encode rounds through an f32 matmul whose
+            # accumulation error must never be able to carry a coeff
+            # across the int32 boundary before the astype(int32) cast —
+            # a full power-of-two of headroom absorbs it (ADVICE r04).
+            assert np.abs(padded).max() < 16.0 * cand_scale, \
                 "combined pt coeffs overflow"
             pt_args = (
                 jnp.asarray(

@@ -68,6 +68,14 @@ class QueryEngine:
                 cls._instance = cls(config, index_dir)
             return cls._instance
 
+    @classmethod
+    def reset_instance(cls) -> None:
+        """Drop the singleton (bench HBM purges, test isolation). Any
+        handle kept across a reset points at deleted device arrays and
+        must be re-acquired via get_instance."""
+        with cls._instance_lock:
+            cls._instance = None
+
     # ------------------------------------------------------------------
     def init_index(self) -> None:
         """Cold build or warm load (reference: server_lib.cpp:55-99)."""

@@ -76,7 +76,10 @@ def topk_select_segmented(
     if kk >= seg:
         if distances.dtype == jnp.bfloat16:
             neg, idx = jax.lax.top_k(-distances.astype(jnp.float32), k)
-            return -neg, idx
+            # cast back: the contract is distances.dtype out on EVERY
+            # path (values carry bf16 precision already — the upcast is a
+            # kernel-speed trick, not an accuracy one)
+            return (-neg).astype(distances.dtype), idx
         return topk_select(distances, k)
     d3 = (-distances).reshape(nq * n_segments, seg)
     if level1_bf16:

@@ -272,9 +272,14 @@ def union_scan_pruned_qm(
     +max ≈ 3.39e38 which still sorts last). Returns
     (dist bf16 [nq, j_keep·T], sel [nq, j_keep]).
 
-    Measured at the headline shape [256 q, U=2560, T=128, J=24]: 1.9 ms vs
-    3.2 (union_scan_pruned) / 3.5 (union_scan_pruned_fused Pallas) — the
-    production TPU scan since r04."""
+    Measured at the SYNTHETIC profiler shape [256 q, U=2560, T=128, J=24]:
+    1.9 ms vs 3.2 (union_scan_pruned) / 3.5 (union_scan_pruned_fused
+    Pallas). At PRODUCTION union sizes (U≈9400 on the 1M bench) it LOSES
+    to the fused Pallas kernel — materializing + re-reading the full
+    [nq, U·T] bf16 matrix measured 6.4 ms scan / 22.8K headline vs fused's
+    4.7 ms / 25.9K (r04). union_scan_pruned_fused is the production scan;
+    this variant is kept as a profiler/oracle formulation only
+    (PFH_BENCH_PRUNE_FUSED=0 style opt-ins)."""
     U = union.shape[0]
     T = payload.shape[1]
     nq = queries.shape[0]
