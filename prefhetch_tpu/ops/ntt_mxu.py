@@ -327,15 +327,35 @@ def _small_matmul_mod(x: jax.Array, digit_mats: jax.Array, q: int,
     return jnp.moveaxis(out, -1, axis)
 
 
+def _use_pallas_ntt() -> bool:
+    """Dispatch the four-step transform to the fused Pallas kernel on TPU
+    (ops/ntt_pallas — bit-exact, ~int32/uint32 Shoup arithmetic instead of
+    emulated-int64 recombination). PFH_NTT_PALLAS=0 restores the XLA path."""
+    import os
+
+    if os.environ.get("PFH_NTT_PALLAS", "1") == "0":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:   # noqa: BLE001 — backend probe must never raise here
+        return False
+
+
 def ntt4(x: jax.Array, tb: NTT4Tables) -> jax.Array:
     """Forward negacyclic NTT of [B, N] residues, four-step order output.
 
     The small W matrices are jit constants (≤ 256 KB — negligible program
     size, unlike the dense form); the ψ-twists are pre-folded into the
     tables (build_ntt4_tables), so the transform is matmul · twiddle ·
-    matmul with no standalone twist pass."""
+    matmul with no standalone twist pass. On TPU this dispatches to the
+    fused Pallas kernel (ops/ntt_pallas) — bit-identical output."""
     q, delta = tb.q, tb.delta
     B = x.shape[0]
+    if tb.n1 in (64, 128) and tb.n2 in (64, 128) and _use_pallas_ntt():
+        from prefhetch_tpu.ops.ntt_pallas import build_pallas_ntt4, ntt4_pallas
+
+        return ntt4_pallas(x, build_pallas_ntt4(q, tb.n, tb.n1)) \
+            .astype(jnp.int64)
     a = x.reshape(B, tb.n1, tb.n2)
     b = _small_matmul_mod(a, jnp.asarray(tb.f_w1), q, delta, axis=1)
     c = modmul(b, jnp.asarray(tb.f_tw)[None], q, delta)
@@ -347,6 +367,13 @@ def intt4(x: jax.Array, tb: NTT4Tables) -> jax.Array:
     """Inverse of ntt4 (consumes four-step order, emits natural order)."""
     q, delta = tb.q, tb.delta
     B = x.shape[0]
+    if tb.n1 in (64, 128) and tb.n2 in (64, 128) and _use_pallas_ntt():
+        from prefhetch_tpu.ops.ntt_pallas import (
+            build_pallas_ntt4, intt4_pallas,
+        )
+
+        return intt4_pallas(x, build_pallas_ntt4(q, tb.n, tb.n1)) \
+            .astype(jnp.int64)
     a = x.reshape(B, tb.n1, tb.n2)
     b = _small_matmul_mod(a, jnp.asarray(tb.g_w2), q, delta, axis=2)
     c = modmul(b, jnp.asarray(tb.g_tw)[None], q, delta)
