@@ -27,6 +27,85 @@ from prefhetch_tpu.crypto.packing import pack_candidates
 from prefhetch_tpu.crypto.params import BFVParams
 
 
+def build_trunc_mac_q1(params: BFVParams):
+    """Pure modulus-switched truncated-MAC core (VERDICT r02 item 4):
+    fn(rows [nq, npad, d] i32, ctq [nq, 2, L, N] i32 natural-NTT order)
+    → bundled [nq, nb, N+B] i32, everything mod q1.
+
+    Same MAC as _trunc_mac_fn, but the result ciphertext is RNS
+    mod-switched down to the FIRST limb before it leaves the device —
+    the wire shrinks ~2× (c1 in COEFFICIENT domain ‖ c0 inner-product
+    coefficients, both mod q1).
+
+    Domain subtlety: RNS mod-down centers the q2-residue per
+    coefficient, which is only meaningful in the COEFFICIENT domain —
+    mod-switching NTT-domain values would turn the ±1/2 rounding into
+    full-magnitude coefficient noise after iNTT. So c1 pays one extra
+    device iNTT per limb and ships in coefficient domain; the client
+    forward-NTTs it at q1 only (half its former pointwise work).
+
+    Noise budget (deterministic): Δ' = q1/t ≈ 2^6; mod-down error
+    ≤ (1+‖s‖₁)/2 + |e⊛pt|/q2 + t/q2 < 25 + 0.02 + 0.01 < Δ'/2 = 32
+    for a sparse ternary secret with h = ‖s‖₁ ≤ 48
+    (crypto/bfv._sample_sparse_ternary). Dense ternary keys
+    (‖s‖₁ ≈ 2N/3) would NOT decrypt — callers opting into resp_mod
+    ="q1" must use HEParams.sparse_h.
+
+    Module-level (not a method) so the sharded path
+    (parallel/sharded.sharded_trunc_mac_q1) can wrap the identical
+    integer arithmetic per query shard — exactness makes the sharded
+    result bit-equal by construction."""
+    from prefhetch_tpu.ops.ntt_mxu import (
+        build_ntt4_tables, intt4, modmul, ntt4, shift_mod_reduce,
+    )
+
+    tables = [build_ntt4_tables(q, params.n) for q in params.qs]
+    n = params.n
+    t0 = tables[0]
+    q1, q2 = params.qs
+    inv_q2 = pow(q2 % q1, -1, q1)
+    j1, j2 = np.meshgrid(
+        np.arange(t0.n1), np.arange(t0.n2), indexing="ij"
+    )
+    perm = (j2 * t0.n1 + j1).reshape(-1)   # natural → four-step
+    perm_j = jnp.asarray(perm)
+
+    def mod_down(x1, x2):
+        # residues [..,] mod q1 / mod q2 → value mod q1 after exact
+        # division by q2 (centered q2-residue)
+        r2c = jnp.where(x2 > q2 // 2, x2 - q2, x2)
+        diff = shift_mod_reduce(x1 - r2c + 2 * q1, q1, t0.delta, 33)
+        return modmul(diff, jnp.int64(inv_q2), q1, t0.delta)
+
+    def trunc_mac_q1(rows, ctq):
+        nq, npad, d = rows.shape
+        B = n // d
+        nb = npad // B
+        c0q = ctq[:, 0][..., perm_j]
+        c1q = ctq[:, 1][..., perm_j]
+        polys = rows[:, :, ::-1].reshape(nq * nb, n)
+        c1c, c0ip = [], []
+        for i, tb in enumerate(tables):
+            q = tb.q
+            lifted = jnp.where(polys < 0, polys + q, polys)
+            pt = ntt4(lifted, tb).reshape(nq, nb, n)
+            o1 = modmul(c1q[:, None, i], pt, q, tb.delta)
+            o0 = modmul(c0q[:, None, i], pt, q, tb.delta)
+            c0ip.append(intt4(
+                o0.reshape(nq * nb, n), tb
+            ).reshape(nq, nb, B, d)[..., d - 1])          # [nq, nb, B]
+            c1c.append(intt4(
+                o1.reshape(nq * nb, n), tb
+            ).reshape(nq, nb, n))                          # coeff dom.
+        c1_q1 = mod_down(c1c[0], c1c[1])
+        c0_q1 = mod_down(c0ip[0], c0ip[1])
+        return jnp.concatenate(
+            [c1_q1.astype(jnp.int32), c0_q1.astype(jnp.int32)], axis=-1
+        )                                                  # [nq,nb,N+B]
+
+    return trunc_mac_q1
+
+
 class CKKSComputeService:
     """Server-side CKKS slot-packed scoring (BASELINE config 3).
 
@@ -279,75 +358,13 @@ class HEComputeService:
 
     @functools.cached_property
     def _trunc_mac_q1_fn(self):
-        """Modulus-switched truncated response (VERDICT r02 item 4):
-
-        Same MAC as _trunc_mac_fn, but the result ciphertext is RNS
-        mod-switched down to the FIRST limb before it leaves the device —
-        the wire shrinks ~2× to [nq, nb, N+B] i32 (c1 in COEFFICIENT
-        domain ‖ c0 inner-product coefficients, both mod q1).
-
-        Domain subtlety: RNS mod-down centers the q2-residue per
-        coefficient, which is only meaningful in the COEFFICIENT domain —
-        mod-switching NTT-domain values would turn the ±1/2 rounding into
-        full-magnitude coefficient noise after iNTT. So c1 pays one extra
-        device iNTT per limb and ships in coefficient domain; the client
-        forward-NTTs it at q1 only (half its former pointwise work).
-
-        Noise budget (deterministic): Δ' = q1/t ≈ 2^6; mod-down error
-        ≤ (1+‖s‖₁)/2 + |e⊛pt|/q2 + t/q2 < 25 + 0.02 + 0.01 < Δ'/2 = 32
-        for a sparse ternary secret with h = ‖s‖₁ ≤ 48
-        (crypto/bfv._sample_sparse_ternary). Dense ternary keys
-        (‖s‖₁ ≈ 2N/3) would NOT decrypt — callers opting into resp_mod
-        ="q1" must use HEParams.sparse_h."""
-        from prefhetch_tpu.ops.ntt_mxu import (
-            build_ntt4_tables, intt4, modmul, ntt4, shift_mod_reduce,
-        )
-
-        tables = [build_ntt4_tables(q, self.params.n) for q in self.params.qs]
-        n = self.params.n
-        t0 = tables[0]
-        q1, q2 = self.params.qs
-        inv_q2 = pow(q2 % q1, -1, q1)
-        j1, j2 = np.meshgrid(
-            np.arange(t0.n1), np.arange(t0.n2), indexing="ij"
-        )
-        perm = (j2 * t0.n1 + j1).reshape(-1)   # natural → four-step
-        perm_j = jnp.asarray(perm)
-
-        def mod_down(x1, x2):
-            # residues [..,] mod q1 / mod q2 → value mod q1 after exact
-            # division by q2 (centered q2-residue)
-            r2c = jnp.where(x2 > q2 // 2, x2 - q2, x2)
-            diff = shift_mod_reduce(x1 - r2c + 2 * q1, q1, t0.delta, 33)
-            return modmul(diff, jnp.int64(inv_q2), q1, t0.delta)
+        """jit wrapper: gather candidate rows, then the pure q1 MAC core
+        (build_trunc_mac_q1 — shared with parallel/sharded's row/query-
+        sharded variant)."""
+        core = build_trunc_mac_q1(self.params)
 
         def trunc_mac_q1(base_pad, ctq, idx):
-            nq, npad = idx.shape
-            d = base_pad.shape[1]
-            B = n // d
-            nb = npad // B
-            c0q = ctq[:, 0][..., perm_j]
-            c1q = ctq[:, 1][..., perm_j]
-            rows = base_pad[idx]
-            polys = rows[:, :, ::-1].reshape(nq * nb, n)
-            c1c, c0ip = [], []
-            for i, tb in enumerate(tables):
-                q = tb.q
-                lifted = jnp.where(polys < 0, polys + q, polys)
-                pt = ntt4(lifted, tb).reshape(nq, nb, n)
-                o1 = modmul(c1q[:, None, i], pt, q, tb.delta)
-                o0 = modmul(c0q[:, None, i], pt, q, tb.delta)
-                c0ip.append(intt4(
-                    o0.reshape(nq * nb, n), tb
-                ).reshape(nq, nb, B, d)[..., d - 1])          # [nq, nb, B]
-                c1c.append(intt4(
-                    o1.reshape(nq * nb, n), tb
-                ).reshape(nq, nb, n))                          # coeff dom.
-            c1_q1 = mod_down(c1c[0], c1c[1])
-            c0_q1 = mod_down(c0ip[0], c0ip[1])
-            return jnp.concatenate(
-                [c1_q1.astype(jnp.int32), c0_q1.astype(jnp.int32)], axis=-1
-            )                                                  # [nq,nb,N+B]
+            return core(base_pad[idx], ctq)
 
         return jax.jit(trunc_mac_q1)
 

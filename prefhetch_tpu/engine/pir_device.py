@@ -9,7 +9,15 @@ ciphertext (~64 KB) and downloads 2·L·n_digits single-limb response
 ciphertexts (~256 KB) — everything else stays in HBM.
 
 All modular arithmetic is division-free (ops/ntt_mxu.shift_mod_reduce);
-NTTs are the int8-MXU digit-decomposed matmuls (ops/ntt_mxu).
+NTTs are the four-step MXU transforms (ops/ntt_mxu.ntt4 — the fused
+Pallas Shoup kernel on TPU). The whole NTT domain of this module lives in
+FOUR-STEP order: the packed DB and the key-switch stacks are permuted
+natural→four-step once at load (pointwise products only need both sides
+in the same order), and intt4 emits natural coefficient order, so the
+wire format is unchanged. The dense N² digit-matmul form this replaces
+paid a 64 MB HBM matrix read per transform call plus emulated-int64
+recombination — the r04 profile put that floor at 4.8 ms per [512, 8192]
+transform vs 1.6 ms for the Pallas four-step (VERDICT r04 next #3).
 
 Upgrades reference: src/server/server_lib.cpp:169-196 ("PIR" that gathered
 raw rows for cleartext indices) into real single-server PIR at the
@@ -34,10 +42,10 @@ from prefhetch_tpu.crypto.pir import (
     pack_database,
 )
 from prefhetch_tpu.ops.ntt_mxu import (
-    build_mxu_tables,
-    intt_mxu,
+    build_ntt4_tables,
+    intt4,
     modmul,
-    ntt_mxu,
+    ntt4,
     shift_mod_reduce,
 )
 
@@ -63,6 +71,15 @@ class DevicePIR2:
         while (params.t ** self._n_digits) < params.qs[0]:
             self._n_digits += 1
 
+        # natural → four-step NTT-order permutation (same recipe as
+        # engine/hecompute): every NTT-domain tensor in this module is kept
+        # in ntt4's four-step order, so pointwise ct×pt products line up
+        _t4 = build_ntt4_tables(params.qs[0], params.n)
+        _j1, _j2 = np.meshgrid(
+            np.arange(_t4.n1), np.arange(_t4.n2), indexing="ij"
+        )
+        self._fs_perm = (_j2 * _t4.n1 + _j1).reshape(-1)
+
         db32 = self._load_db_cache(base, cache_dir)
         if db32 is None:
             polys = pack_database(base, params)              # [G, N]
@@ -87,7 +104,9 @@ class DevicePIR2:
                 self.g1, self.g2, len(params.qs), params.n
             ).astype(np.int32)
             self._save_db_cache(base, cache_dir, db32)
-        self.db = jnp.asarray(db32)
+        # disk cache stays natural-order (stable key across kernel
+        # generations); the device copy is four-step order
+        self.db = jnp.asarray(db32[..., self._fs_perm])
 
         # per-level monomial/automorphism tables — built to FULL depth
         # log2(N): the multi-row packed query (answer_2d_multi) expands to
@@ -259,14 +278,20 @@ class DevicePIR2:
         inv_p = np.array(
             [pow(sp, -1, qi) for qi in self.params.qs], np.int64
         )
-        self._keys[key_id] = (jnp.asarray(kb32), jnp.asarray(ka32))
+        # key stacks ride the NTT domain: permute into four-step order
+        # (the pirks_ disk cache stays natural-order)
+        self._keys[key_id] = (
+            jnp.asarray(kb32[..., self._fs_perm]),
+            jnp.asarray(ka32[..., self._fs_perm]),
+        )
         if not hasattr(self, "_key_fps"):
             self._key_fps = {}
         self._key_fps[key_id] = tuple(fps)
         self._ks_meta = (tuple(ext), sp, inv_p)
 
     # ------------------------------------------------------------------
-    def _build_answer(self, n_rows: int = 1):
+    def _build_answer(self, n_rows: int = 1, axis_name: str | None = None,
+                      n_shards: int = 1):
         """The answer pipeline as a pure function (jitted for one-off
         fetches; vmapped over the ciphertext axis for batched fetches —
         in_axes=None on the database so the g1-scan's HBM read of the
@@ -276,7 +301,13 @@ class DevicePIR2:
         n_rows > 1 is the multi-row packed form: ONE uploaded ct expands to
         n_rows·m selectors (crypto/pir.build_query_2d_multi) and each row's
         m-block folds against the same expansion — n_rows× less upload and
-        one expansion shared by n_rows fetches."""
+        one expansion shared by n_rows fetches.
+
+        axis_name/n_shards: mesh-sharded form (answer_2d_sharded) — the db
+        argument is each device's [g1/n_shards, g2, L, N] chunk, the dim-1
+        fold scans it locally and a psum + canonical reduce reassembles
+        the accumulators bit-equal to the single-device scan; expansion
+        and the dim-2 fold run replicated."""
         p = self.params
         n = p.n
         q1, q2 = p.qs
@@ -292,8 +323,8 @@ class DevicePIR2:
         ext, sp, inv_p_np = self._ks_meta
         L = len(p.qs)
         n_comp = L * N_KS_DIGITS
-        tabs = [build_mxu_tables(q, n) for q in ext]
-        tabs_q = [build_mxu_tables(q, n) for q in p.qs]
+        tabs = [build_ntt4_tables(q, n) for q in ext]
+        tabs_q = [build_ntt4_tables(q, n) for q in p.qs]
         inv_q2_mod_q1 = pow(q2, -1, q1)
 
         def lift_sign(x, sign, q):
@@ -309,10 +340,11 @@ class DevicePIR2:
                 out.append(lift_sign(y[:, i : i + 1], sign, q))
             return jnp.concatenate(out, axis=1)
 
-        def key_switch_batch(c1g, kb_l, ka_l, fdigs, gdigs):
+        def key_switch_batch(c1g, kb_l, ka_l):
             """[M, L, N] int32 → (ks0, ks1) [M, L, N] int32.
 
-            kb_l/ka_l: [n_comp, n_ext, N] int32 NTT-domain key components."""
+            kb_l/ka_l: [n_comp, n_ext, N] int32 four-step-NTT-domain key
+            components."""
             M = c1g.shape[0]
             digs = []
             for i in range(L):
@@ -324,7 +356,7 @@ class DevicePIR2:
             acc = []                                     # per ext prime
             for e, q in enumerate(ext):
                 tb = tabs[e]
-                Dn = ntt_mxu(flat, tb, fdigs[e]).reshape(M, n_comp, n)
+                Dn = ntt4(flat, tb).reshape(M, n_comp, n)
                 s0 = jnp.zeros((M, n), jnp.int64)
                 s1 = jnp.zeros((M, n), jnp.int64)
                 for c in range(n_comp):
@@ -333,10 +365,7 @@ class DevicePIR2:
                 # sums of n_comp values < q: reduce with conditional subs
                 s0 = shift_mod_reduce(s0, q, tb.delta, 34)
                 s1 = shift_mod_reduce(s1, q, tb.delta, 34)
-                acc.append((
-                    intt_mxu(s0, tb, gdigs[e]),
-                    intt_mxu(s1, tb, gdigs[e]),
-                ))
+                acc.append((intt4(s0, tb), intt4(s1, tb)))
             half = sp // 2
             cp0 = acc[-1][0]
             cp1 = acc[-1][1]
@@ -357,7 +386,7 @@ class DevicePIR2:
                 jnp.stack(outs1, axis=1).astype(jnp.int32),
             )
 
-        def expand(c0, c1, kb, ka, fdigs, gdigs):
+        def expand(c0, c1, kb, ka):
             """[L, N] query ct → [m_pad, L, N] selectors (breadth-first)."""
             c0s = jnp.zeros((m_pad, L, n), jnp.int32).at[0].set(c0)
             c1s = jnp.zeros((m_pad, L, n), jnp.int32).at[0].set(c1)
@@ -369,7 +398,7 @@ class DevicePIR2:
                 both1 = jnp.concatenate([c1s[:half_m], sh1[:half_m]])
                 gb0 = apply_perm(both0, self.gal_perm[j], self.gal_sign[j])
                 gb1 = apply_perm(both1, self.gal_perm[j], self.gal_sign[j])
-                ks0, ks1 = key_switch_batch(gb1, kb[j], ka[j], fdigs, gdigs)
+                ks0, ks1 = key_switch_batch(gb1, kb[j], ka[j])
                 qs_b = jnp.array(p.qs, jnp.int64)[None, :, None]
 
                 def red3q(x):
@@ -402,11 +431,20 @@ class DevicePIR2:
             )
             return modmul(diff, jnp.int64(inv_q2_mod_q1), q1, tb.delta)
 
-        def fold(db, sel_ntt, fdigs, gdigs):
+        def fold(db, sel_ntt):
             """One row's dim-1 + dim-2 hypercube fold;
             sel_ntt [m, 2, L, N] NTT-domain selectors → [2·nd, 2, N]."""
             # dim 1: fold rows over the [g1, g2] cube — scan over g1
-            s1sel = sel_ntt[:g1]                          # [g1, 2, L, N]
+            if axis_name is None:
+                s1sel = sel_ntt[:g1]                      # [g1, 2, L, N]
+            else:
+                # each device folds the g1-rows of its db chunk against
+                # its slice of the selector stack
+                chunk = g1 // n_shards
+                me = jax.lax.axis_index(axis_name)
+                s1sel = jax.lax.dynamic_slice_in_dim(
+                    sel_ntt[:g1], me * chunk, chunk, 0
+                )
 
             def fold_row(acc, inp):
                 srow, dbrow = inp                         # [2, L, N], [g2, L, N]
@@ -434,14 +472,28 @@ class DevicePIR2:
 
             z = jnp.zeros((g2, L, n), jnp.int64)
             (C0n, C1n), _ = jax.lax.scan(fold_row, (z, z), (s1sel, db))
+            if axis_name is not None:
+                # per-shard partials are canonical (< q per limb); their
+                # int64 psum is < n_shards·q < 2^34 — one staged reduce
+                # restores the canonical value, bit-equal to the
+                # single-device scan's running reduction
+                bits = 30 + (n_shards - 1).bit_length() + 1
+                C0n = jax.lax.psum(C0n, axis_name)
+                C1n = jax.lax.psum(C1n, axis_name)
+                C0n = jnp.stack(
+                    [shift_mod_reduce(C0n[:, i], p.qs[i], tabs_q[i].delta,
+                                      bits) for i in range(L)], axis=1,
+                )
+                C1n = jnp.stack(
+                    [shift_mod_reduce(C1n[:, i], p.qs[i], tabs_q[i].delta,
+                                      bits) for i in range(L)], axis=1,
+                )
             # back to coeff domain
             C0 = jnp.stack(
-                [intt_mxu(C0n[:, i], tabs_q[i], gdigs[i]) for i in range(L)],
-                axis=1,
+                [intt4(C0n[:, i], tabs_q[i]) for i in range(L)], axis=1,
             )
             C1 = jnp.stack(
-                [intt_mxu(C1n[:, i], tabs_q[i], gdigs[i]) for i in range(L)],
-                axis=1,
+                [intt4(C1n[:, i], tabs_q[i]) for i in range(L)], axis=1,
             )
             c0d = mod_down(C0)                            # [g2, N] mod q1
             c1d = mod_down(C1)
@@ -458,7 +510,7 @@ class DevicePIR2:
                     r1 = jnp.zeros((L, n), jnp.int64)
                     for i, q in enumerate(p.qs):
                         tb = tabs_q[i]
-                        dn = ntt_mxu(dig, tb, fdigs[i])   # [g2, N]
+                        dn = ntt4(dig, tb)                # [g2, N]
                         p0 = modmul(s2[:, 0, i], dn, q, tb.delta)
                         p1 = modmul(s2[:, 1, i], dn, q, tb.delta)
                         # sum over g2 with staged reduction (each < q)
@@ -473,38 +525,32 @@ class DevicePIR2:
                         r0 = r0.at[i].set(s0_)
                         r1 = r1.at[i].set(s1_)
                     r0c = jnp.stack(
-                        [intt_mxu(r0[i][None], tabs_q[i], gdigs[i])[0]
-                         for i in range(L)]
+                        [intt4(r0[i][None], tabs_q[i])[0] for i in range(L)]
                     )
                     r1c = jnp.stack(
-                        [intt_mxu(r1[i][None], tabs_q[i], gdigs[i])[0]
-                         for i in range(L)]
+                        [intt4(r1[i][None], tabs_q[i])[0] for i in range(L)]
                     )
                     o0 = mod_down(r0c[None])[0]
                     o1 = mod_down(r1c[None])[0]
                     outs.append(jnp.stack([o0, o1]).astype(jnp.int32))
             return jnp.stack(outs)                        # [2·nd, 2, N]
 
-        def answer(db, c0, c1, kb, ka, fdigs, gdigs):
-            sel0, sel1 = expand(c0, c1, kb, ka, fdigs, gdigs)
+        def answer(db, c0, c1, kb, ka):
+            sel0, sel1 = expand(c0, c1, kb, ka)
             take = n_rows * self.m
             # NTT the needed selectors once per limb
             sel = jnp.stack([sel0[:take], sel1[:take]], axis=1)
             sel_ntt = []
             for i, q in enumerate(p.qs):
                 tb = tabs_q[i]
-                sel_ntt.append(
-                    ntt_mxu(sel.reshape(-1, L, n)[:, i], tb, fdigs[i])
-                )                                        # [take·2, N]
+                sel_ntt.append(ntt4(sel.reshape(-1, L, n)[:, i], tb))
             sel_ntt = jnp.stack(sel_ntt, axis=1).reshape(
                 n_rows, self.m, 2, L, n
-            )
+            )                                            # [take·2, N]
             if n_rows == 1:
-                return fold(db, sel_ntt[0], fdigs, gdigs)
+                return fold(db, sel_ntt[0])
             # all rows share one expansion AND one DB pass per scan step
-            return jax.vmap(fold, in_axes=(None, 0, None, None))(
-                db, sel_ntt, fdigs, gdigs
-            )
+            return jax.vmap(fold, in_axes=(None, 0))(db, sel_ntt)
 
         return answer
 
@@ -524,19 +570,10 @@ class DevicePIR2:
         if fn is None:
             fn = jax.jit(jax.vmap(
                 self._build_answer(),
-                in_axes=(None, 0, 0, None, None, None, None),
+                in_axes=(None, 0, 0, None, None),
             ))
             self._batch_fns[b] = fn
         return fn
-
-    @functools.cached_property
-    def _dev_digit_mats(self):
-        ext, _, _ = self._ks_meta
-        fdigs = [jnp.asarray(build_mxu_tables(q, self.params.n).f_digits)
-                 for q in ext]
-        gdigs = [jnp.asarray(build_mxu_tables(q, self.params.n).g_digits)
-                 for q in ext]
-        return fdigs, gdigs
 
     def _resp_wire(self, outs: np.ndarray, logf: int | None = None) -> dict:
         from prefhetch_tpu.utils.wire import pack_i32
@@ -561,9 +598,44 @@ class DevicePIR2:
     def answer_2d(self, query_wire: dict, key_id: str) -> dict:
         c0, c1 = self._query_c01(query_wire)
         kb, ka = self._keys[key_id]
-        fdigs, gdigs = self._dev_digit_mats
         outs = np.asarray(self._answer_fn(
-            self.db, jnp.asarray(c0), jnp.asarray(c1), kb, ka, fdigs, gdigs,
+            self.db, jnp.asarray(c0), jnp.asarray(c1), kb, ka,
+        ))                                               # [2·nd, 2, N]
+        return self._resp_wire(outs)
+
+    def answer_2d_sharded(self, query_wire: dict, key_id: str, mesh) -> dict:
+        """Single-row answer with the packed DB sharded over the mesh
+        (VERDICT r04 next #4): each device scans its g1/ndev rows of the
+        hypercube in the dim-1 fold — the HBM-dominant stage at production
+        scale — and a psum + canonical reduce reassembles the accumulators
+        BIT-equal to answer_2d. Expansion and the dim-2 fold run
+        replicated (the next sharding lever would be the key-switch M
+        axis). Requires g1 % ndev == 0."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        ndev = mesh.devices.size
+        if self.g1 % ndev:
+            raise ValueError(
+                f"g1={self.g1} not divisible by {ndev} devices"
+            )
+        if not hasattr(self, "_sharded_fns"):
+            self._sharded_fns: Dict[int, object] = {}
+        fn = self._sharded_fns.get(ndev)
+        if fn is None:
+            fn = jax.jit(jax.shard_map(
+                self._build_answer(1, axis_name=axis, n_shards=ndev),
+                mesh=mesh,
+                in_specs=(P(axis), P(), P(), P(), P()),
+                out_specs=P(),
+                check_vma=False,
+            ))
+            self._sharded_fns[ndev] = fn
+        c0, c1 = self._query_c01(query_wire)
+        kb, ka = self._keys[key_id]
+        db_sh = jax.device_put(self.db, NamedSharding(mesh, P(axis)))
+        outs = np.asarray(fn(
+            db_sh, jnp.asarray(c0), jnp.asarray(c1), kb, ka,
         ))                                               # [2·nd, 2, N]
         return self._resp_wire(outs)
 
@@ -590,7 +662,6 @@ class DevicePIR2:
                 f"{n_rows} packed rows need {need}"
             )
         c0, c1 = self._query_c01(query_wire)
-        fdigs, gdigs = self._dev_digit_mats
         if not hasattr(self, "_multi_fns"):
             self._multi_fns: Dict[int, object] = {}
         fn = self._multi_fns.get(n_rows)
@@ -598,7 +669,7 @@ class DevicePIR2:
             fn = jax.jit(self._build_answer(n_rows))
             self._multi_fns[n_rows] = fn
         outs = np.asarray(fn(
-            self.db, jnp.asarray(c0), jnp.asarray(c1), kb, ka, fdigs, gdigs,
+            self.db, jnp.asarray(c0), jnp.asarray(c1), kb, ka,
         ))                                               # [n_rows, 2·nd, 2, N]
         return [self._resp_wire(outs[j], need) for j in range(n_rows)]
 
@@ -634,7 +705,7 @@ class DevicePIR2:
         if fn is None:
             fn = jax.jit(jax.vmap(
                 self._build_answer(n_rows),
-                in_axes=(None, 0, 0, None, None, None, None),
+                in_axes=(None, 0, 0, None, None),
             ))
             self._multi_batch_fns[(b, n_rows)] = fn
         return fn
@@ -654,7 +725,6 @@ class DevicePIR2:
                 f"expansion keys cover {kb.shape[0]} levels; "
                 f"{n_rows} packed rows need {need}"
             )
-        fdigs, gdigs = self._dev_digit_mats
         pairs = [self._query_c01(w) for w in query_wires]
         out: list = []
         i = 0
@@ -682,7 +752,7 @@ class DevicePIR2:
             c1 = jnp.asarray(np.stack([c[1] for c in chunk]))
             outs = self._try_bucket(
                 lambda: np.asarray(self._batched_multi_fn(b, n_rows)(
-                    self.db, c0, c1, kb, ka, fdigs, gdigs,
+                    self.db, c0, c1, kb, ka,
                 )),                          # [b, n_rows, 2·nd, 2, N]
                 "_multi_batch_broken", b,
             )
@@ -704,7 +774,6 @@ class DevicePIR2:
         against ONE pass over the DB. Buckets bound the number of compiled
         programs (each costs minutes through this sandbox's remote XLA)."""
         kb, ka = self._keys[key_id]
-        fdigs, gdigs = self._dev_digit_mats
         pairs = [self._query_c01(w) for w in query_wires]
         out: list = []
         i = 0
@@ -721,7 +790,7 @@ class DevicePIR2:
                 c0j, c1j = pairs[i]
                 out.append(self._resp_wire(np.asarray(self._answer_fn(
                     self.db, jnp.asarray(c0j), jnp.asarray(c1j),
-                    kb, ka, fdigs, gdigs,
+                    kb, ka,
                 ))))
                 i += 1
                 continue
@@ -733,7 +802,7 @@ class DevicePIR2:
             c1 = jnp.asarray(np.stack([c[1] for c in chunk]))
             outs = self._try_bucket(
                 lambda: np.asarray(self._batched_answer_fn(b)(
-                    self.db, c0, c1, kb, ka, fdigs, gdigs,
+                    self.db, c0, c1, kb, ka,
                 )),                          # [b, 2·nd, 2, N]
                 "_batch_broken", b,
             )
@@ -742,7 +811,7 @@ class DevicePIR2:
                 # drop to per-query answers rather than fail the fetch
                 out.extend(
                     self._resp_wire(np.asarray(self._answer_fn(
-                        self.db, c0[j], c1[j], kb, ka, fdigs, gdigs,
+                        self.db, c0[j], c1[j], kb, ka,
                     ))) for j in range(nv)
                 )
                 i += nv

@@ -537,3 +537,78 @@ def sharded_union_scan_pruned(
         jnp.asarray(queries, jnp.float32),
         jnp.asarray(union_dev), jnp.asarray(pos_dev),
     )
+
+
+# ---------------------------------------------------------------------------
+# Encrypted services sharded (VERDICT r04 next #4): the north star is
+# encrypted q/s on a v5e-8, so the BFV truncated-MAC and the PIR DB fold
+# must ride the mesh too, not just the plaintext triage.
+# ---------------------------------------------------------------------------
+
+def pad_rows_for_mesh(base_pad, ndev: int):
+    """Pad a [rows, d] int32 matrix with zero rows to a multiple of ndev
+    (the appended rows can never be indexed: callers clamp idx to the
+    original padding row, and zero rows MAC to zero anyway)."""
+    import numpy as np
+
+    rows = base_pad.shape[0]
+    want = -(-rows // ndev) * ndev
+    if want == rows:
+        return base_pad
+    return np.concatenate(
+        [base_pad, np.zeros((want - rows, base_pad.shape[1]),
+                            base_pad.dtype)]
+    )
+
+
+def sharded_trunc_mac_q1(
+    mesh: Mesh, base_sharded: jax.Array, ctq: jax.Array, idx: jax.Array,
+    params,
+):
+    """Row/query-sharded BFV truncated MAC (q1 wire) — the encrypted
+    re-rank service (engine/hecompute.encrypted_scores_trunc_q1) over a
+    device mesh, BIT-equal to the single-device kernel.
+
+    Layout: the candidate base is row-sharded (each device owns
+    rows/ndev contiguous rows); candidate rows are assembled EP-style —
+    each device contributes the rows it owns, a psum materializes the
+    gather (exact: every idx hits exactly one shard, int32 adds) — then
+    the expensive per-(query, block) NTT/MAC work is QUERY-sharded so
+    each device transforms nq/ndev queries, and an all_gather reassembles
+    the bundled wire. nq and rows must divide by the mesh size (callers
+    bucket nq to powers of two already — engine/server.py coarse_search).
+
+    Bit-equality holds by construction: the MAC core
+    (hecompute.build_trunc_mac_q1) is exact integer modular arithmetic,
+    so per-query results cannot depend on which device computed them."""
+    from prefhetch_tpu.engine.hecompute import build_trunc_mac_q1
+
+    core = build_trunc_mac_q1(params)
+    ndev = mesh.devices.size
+    nq = idx.shape[0]
+    assert nq % ndev == 0, (nq, ndev)
+    nq_l = nq // ndev
+
+    def shard_fn(base_l, ctq, idx):
+        rows_l = base_l.shape[0]
+        me = jax.lax.axis_index(AXIS)
+        rel = idx - me * rows_l
+        owned = (rel >= 0) & (rel < rows_l)
+        local = jnp.where(
+            owned[..., None],
+            base_l[jnp.clip(rel, 0, rows_l - 1)],
+            0,
+        )                                           # [nq, npad, d] i32
+        rows = jax.lax.psum(local, AXIS)
+        myrows = jax.lax.dynamic_slice_in_dim(rows, me * nq_l, nq_l, 0)
+        myct = jax.lax.dynamic_slice_in_dim(ctq, me * nq_l, nq_l, 0)
+        out = core(myrows, myct)
+        return jax.lax.all_gather(out, AXIS, axis=0, tiled=True)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(AXIS), P(), P()), out_specs=P(), check_vma=False,
+    )
+    return jax.jit(fn)(
+        base_sharded, jnp.asarray(ctq), jnp.asarray(idx, jnp.int32)
+    )
