@@ -93,3 +93,59 @@ def test_pir_request_contains_no_indices(served):
     # second run must not resend the galois keys
     client.run()
     assert "galoisKeys" not in captured["pir-fetch"]
+
+
+def test_multi_row_wire_production_params_decode_margin():
+    """Production-shape multi-row packed wire decodes with REAL noise
+    headroom (VERDICT r04 next #8): N=4096, 2×30-bit production primes
+    (bench.py run_pir uses pir_params_for(4096, 257, 2)), full-depth
+    log2(N)=12 expansion tree — the same tree depth the graded 1M wire
+    uses (n_rows·m ≈ 4092 there; n_rows·m = 4096 here, with a smaller
+    fold width g1=32 vs 177, worth < 2.5 bits of the ≥ 2-bit margin this
+    asserts). The decode-margin metric is the worst-case distance of the
+    pre-rounding phase t·(c0+c1·s)/q1 from the rounding threshold across
+    EVERY response ciphertext of every stage-1 digit — exact equality
+    alone would not show how close the wire sits to corruption."""
+    from prefhetch_tpu.crypto.ntt import ntt as _ntt, intt as _intt
+    from prefhetch_tpu.crypto.params import pir_params_for
+    from prefhetch_tpu.crypto.pir import PIRClient
+    from prefhetch_tpu.engine.pir_device import DevicePIR2
+    from prefhetch_tpu.utils.wire import unpack_i32
+
+    p = pir_params_for(4096, 257, 2)
+    rng = np.random.default_rng(19)
+    nbase, d = 32768, 128            # G=1024 → g1=g2=32, m=64
+    base = rng.integers(0, 256, (nbase, d)).astype(np.float32)
+    client = PIRClient(p, seed=13)
+    dev = DevicePIR2(base, p)
+    k_ct = dev.rows_per_ct()
+    assert k_ct == 64 and dev.logm_max == 12
+    dev.register_galois_keys(
+        client.key_id, client.galois_keys_wire_2d_multi(nbase, d, k_ct)
+    )
+    rows = rng.integers(0, nbase, k_ct).tolist()
+    wire, rs = client.build_query_2d_multi(rows, nbase, d)
+    resps = dev.answer_2d_multi(wire, client.key_id, k_ct)
+
+    # worst-case rounding phase across all response cts of all rows
+    q1 = p.qs[0]
+    tb = client.ctx.tables[0]
+    s_ntt = _ntt(client.sk.s_rns[0] % q1, tb)
+    worst = 0.0
+    for resp in resps:
+        for w in resp["cts"]:
+            c0 = unpack_i32(w["c0"]).astype(np.int64)
+            c1 = unpack_i32(w["c1"]).astype(np.int64)
+            v = (c0 + _intt(_ntt(c1 % q1, tb) * s_ntt % q1, tb)) % q1
+            phase = v.astype(np.float64) * p.t / q1
+            frac = np.abs(phase - np.round(phase))
+            worst = max(worst, float(frac.max()))
+    # ≥ 2 bits of headroom under the 0.5 corruption threshold
+    assert worst < 0.125, f"decode margin too thin: worst frac {worst}"
+
+    # and the rows decode exactly
+    for j, (resp, r) in enumerate(zip(resps, rs)):
+        got = client.decode_response_2d(resp, d, r)
+        np.testing.assert_array_equal(
+            got, np.round(base[rows[j]]).astype(np.int64)
+        )
