@@ -78,6 +78,30 @@ class DeviceCKKS:
         self._keys: Dict[str, Dict[int, Tuple[jax.Array, jax.Array]]] = {}
         # rotation schedule for inner products of dimension d (set lazily)
         self._steps_cache: Dict[int, List[int]] = {}
+        # parked candidate base (set_base): [nbase+1, d] f32 with a zero
+        # pad row at index nbase — requests then carry INDICES, not rows
+        self._base_dev: jax.Array | None = None
+
+    # ------------------------------------------------------------------
+    def set_base(self, base: np.ndarray) -> None:
+        """Park the candidate base on device (one h2d at registration,
+        like HEComputeService.set_base — the reference server owns the
+        base, src/server/server_lib.cpp:126-130). Requests then upload
+        [nq, P] int32 candidate INDICES instead of [nq, P, d] f32 rows:
+        through this sandbox's ~80 MB/s relay the row upload was the
+        dominant per-call cost of the combined CKKS path (8.4 MB/call at
+        the config-3 operating point vs 64 KB of ids). The gather runs
+        inside the score program (whole d-lane rows — tile-friendly) and
+        candidate norms are computed on device from the same rows."""
+        from prefhetch_tpu.engine.hecompute import CKKSComputeService as _H
+
+        cand_scale = float(1 << _H.CAND_SCALE_BITS)
+        # same int32-overflow headroom bound as the per-call encode path
+        assert np.abs(base).max() < 16.0 * cand_scale, \
+            "base values overflow the combined-encode headroom"
+        padded = np.zeros((base.shape[0] + 1, base.shape[1]), np.float32)
+        padded[:-1] = base
+        self._base_dev = jnp.asarray(padded)
 
     # ------------------------------------------------------------------
     def register_keys(self, key_id: str, gks_wire: dict) -> None:
@@ -158,19 +182,19 @@ class DeviceCKKS:
     def _score_fn(self, level_in: int, n_steps: int,
                   combine_tree: int | None = None, n_post: int = 0,
                   seeded: bool = False, digit_bits: int | None = None,
-                  dev_encode: bool = False):
+                  dev_encode: bool = False, dev_gather: bool = False):
         # per-instance cache (a functools.lru_cache on the bound method
         # would key the GLOBAL cache on self and pin every DeviceCKKS
         # instance — device keys, tables, executables — for process life)
         if not hasattr(self, "_score_cache"):
             self._score_cache = {}
         key = (level_in, n_steps, combine_tree, n_post, seeded, digit_bits,
-               dev_encode)
+               dev_encode, dev_gather)
         if key in self._score_cache:
             return self._score_cache[key]
         fn = self._build_score_fn(
             level_in, n_steps, combine_tree, n_post, seeded, digit_bits,
-            dev_encode,
+            dev_encode, dev_gather,
         )
         self._score_cache[key] = fn
         return fn
@@ -179,7 +203,7 @@ class DeviceCKKS:
                         combine_tree: int | None = None, n_post: int = 0,
                         seeded: bool = False,
                         digit_bits: int | None = None,
-                        dev_encode: bool = False):
+                        dev_encode: bool = False, dev_gather: bool = False):
         """jit: (fdigs…, gdigs…, ct [2, L, N], pt_rns [B, L, N],
         keys_b [n_steps, n_comp, n_ext_all, N], keys_a …,
         perms [n_steps, N], signs [n_steps, N]) → [B, 2, level, N].
@@ -496,7 +520,39 @@ class DeviceCKKS:
             )
             return jnp.round(ptc).astype(jnp.int32)
 
+        def _dev_gather(cand_ids, base_pad):
+            # parked-base mode (set_base): cand_ids [nq, Ppad] i32 with
+            # pad id = nbase (the appended zero row). Row gather moves
+            # whole d-lane rows — the tile-friendly gather shape; norms
+            # come from the same gathered rows (integer-valued f32, so
+            # round→int32 squares are exact: d·255² ≈ 8.3M « 2³¹)
+            from prefhetch_tpu.engine.hecompute import (
+                CKKSComputeService as _H,
+            )
+
+            cand_scale = np.float32(1.0 / (1 << _H.CAND_SCALE_BITS))
+            rows = jnp.take(base_pad, cand_ids, axis=0)   # [nq, Ppad, d]
+            nq_, p_pad, d_ = rows.shape
+            per_ct_ = (n // 2) // d_
+            slot_rows = (rows * cand_scale).reshape(
+                nq_ * (p_pad // per_ct_), per_ct_ * d_
+            )
+            norms = jnp.sum(
+                jnp.round(rows).astype(jnp.int32) ** 2, axis=-1
+            )                                             # [nq, Ppad] i32
+            return slot_rows, norms
+
         if not seeded:
+            if dev_gather:
+                def score_combined_gather(
+                    ct, cand_ids, base_pad, enc_mat, *rest
+                ):
+                    slot_rows, norms = _dev_gather(cand_ids, base_pad)
+                    return score_combined(
+                        ct, _dev_encode(slot_rows, enc_mat), *rest
+                    ), norms
+
+                return jax.jit(score_combined_gather)
             if not dev_encode:
                 return jax.jit(score_combined)
 
@@ -519,6 +575,16 @@ class DeviceCKKS:
             ct = jnp.stack([c0q.astype(jnp.int64), a], axis=1)
             return score_combined(ct, pt_coeffs, *rest)
 
+        if dev_gather:
+            def score_combined_seeded_gather(
+                c0q, seeds, cand_ids, base_pad, enc_mat, *rest
+            ):
+                slot_rows, norms = _dev_gather(cand_ids, base_pad)
+                return score_combined_seeded(
+                    c0q, seeds, _dev_encode(slot_rows, enc_mat), *rest
+                ), norms
+
+            return jax.jit(score_combined_seeded_gather)
         if not dev_encode:
             return jax.jit(score_combined_seeded)
 
@@ -667,7 +733,23 @@ class DeviceCKKS:
                 ctx.ct_from_wire(c) if isinstance(c, dict) else c
                 for c in cts
             ]
-        nq, P, d = candidates.shape
+        candidates = np.asarray(candidates)
+        # [nq, P] integer candidates = parked-base mode (set_base): the
+        # request uploads 4-byte ids; rows are gathered INSIDE the score
+        # program and norms computed from them on device. The [nq, P, d]
+        # row upload was the dominant per-call relay cost (8.4 MB vs
+        # 64 KB of ids at the config-3 operating point).
+        gather = (
+            candidates.ndim == 2
+            and np.issubdtype(candidates.dtype, np.integer)
+        )
+        if gather:
+            if self._base_dev is None:
+                raise ValueError("index candidates need set_base() first")
+            nq, P = candidates.shape
+            d = int(self._base_dev.shape[1])
+        else:
+            nq, P, d = candidates.shape
         slots = self.params.n // 2
         per_ct = slots // d
         n_blocks = -(-P // per_ct)
@@ -676,8 +758,9 @@ class DeviceCKKS:
         if n_blocks > d:
             raise ValueError("combine needs n_blocks <= d distinct offsets")
         n_tree = (n_blocks - 1).bit_length() if n_blocks > 1 else 0
-        padded = np.zeros((nq, n_blocks * per_ct, d), np.float64)
-        padded[:, :P] = candidates
+        if not gather:
+            padded = np.zeros((nq, n_blocks * per_ct, d), np.float64)
+            padded[:, :P] = candidates
         cand_scale = float(1 << _H.CAND_SCALE_BITS)
         mask_scale = float(1 << _H.MASK_SCALE_BITS)
 
@@ -712,7 +795,17 @@ class DeviceCKKS:
             jax.default_backend() == "tpu" if env_de is None
             else env_de == "1"
         )
-        if dev_enc:
+        if gather:
+            dev_enc = True
+            p_pad = n_blocks * per_ct
+            ids_pad = np.full(
+                (nq, p_pad), self._base_dev.shape[0] - 1, np.int32
+            )                       # pad id → the appended zero row
+            ids_pad[:, :P] = candidates
+            pt_args = (
+                jnp.asarray(ids_pad), self._base_dev, self._enc_mat_dev()
+            )
+        elif dev_enc:
             # |coeff| ≤ scale·max|slot| (encode_matrix_real docstring) —
             # the int32 bound checked on the raw values, pre-matmul.
             # Bound is 16·cand_scale (coeff ≤ 16·2^26 = 2^30), NOT 32:
@@ -797,7 +890,7 @@ class DeviceCKKS:
             level_in, len(pre_steps), combine_tree=n_tree,
             n_post=len(post_steps), seeded=seed_mode,
             digit_bits=getattr(self, "_key_digits", {}).get(key_id),
-            dev_encode=dev_enc,
+            dev_encode=dev_enc, dev_gather=gather,
         )
         if seed_mode:
             import base64
@@ -830,10 +923,20 @@ class DeviceCKKS:
         scale1 = scale_in * ctx.scale / self.ext[level_in - 1]
         scale2 = scale1 * mask_scale / self.ext[level - 1]
         out_scale = scale2 / cand_scale
-        norms = (np.round(candidates).astype(np.int64) ** 2).sum(-1)
+        if gather:
+            dev_out, norms_dev = dev_out    # norms ride the same program
+        else:
+            norms_dev = None
+            norms = (np.round(candidates).astype(np.int64) ** 2).sum(-1)
 
         def resolve():
-            out = np.asarray(dev_out).astype(np.int64)   # [nq, 2, lvl2, N]
+            if norms_dev is not None:       # one batched d2h for both
+                out, nrm = jax.device_get((dev_out, norms_dev))
+                out = out.astype(np.int64)
+                local_norms = nrm[:, :P].astype(np.int64)
+            else:
+                out = np.asarray(dev_out).astype(np.int64)
+                local_norms = norms         # [nq, 2, lvl2, N]
             result = [
                 CKKSCiphertext(
                     c0=out[qi, 0], c1=out[qi, 1],
@@ -841,15 +944,24 @@ class DeviceCKKS:
                 )
                 for qi in range(nq)
             ]
-            return result, norms
+            return result, local_norms
 
         resolve.dev_out = dev_out
         # pure device-program re-dispatch on the SAME parked arrays: the
         # bench's device-rate probe (serving ceiling with a local, non-relay
-        # host↔device link — no host encode, no h2d in the timed loop)
-        resolve.program_repeat = lambda: fn(
-            *lead, *pt_args, keys_b, keys_a, perms, signs,
-            mask_ntt, tkeys_b, tkeys_a, tperms, tsigns,
-            pkeys_b, pkeys_a, pperms, psigns,
-        )
+        # host↔device link — no host encode, no h2d in the timed loop).
+        # Gather mode returns (scores, norms); repeat yields the scores
+        # array either way so the probe's tiny sync slice is shape-stable.
+        if gather:
+            resolve.program_repeat = lambda: fn(
+                *lead, *pt_args, keys_b, keys_a, perms, signs,
+                mask_ntt, tkeys_b, tkeys_a, tperms, tsigns,
+                pkeys_b, pkeys_a, pperms, psigns,
+            )[0]
+        else:
+            resolve.program_repeat = lambda: fn(
+                *lead, *pt_args, keys_b, keys_a, perms, signs,
+                mask_ntt, tkeys_b, tkeys_a, tperms, tsigns,
+                pkeys_b, pkeys_a, pperms, psigns,
+            )
         return resolve

@@ -880,16 +880,24 @@ class QueryEngine:
                 # hecompute.encrypted_scores_combined / the device twin.
                 # Client must have registered the combine-tree Galois keys
                 # (crypto/ckks.combine_tree_steps) alongside the IP tree's.
-                cand = base[
-                    np.asarray(nearest_coarse_vector_idx, np.int64)
-                ].astype(np.float64)                      # [nq, P, d]
                 if hasattr(svc, "encrypted_scores_combined_batch"):
                     # device twin accepts raw wires: seedTf cts upload only
-                    # c0 + an 8-byte key (c1 regenerates in the program)
+                    # c0 + an 8-byte key (c1 regenerates in the program).
+                    # Parked-base mode: the server owns the base
+                    # (server_lib.cpp:126-130), so only [nq, P] int32 ids
+                    # cross the host↔device link — the [nq, P, d] row
+                    # upload was the dominant per-request relay cost
+                    if getattr(svc, "_base_dev", None) is None:
+                        svc.set_base(base)
                     res, norms = svc.encrypted_scores_combined_batch(
-                        encrypted_queries, cand, key_id
+                        encrypted_queries,
+                        np.asarray(nearest_coarse_vector_idx, np.int32),
+                        key_id,
                     )
                 else:                                     # host service
+                    cand = base[
+                        np.asarray(nearest_coarse_vector_idx, np.int64)
+                    ].astype(np.float64)                  # [nq, P, d]
                     res, norms_l = [], []
                     for i, w in enumerate(encrypted_queries):
                         c, nm = svc.encrypted_scores_combined(

@@ -189,6 +189,27 @@ def test_combined_single_ct_device_matches_host_and_decodes():
     np.testing.assert_array_equal(e_cts[0].c1, s_cts[0].c1)
     np.testing.assert_array_equal(e_norms, s_norms)
 
+    # parked-base gather mode (set_base + [nq, P] int32 ids): gather,
+    # norms, and encode all move into the device program — must equal the
+    # row-upload dev-encode path BIT-FOR-BIT (same f32 slot_rows: the
+    # power-of-two cand_scale multiply is exact in both)
+    import os as _os
+
+    _os.environ["PFH_CKKS_DEV_ENCODE"] = "1"
+    try:
+        r_cts, r_norms = dev.encrypted_scores_combined_batch(
+            [w], cands[None], "k"
+        )
+        dev.set_base(cands.astype(np.float32))
+        g_cts, g_norms = dev.encrypted_scores_combined_batch(
+            [w], np.arange(10, dtype=np.int32)[None], "k"
+        )
+    finally:
+        del _os.environ["PFH_CKKS_DEV_ENCODE"]
+    np.testing.assert_array_equal(g_cts[0].c0, r_cts[0].c0)
+    np.testing.assert_array_equal(g_cts[0].c1, r_cts[0].c1)
+    np.testing.assert_array_equal(g_norms, r_norms)
+
 
 def test_digit_bits_negotiated_from_key_wire(setup, monkeypatch):
     """A client whose Galois keys were generated at 30-bit key-switch
