@@ -899,7 +899,16 @@ def main():
         form = "pallas" if (_jax.default_backend() == "tpu"
                             and not os.environ.get("PFH_BENCH_PQ_XLA")) \
             else "xla"
-        pstep, pargs, pstats = tpu_pipeline(index, base_j, q_j, quant="pq")
+        # persisted decision (same rationale as _pipeline_or_xla's
+        # marker): a doomed Mosaic re-attempt costs 2-4 min of the cap
+        pq_marker = os.path.join(CACHE, "scanform_pq.txt")
+        if form == "pallas" and os.path.exists(pq_marker):
+            with open(pq_marker) as f:
+                if f.read().strip() == "xla":
+                    form = "xla"
+        pstep, pargs, pstats = tpu_pipeline(
+            index, base_j, q_j, quant="pq", pq_xla=(form == "xla") or None
+        )
         try:
             _, pids = pstep(*pargs)
         except Exception as e:      # noqa: BLE001
@@ -907,7 +916,7 @@ def main():
             # chipless-AOT fallback; the exact-f32 XLA formulation is the
             # same memory-parity operating point (slower kernel) — a
             # measured number beats an error in the artifact
-            if "remote_compile" not in str(e):
+            if "remote_compile" not in str(e) or form == "xla":
                 raise
             form = "xla"
             time.sleep(4.0)
@@ -915,6 +924,8 @@ def main():
                 index, base_j, q_j, quant="pq", pq_xla=True
             )
             _, pids = pstep(*pargs)
+        with open(pq_marker, "w") as f:
+            f.write(form)
         pids.block_until_ready()
         t0 = time.perf_counter()
         for _ in range(N_BATCHES):
