@@ -229,17 +229,30 @@ def tpu_pipeline(index, base_j, queries_j, nprobe=None, coarse_probe=None,
         quant = os.environ.get("PFH_BENCH_QUANT", "none")
     # pq: 256-slot tiles keep the Pallas one-hot within VMEM
     tile = int(os.environ.get("PFH_BENCH_TILE", 256 if quant == "pq" else 1024))
+    _tb = time.perf_counter()
+
+    def _bp(tag):           # build-phase stderr timing: "pipeline built"
+        nonlocal _tb        # swung 98→325 s across warm runs — attribute it
+        now = time.perf_counter()
+        if now - _tb > 5.0:
+            print(f"[bench] build phase {tag}: {now - _tb:.1f}s",
+                  file=sys.stderr)
+        _tb = now
+
     view = build_tiled_view(index, tile=tile, quant=quant)
     T = view.tile
+    _bp("tiled view (host)")
 
     # stage 3 of the protocol is client work (it ranks the downloaded
     # centroids); use the same kernel as the device path so probe sets are
     # bit-identical across pipelines
     _, probes = rank_centroids(queries_j, index.centroids, nprobe)
     probes = np.asarray(probes)
+    _bp("rank_centroids (compile+run+d2h)")
     tiles_np, counts = view.expand_probes(probes)
     tiles_j = jnp.asarray(tiles_np)
     max_t = tiles_np.shape[1]
+    _bp("expand_probes (host)")
 
     scan_mode = os.environ.get("PFH_BENCH_SCAN", "union")
     prune_j = 0          # set by the union branch; 0 = no pruning
@@ -298,6 +311,7 @@ def tpu_pipeline(index, base_j, queries_j, nprobe=None, coarse_probe=None,
         union_np, pos_np = union_probe_tiles(tiles_np, view.empty_tile)
         union_j = jnp.asarray(union_np)
         pos_j = jnp.asarray(pos_np)
+        _bp("union dedupe + put")
 
         # segment-level pruning (VERDICT r02 item 3): hand selection only
         # the PRUNE_J most promising tiles per query (per-tile min-distance
