@@ -282,10 +282,14 @@ def tpu_pipeline(index, base_j, queries_j, nprobe=None, coarse_probe=None,
 
         def prog_scan(payload, norms, sizes, q, tiles):
             if on_tpu:
-                return union_pq_scan_distances_pallas(
-                    payload, sizes, tile_list_j, index.centroids,
-                    index.codebooks, q, union_j, pos_j,
-                    by_residual=by_res,
+                from prefhetch_tpu.utils.aot import aot_call
+
+                return aot_call(
+                    union_pq_scan_distances_pallas,
+                    (payload, sizes, tile_list_j, index.centroids,
+                     index.codebooks, q, union_j, pos_j),
+                    tag="pqoh", cache_dir=CACHE,
+                    statics={"by_residual": by_res},
                 )
             return union_pq_scan_distances(
                 payload, sizes, tile_list_j, index.centroids,
@@ -349,10 +353,16 @@ def tpu_pipeline(index, base_j, queries_j, nprobe=None, coarse_probe=None,
             interp = not on_tpu_b
 
             if fused:
+                from prefhetch_tpu.utils.aot import aot_call
+
                 def prog_scan(payload, norms, sizes, q, tiles):
-                    return union_scan_pruned_fused(
-                        payload, norms, sizes, q, union_j, pos_j,
-                        prune_j, interpret=interp,
+                    # AOT executable cache: Mosaic programs never hit the
+                    # XLA persistent cache cross-process here (utils/aot)
+                    return aot_call(
+                        union_scan_pruned_fused,
+                        (payload, norms, sizes, q, union_j, pos_j),
+                        tag="uspf", n_out=2, cache_dir=CACHE,
+                        statics={"j_keep": prune_j, "interpret": interp},
                     )
             else:
                 def prog_scan(payload, norms, sizes, q, tiles):
@@ -534,6 +544,8 @@ def main():
         print(f"[bench] {msg} at {time.time() - _T0:.1f}s", file=sys.stderr,
               flush=True)
 
+    q_j.block_until_ready()
+    _mark("base+queries on device")
     step, args, scan_stats = tpu_pipeline(index, base_j, q_j)
     _mark("pipeline built")
     # warmup / compile

@@ -510,9 +510,15 @@ class QueryEngine:
             # profiler's synthetic 2560) the qm formulation's full
             # [nq, U·T] bf16 materialization + re-read loses (6.4 vs
             # 4.7 ms scan; headline 22.8K vs 25.9K measured r04) — the
-            # VMEM-epilogue extraction never writes the full matrix
-            return union_scan_pruned_fused(
-                view.payload, view.norms, view.sizes, q_p, u_j, p_j, j
+            # VMEM-epilogue extraction never writes the full matrix.
+            # AOT-cached: Mosaic programs never hit the XLA persistent
+            # cache cross-process in this sandbox (utils/aot.py)
+            from prefhetch_tpu.utils.aot import aot_call
+
+            return aot_call(
+                union_scan_pruned_fused,
+                (view.payload, view.norms, view.sizes, q_p, u_j, p_j),
+                tag="uspf", n_out=2, statics={"j_keep": j},
             )
         return union_scan_pruned(
             view.payload, view.norms, view.sizes, q_p, u_j, p_j, j

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from prefhetch_tpu.index.types import IVFIndex, pad_to_lane
+from prefhetch_tpu.index.types import HostArrays, IVFIndex, pad_to_lane
 from prefhetch_tpu.ops.kmeans import train_kmeans, train_kmeans_batched
 from prefhetch_tpu.utils.config import IndexParams
 
@@ -267,16 +267,26 @@ def build_ivf_index(
         recon_bf16 = list_recon.astype(ml_dtypes.bfloat16)
         kwargs["list_recon"] = jnp.asarray(recon_bf16)
         # norms of the bf16-rounded payload (what the scan actually sees)
-        kwargs["list_norms"] = jnp.asarray(
-            (recon_bf16.astype(np.float32) ** 2).sum(-1), jnp.float32
+        norms_np = (recon_bf16.astype(np.float32) ** 2).sum(-1).astype(
+            np.float32
         )
+        kwargs["list_norms"] = jnp.asarray(norms_np)
+        kwargs["host_arrays"] = HostArrays({
+            "payload": recon_bf16, "norms": norms_np, "codes": list_codes,
+            "ids": list_ids, "sizes": sizes,
+        })
     else:
         list_vectors = np.zeros((nlist, lmax, params.d), np.float32)
         list_vectors[sorted_assign, rank_in_list] = base[order]
         kwargs["list_vectors"] = jnp.asarray(list_vectors)
-        kwargs["list_norms"] = jnp.asarray(
-            (list_vectors.astype(np.float64) ** 2).sum(-1), jnp.float32
-        )
+        norms_np = (
+            (list_vectors.astype(np.float64) ** 2).sum(-1)
+        ).astype(np.float32)
+        kwargs["list_norms"] = jnp.asarray(norms_np)
+        kwargs["host_arrays"] = HostArrays({
+            "payload": list_vectors, "norms": norms_np,
+            "ids": list_ids, "sizes": sizes,
+        })
 
     return IVFIndex(
         centroids=jnp.asarray(centroids, jnp.float32),
@@ -336,28 +346,36 @@ def load_index(path: str) -> IVFIndex:
     with np.load(path) as z:
         params = IndexParams(**json.loads(bytes(z["params_json"]).decode()))
         kwargs = {}
+        # host copies of everything the tiled-view re-pack reads — d2h
+        # fetches through the relay are slow AND stall-prone (HostArrays)
+        host = {"ids": z["list_ids"], "sizes": z["list_sizes"]}
         if "list_norms" in z:
-            kwargs["list_norms"] = jnp.asarray(z["list_norms"])
+            host["norms"] = z["list_norms"]
+            kwargs["list_norms"] = jnp.asarray(host["norms"])
         if "list_sq" in z:
             kwargs["list_sq"] = jnp.asarray(z["list_sq"])
             kwargs["sq_vmin"] = jnp.asarray(z["sq_vmin"])
             kwargs["sq_scale"] = jnp.asarray(z["sq_scale"])
         elif "list_codes" in z:
+            host["codes"] = z["list_codes"]
             kwargs["list_codes"] = jnp.asarray(z["list_codes"].astype(np.int32))
             kwargs["codebooks"] = jnp.asarray(z["codebooks"])
             if "list_recon_bf16" in z:
                 import ml_dtypes
 
-                kwargs["list_recon"] = jnp.asarray(
-                    z["list_recon_bf16"].view(ml_dtypes.bfloat16)
-                )
+                recon_host = z["list_recon_bf16"].view(ml_dtypes.bfloat16)
+                kwargs["list_recon"] = jnp.asarray(recon_host)
+                host["payload"] = recon_host
         else:
-            kwargs["list_vectors"] = jnp.asarray(z["list_vectors"])
+            vecs_host = z["list_vectors"]
+            kwargs["list_vectors"] = jnp.asarray(vecs_host)
+            host["payload"] = vecs_host
         return IVFIndex(
             centroids=jnp.asarray(z["centroids"]),
-            list_ids=jnp.asarray(z["list_ids"]),
-            list_sizes=jnp.asarray(z["list_sizes"]),
+            list_ids=jnp.asarray(host["ids"]),
+            list_sizes=jnp.asarray(host["sizes"]),
             params=params,
-            ntotal_host=int(z["list_sizes"].sum()),
+            ntotal_host=int(host["sizes"].sum()),
+            host_arrays=HostArrays(host),
             **kwargs,
         )

@@ -108,18 +108,32 @@ def build_tiled_view(
     quant="pq": the payload is the raw PQ CODES [·, T, M] uint8 — the
     memory-tight layout (M bytes/vector, FAISS IVFPQ parity) consumed by
     the one-hot ADC scan (ops/union_scan.union_pq_scan_distances)."""
+    # prefer the loader/builder's host copies (IVFIndex.host_arrays):
+    # np.asarray on device arrays is a d2h fetch through this sandbox's
+    # ~12 MB/s relay — 100+ s for the 1.3 GB payload, and even small
+    # fetches stall for minutes when the relay is congested (one r05
+    # rehearsal spent its whole 720 s budget inside this function)
+    host = getattr(index, "host_arrays", None)
+
+    def _h(key, dev):
+        a = host.get(key) if host is not None else None
+        return a if a is not None else (
+            None if dev is None else np.asarray(dev)
+        )
+
     if quant == "pq":
         if index.list_codes is None:
             return None
-        payload_np = np.asarray(index.list_codes).astype(np.uint8)
+        codes_h = _h("codes", index.list_codes)
+        payload_np = codes_h.astype(np.uint8)             if codes_h.dtype != np.uint8 else codes_h
     elif index.list_recon is not None:
-        payload_np = np.asarray(index.list_recon)
+        payload_np = _h("payload", index.list_recon)
     elif index.list_vectors is not None:
-        payload_np = np.asarray(index.list_vectors)
+        payload_np = _h("payload", index.list_vectors)
     else:
         return None
-    ids_np = np.asarray(index.list_ids)
-    sizes_np = np.asarray(index.list_sizes)
+    ids_np = _h("ids", index.list_ids)
+    sizes_np = _h("sizes", index.list_sizes)
     nlist, lmax, d = payload_np.shape
 
     sq_vmin = sq_scale = None
@@ -154,7 +168,7 @@ def build_tiled_view(
     elif quant == "pq":
         norms_np = np.zeros(payload_np.shape[:2], np.float32)  # ADC needs none
     elif index.list_norms is not None:
-        norms_np = np.asarray(index.list_norms)
+        norms_np = _h("norms", index.list_norms)
     else:
         norms_np = (payload_np.astype(np.float32) ** 2).sum(-1)
     tile_norms = np.zeros((ntiles + 1, tile), np.float32)

@@ -35,6 +35,29 @@ def pad_to_lane(n: int) -> int:
     return max(LANE, -(-n // LANE) * LANE)
 
 
+class HostArrays:
+    """Identity-hashed box of host-side ndarray copies kept on the index.
+
+    IVFIndex parks everything on device, but the tiled-view re-pack
+    (index/tiling.py) is HOST work: fetching arrays back through this
+    sandbox's d2h relay is both slow (~12 MB/s; the 1.3 GB bf16 payload
+    alone is 100+ s) and prone to minute-scale stalls even for small
+    reads (see ntotal_host below) — one r05 rehearsal spent its whole
+    720 s budget inside build_tiled_view. Builders/loader stash host
+    copies here (keys: payload, ids, sizes, norms, codes — whichever
+    exist) so the re-pack never touches the device. Boxed rather than a
+    raw dict/ndarray because the field is flax-static: static fields
+    must stay hashable, and identity hash/eq is correct for a cache."""
+
+    __slots__ = ("d",)
+
+    def __init__(self, d: dict):
+        self.d = d
+
+    def get(self, key: str):
+        return self.d.get(key)
+
+
 @flax.struct.dataclass
 class IVFIndex:
     """Dense padded IVF(-PQ) index; a JAX pytree, shardable with pjit."""
@@ -71,6 +94,11 @@ class IVFIndex:
     # sandbox's axon relay have been observed to stall for minutes, wedging
     # server startup on the warm-load ntotal sanity check)
     ntotal_host: Optional[int] = flax.struct.field(
+        pytree_node=False, default=None
+    )
+    # host copies of the arrays the tiled-view re-pack reads (see
+    # HostArrays) — spares build_tiled_view every d2h relay fetch
+    host_arrays: Optional[HostArrays] = flax.struct.field(
         pytree_node=False, default=None
     )
 
