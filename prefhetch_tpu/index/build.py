@@ -349,30 +349,36 @@ def load_index(path: str) -> IVFIndex:
         # host copies of everything the tiled-view re-pack reads — d2h
         # fetches through the relay are slow AND stall-prone (HostArrays)
         host = {"ids": z["list_ids"], "sizes": z["list_sizes"]}
+        # big payload-class fields stay HOST-side (np): the tiled view
+        # re-packs and re-uploads them anyway, and eagerly device-putting
+        # ~3 GB at load queued the relay so deep that the process's first
+        # tiny d2h stalled 441 s (r05 build-phase attribution). np leaves
+        # are valid jax inputs for the rare non-tiled consumers (oracles,
+        # small-scale tests), which pay a per-use upload instead.
         if "list_norms" in z:
             host["norms"] = z["list_norms"]
-            kwargs["list_norms"] = jnp.asarray(host["norms"])
+            kwargs["list_norms"] = host["norms"]
         if "list_sq" in z:
-            kwargs["list_sq"] = jnp.asarray(z["list_sq"])
+            kwargs["list_sq"] = z["list_sq"]
             kwargs["sq_vmin"] = jnp.asarray(z["sq_vmin"])
             kwargs["sq_scale"] = jnp.asarray(z["sq_scale"])
         elif "list_codes" in z:
             host["codes"] = z["list_codes"]
-            kwargs["list_codes"] = jnp.asarray(z["list_codes"].astype(np.int32))
+            kwargs["list_codes"] = host["codes"].astype(np.int32)
             kwargs["codebooks"] = jnp.asarray(z["codebooks"])
             if "list_recon_bf16" in z:
                 import ml_dtypes
 
                 recon_host = z["list_recon_bf16"].view(ml_dtypes.bfloat16)
-                kwargs["list_recon"] = jnp.asarray(recon_host)
+                kwargs["list_recon"] = recon_host
                 host["payload"] = recon_host
         else:
             vecs_host = z["list_vectors"]
-            kwargs["list_vectors"] = jnp.asarray(vecs_host)
+            kwargs["list_vectors"] = vecs_host
             host["payload"] = vecs_host
         return IVFIndex(
             centroids=jnp.asarray(z["centroids"]),
-            list_ids=jnp.asarray(host["ids"]),
+            list_ids=host["ids"],
             list_sizes=jnp.asarray(host["sizes"]),
             params=params,
             ntotal_host=int(host["sizes"].sum()),
